@@ -1,0 +1,354 @@
+"""Relational core queries: projection/filter (P*), joins (J*),
+aggregations (A*), sorts/limits (O*), set ops (§2.7).
+
+Each query re-expresses a reference pattern over the driver testdata
+(FIXTURES.md §5 mapping) and carries a DuckDB oracle. Float aggregates are
+rounded identically on both sides; every computed column is aliased
+identically on both sides (driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+
+# --------------------------------------------------------------------------
+# q01 — the reference's very first analysis: filtered group-count, sorted
+# desc, top-N (code/project_starter_script.py:80: posts-per-subreddit).
+# Exercises P1 P3 P4 P5 A1 A6 O1 O2 F8.
+# --------------------------------------------------------------------------
+@register(
+    "q01_top_groups_by_count",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt
+    FROM lineitem
+    WHERE l_quantity >= 25 AND l_linestatus <> 'F'
+    GROUP BY l_returnflag
+    ORDER BY cnt DESC, l_returnflag
+    LIMIT 10
+    """,
+    doc="filter -> groupBy.count -> orderBy desc -> limit (A1+O1+O2)",
+)
+def q01_top_groups_by_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.filter((F.col("l_quantity") >= 25) & (F.col("l_linestatus") != "F"))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("l_returnflag"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q04 — missing-data report (P11/P12/F16/F17,
+# code/eda/project_eda.py:657-674): per-probe counts of NULL / NaN / empty /
+# sentinel values, one output row.
+# --------------------------------------------------------------------------
+@register(
+    "q04_missing_report",
+    oracle="""
+    SELECT
+      COUNT(CASE WHEN text IS NULL OR text = '' THEN 1 END)      AS text_missing,
+      COUNT(CASE WHEN text LIKE '%None%' THEN 1 END)             AS text_none_marker,
+      COUNT(CASE WHEN lang IS NULL THEN 1 END)                   AS lang_null,
+      COUNT(CASE WHEN n_chars IS NULL THEN 1 END)                AS n_chars_null,
+      COUNT(*)                                                   AS total_rows
+    FROM documents
+    """,
+    doc="missing-data probe: NULL/empty/sentinel counts (P11)",
+)
+def q04_missing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    c = F.col
+    return docs.agg(
+        F.count(F.when(c("text").isNull() | (c("text") == ""), True)).alias("text_missing"),
+        F.count(F.when(c("text").contains("None"), True)).alias("text_none_marker"),
+        F.count(F.when(c("lang").isNull(), True)).alias("lang_null"),
+        F.count(F.when(c("n_chars").isNull(), True)).alias("n_chars_null"),
+        F.count("*").alias("total_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q05 — the reference's join spine (J1/J2/J5, code/nlp/Data_Gathering.py:
+# 141,165,214): small-dim broadcast joins into a big fact, with a
+# synthesized join key (concat(lit, id)). Revenue per nation within one
+# region. Dimensions are broadcast explicitly — the reference's "absurdly
+# long" join (Data_Gathering.py:223) is exactly the shuffle this avoids.
+# --------------------------------------------------------------------------
+@register(
+    "q05_broadcast_join_chain",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS order_cnt,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON ('c_' || CAST(c.c_custkey AS VARCHAR)) = ('c_' || CAST(o.o_custkey AS VARCHAR))
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('AMERICA', 'ASIA')
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="broadcast dim joins + synthesized join key (J1+J2+J5+F12)",
+)
+def q05_broadcast_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "join_key", F.concat(F.lit("c_"), F.col("o_custkey").cast("string"))
+    )
+    customer = read_table(spark, sf_dir, "customer").withColumn(
+        "join_key", F.concat(F.lit("c_"), F.col("c_custkey").cast("string"))
+    )
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    dim = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .select("join_key", "n_name")
+    )
+    return (
+        orders.join(F.broadcast(dim), "join_key")
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("order_cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q06 — multi-aggregate group-by (A2-A5, e.g. code/nlp/Sentiment_Analysis.py:
+# 250-254 multi-avg; code/nlp/Data_Gathering.py:255 sum). TPC-H Q1 shape:
+# two grouping keys, count/sum/avg mix, date predicate pushed to the scan.
+# --------------------------------------------------------------------------
+@register(
+    "q06_groupby_multi_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*)                                              AS cnt,
+           ROUND(SUM(l_quantity), 2)                             AS sum_qty,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4)                             AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                        AS avg_price
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="2-key groupBy with count/sum/avg mix (A2+A3+A4+A5, TPC-H Q1 shape)",
+)
+def q06_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# q07 — scalar Pearson correlation + derived percentage (A7/F22,
+# code/eda/project_eda.py:229-230,266-267). One-row result.
+# --------------------------------------------------------------------------
+@register(
+    "q07_correlations",
+    oracle="""
+    SELECT
+      ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      ROUND(CORR(l_extendedprice, l_discount), 6) AS corr_price_disc,
+      ROUND(100.0 * COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) / COUNT(*), 4)
+        AS pct_discounted
+    FROM lineitem
+    """,
+    doc="stat.corr + percentage arithmetic (A7+F22)",
+)
+def q07_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+        F.round(
+            100.0 * F.count(F.when(F.col("l_discount") > 0.05, True)) / F.count("*"), 4
+        ).alias("pct_discounted"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q12 — global sort + limit (O2, code/eda/project_eda.py:170: top-10 posts
+# by score). Spark plans TakeOrderedAndProject — no full sort at scale.
+# --------------------------------------------------------------------------
+@register(
+    "q12_top_n_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS total
+    FROM orders
+    ORDER BY total DESC, o_orderkey
+    LIMIT 10
+    """,
+    doc="orderBy desc + limit => TakeOrderedAndProject (O2)",
+)
+def q12_top_n_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("total")
+        )
+        .orderBy(F.col("total").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q13 — set operations (§2.7: absent in the reference, the 34-subreddit scan
+# used isin instead; built-in in Spark). (BUILDING ∪ MACHINERY) ∖ nation-13,
+# ∩ with high-balance customers.
+# --------------------------------------------------------------------------
+@register(
+    "q13_set_ops",
+    oracle="""
+    WITH ab AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ),
+    excl AS (SELECT c_custkey FROM customer WHERE c_nationkey = 13),
+    rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+    SELECT c_custkey FROM (
+      SELECT c_custkey FROM ab
+      EXCEPT
+      SELECT c_custkey FROM excl
+    )
+    INTERSECT
+    SELECT c_custkey FROM rich
+    ORDER BY c_custkey
+    """,
+    doc="union / except / intersect (§2.7 extension)",
+)
+def q13_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = cust.filter(F.col("c_mktsegment") == "MACHINERY").select("c_custkey")
+    excl = cust.filter(F.col("c_nationkey") == 13).select("c_custkey")
+    rich = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    # Spark union == UNION ALL; distinct() gives SQL UNION semantics.
+    # subtract/intersect are distinct-semantics like SQL EXCEPT/INTERSECT.
+    return (
+        a.union(b).distinct().subtract(excl).intersect(rich).orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q14 — semi/anti joins (absent in the reference: it emulates anti-join with
+# 8 chained != at code/nlp/Data_Gathering.py:77-84 — P16). Customers with no
+# orders (anti) and suppliers in nations that have customers (semi).
+# --------------------------------------------------------------------------
+@register(
+    "q14_semi_anti_join",
+    oracle="""
+    SELECT 'no_orders' AS tag, COUNT(*) AS cnt
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'supp_with_cust_nation' AS tag, COUNT(*) AS cnt
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey)
+    """,
+    doc="left_anti + left_semi joins (P16 done right)",
+)
+def q14_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    no_orders = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("no_orders").alias("tag"), "cnt")
+    )
+    semi = (
+        supp.join(cust, supp.s_nationkey == cust.c_nationkey, "left_semi")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("supp_with_cust_nation").alias("tag"), "cnt")
+    )
+    return no_orders.union(semi)
+
+
+# --------------------------------------------------------------------------
+# q15 — rollup / grouping-sets (§2.4 "absent" extension). Order counts by
+# (status, priority) with subtotals; grouping-id distinguishes levels.
+# --------------------------------------------------------------------------
+@register(
+    "q15_rollup",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>')   AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    doc="rollup with subtotal rows (§2.4 extension)",
+)
+def q15_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "cnt",
+            "revenue",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q16 — distinct-count family: exact countDistinct per group plus exact
+# percentiles (§2.4 extension; approx_count_distinct/percentile_approx are
+# the scale path but are estimator-specific, so the oracle pins the exact
+# forms).
+# --------------------------------------------------------------------------
+@register(
+    "q16_distinct_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)  AS nd_parts,
+           COUNT(DISTINCT l_suppkey)  AS nd_supps,
+           ROUND(MEDIAN(l_extendedprice), 4) AS median_price,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="countDistinct + exact percentiles per group (§2.4 extension)",
+)
+def q16_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("nd_parts"),
+            F.countDistinct("l_suppkey").alias("nd_supps"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        )
+        .orderBy("l_returnflag")
+    )

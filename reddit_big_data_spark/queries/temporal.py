@@ -1,0 +1,119 @@
+"""Temporal queries (F1-F7 + U1 rewrites) over `events` and `orders`.
+
+DuckDB/Spark semantic alignment notes:
+- Spark `dayofweek` is 1=Sunday..7=Saturday; DuckDB `dayofweek` is
+  0=Sunday..6=Saturday, so the oracle uses `dayofweek(ts)+1`.
+- Session timezone is pinned UTC (registry wrapper), so `hour`/`to_date`
+  see the same wall-clock as DuckDB's naive timestamps.
+- Spark `unix_timestamp` truncates to seconds; DuckDB `epoch` keeps
+  fractional seconds — day-level floors agree for positive epochs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.temporal import day_type, season, time_slot
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+_TIME_SLOT_SQL = """
+    CASE WHEN hour(ts) >= 21 THEN 'night'
+         WHEN hour(ts) >= 18 THEN 'evening'
+         WHEN hour(ts) >= 15 THEN 'late_afternoon'
+         WHEN hour(ts) >= 12 THEN 'afternoon'
+         WHEN hour(ts) >= 9  THEN 'late_morning'
+         WHEN hour(ts) >= 6  THEN 'morning'
+         WHEN hour(ts) >= 3  THEN 'early_morning'
+         ELSE 'late_night' END
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — time-slot bucketing over an event stream: the reference's comment
+# time-slot histogram (code/eda/project_eda.py:1010-1045) with the U1 UDFs
+# replaced by native when-chains, plus range/IN predicates
+# (code/nlp/Data_Gathering.py:42-43; code/eda/project_eda.py:550-555) and
+# INTERVAL arithmetic (code/eda/project_eda.py:286).
+# --------------------------------------------------------------------------
+@register(
+    "q02_time_slot_histogram",
+    oracle=f"""
+    SELECT {_TIME_SLOT_SQL} AS time_slot,
+           CASE WHEN (dayofweek(ts) + 1) IN (1, 7) THEN 'weekend'
+                ELSE 'weekday' END AS day_type,
+           COUNT(*) AS cnt,
+           ROUND(AVG(value), 4) AS avg_value,
+           COUNT(DISTINCT user_id) AS nd_users,
+           COUNT(DISTINCT CAST(ts - INTERVAL 5 HOUR AS DATE)) AS nd_shifted_dates
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+      AND event_type IN ('click', 'view', 'purchase')
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="when-chain time features + range/IN filters + interval shift (F1-F7,U1)",
+)
+def q02_time_slot_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return (
+        ev.filter(
+            (ts >= F.lit("2024-01-05").cast("timestamp"))
+            & (ts < F.lit("2024-01-25").cast("timestamp"))
+            & F.col("event_type").isin("click", "view", "purchase")
+        )
+        .withColumn("time_slot", time_slot(F.hour(ts)))
+        .withColumn("day_type", day_type(F.dayofweek(ts)))
+        .groupBy("time_slot", "day_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("nd_users"),
+            F.countDistinct(
+                F.to_date(ts - F.expr("INTERVAL 5 HOURS"))
+            ).alias("nd_shifted_dates"),
+        )
+        .orderBy("time_slot", "day_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q17 — calendar features over years of order dates: month/season buckets
+# (U1 get_season), day/month names (F5 date_format 'E'/'MMMM',
+# code/eda/project_eda.py:702-717), epoch-day floor (F1/F2 unix round trip).
+# --------------------------------------------------------------------------
+@register(
+    "q17_calendar_features",
+    oracle="""
+    SELECT CASE WHEN month(o_orderdate) IN (12, 1, 2) THEN 'winter'
+                WHEN month(o_orderdate) IN (3, 4, 5)  THEN 'spring'
+                WHEN month(o_orderdate) IN (6, 7, 8)  THEN 'summer'
+                ELSE 'fall' END AS season,
+           strftime(o_orderdate, '%B') AS month_name,
+           strftime(o_orderdate, '%a') AS day_name,
+           COUNT(*) AS cnt,
+           ROUND(AVG(o_totalprice), 4) AS avg_price,
+           COUNT(DISTINCT CAST(FLOOR(epoch(o_orderdate) / 86400) AS BIGINT)) AS nd_epoch_days
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="season/month/day-name buckets + epoch-day round trip (F1-F5,U1)",
+)
+def q17_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.withColumn("season", season(F.month(d)))
+        .withColumn("month_name", F.date_format(d, "MMMM"))
+        .withColumn("day_name", F.date_format(d, "E"))
+        .groupBy("season", "month_name", "day_name")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            F.countDistinct(F.floor(F.unix_timestamp(d) / 86400)).alias("nd_epoch_days"),
+        )
+        .orderBy("season", "month_name", "day_name")
+    )

@@ -1,0 +1,63 @@
+"""Central query registry backing ``__spark_entry__.py``.
+
+Every operator family registers its correctness queries here with an
+optional DuckDB oracle SQL. The driver contract (t2) runs each Spark query
+at sf0.01 and hash-compares against the oracle (row count + schema +
+order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded identically on both sides (a raw double can
+  differ in the last ulp between engines);
+- session timezone is pinned to UTC before any temporal query runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from reddit_big_data_spark.session import apply_runtime_confs
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            apply_runtime_confs(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    # Import side-effect: query modules self-register.
+    import reddit_big_data_spark.queries  # noqa: F401
+
+    return dict(_REGISTRY)
+
+
+def query_fns() -> dict[str, QueryFn]:
+    return {name: q.fn for name, q in all_queries().items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle is not None}

@@ -1,0 +1,76 @@
+"""SparkSession factory with scale-sane defaults.
+
+The reference relies on Databricks Runtime defaults
+(reference: code/project_starter_script.py:8). We pin the configs that
+matter for a 1000-executor / 100 TB deployment and that also behave well
+on local[N]:
+
+- AQE on (runtime re-plan: coalesce shuffle partitions, skew-join split,
+  sort-merge -> broadcast conversion once sizes are known).
+- Arrow on for every driver edge (toPandas / pandas UDFs).
+- Session timezone pinned to UTC so temporal semantics are deterministic
+  and oracle-comparable (parquet timestamps are UTC micros; DuckDB reads
+  them naive).
+- Shuffle partitions sized to the parallelism of the target, not the
+  Spark default of 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that are safe (and desirable) to apply to an externally created
+# session at runtime — everything here is a runtime-settable SQL conf.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Prune nested struct fields at the parquet scan (the reference's
+    # submissions table is nested-heavy: SURVEY.md §1.2).
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Read side: keep scan partitions near the default 128 MB so a 100 TB
+    # table yields ~800k well-sized tasks rather than a few huge ones.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # The testdata's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    # vectorized reader rejects; read as long nanos and convert explicitly
+    # (truncating to micros, matching DuckDB's nanos->micros behavior).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Pin runtime confs on an existing session (e.g. the driver's).
+
+    Queries in this package assume UTC session time and AQE; calling this
+    is idempotent and cheap.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this build — defaults are close enough
+    return spark
+
+
+def get_spark(app_name: str = "reddit_big_data_spark", cpus: int | None = None) -> SparkSession:
+    """Create (or fetch) a local session sized for `cpus` threads."""
+    n = cpus or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        .config("spark.sql.shuffle.partitions", str(max(n, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return apply_runtime_confs(builder.getOrCreate())

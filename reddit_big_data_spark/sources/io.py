@@ -1,0 +1,109 @@
+"""Sources & sinks (SURVEY.md §2.1, S1-S11).
+
+The reference reads cloud parquet (code/project_starter_script.py:24-25),
+re-reads materialized parquet subsets (code/eda/project_eda.py:654), reads/
+writes CSV (code/project_starter_script.py:137,141) and ingests driver-side
+pandas frames (code/nlp/Data_Gathering.py:113-137). Ours is the same surface
+with scale posture baked in: partitioned sinks, no schema inference in prod
+paths, and a suffix-rename utility replacing the ad-hoc dict rename at
+code/nlp/Data_Gathering.py:205-211.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reddit_big_data_spark.schemas import TESTDATA_SCHEMAS
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1/S2: parquet scan. Schema comes from the footer; filters and
+    column pruning push down (verify with .explain: PushedFilters/ReadSchema).
+
+    TIMESTAMP(NANOS) columns (events.ts in the testdata) arrive as long
+    nanos under ``spark.sql.legacy.parquet.nanosAsLong`` and are converted
+    here by truncating to micros — bit-identical to DuckDB's parquet reader.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = TESTDATA_SCHEMAS.get(name)
+    if expected is not None:
+        actual = {f.name: f.dataType for f in df.schema.fields}
+        for f in expected.fields:
+            if isinstance(f.dataType, T.TimestampType) and isinstance(
+                actual.get(f.name), T.LongType
+            ):
+                df = df.withColumn(f.name, F.expr(f"timestamp_micros({f.name} div 1000)"))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    header: bool = True,
+) -> DataFrame:
+    """S3: CSV read. Pass an explicit schema in production; inference
+    (the reference's default, code/project_starter_script.py:141) scans the
+    data twice and degrades column names to _c0... when headerless.
+    """
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4: CSV sink (the reference used legacy com.databricks.spark.csv)."""
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S5: materialize an intermediate table.
+
+    Unlike the reference (unpartitioned writes, code/eda/project_eda.py:568),
+    pass `partition_by` on natural keys (subreddit, date) so downstream scans
+    get partition pruning at 100 TB.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def rename_with_suffix(df: DataFrame, suffix: str, keep: Iterable[str] = ()) -> DataFrame:
+    """P2: bulk rename to avoid join-time ambiguity.
+
+    Replaces the ad-hoc dict rename at code/nlp/Data_Gathering.py:205-211
+    with a generic projection (pure metadata — no execution cost).
+    """
+    keep_set = set(keep)
+    return df.select(
+        *[F.col(c).alias(c if c in keep_set else f"{c}{suffix}") for c in df.columns]
+    )

@@ -1,0 +1,95 @@
+"""Local mirror of the driver's t2 check: run a registered Spark query and
+its DuckDB oracle on the same parquet tables, compare row count, column
+names, and order-insensitive canonicalized values.
+
+Stricter in diagnostics than a hash (reports the first differing row), and
+tolerant only of last-ulp float noise — query-side rounding is still
+required for aggregates.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+
+def _canon_cell(v):
+    import numpy as np
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return None
+    if isinstance(v, (np.floating,)):
+        v = float(v)
+    if isinstance(v, (np.integer,)):
+        v = int(v)
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, _dt.date):
+        return ("date", v.isoformat())
+    if isinstance(v, float):
+        if math.isnan(v):
+            return None
+        return ("f", v)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("arr", tuple(_canon_cell(x) for x in v))
+    return v
+
+
+def _sort_key(row):
+    out = []
+    for c in row:
+        if isinstance(c, tuple) and c and c[0] == "f":
+            out.append(("f", f"{c[1]:.6e}"))
+        else:
+            out.append((str(type(c)), str(c)))
+    return out
+
+
+def _cells_equal(a, b) -> bool:
+    if isinstance(a, tuple) and isinstance(b, tuple) and a and b and a[0] == b[0] == "f":
+        x, y = a[1], b[1]
+        return math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+    if isinstance(a, tuple) and isinstance(b, tuple) and a and b and a[0] == b[0] == "arr":
+        return len(a[1]) == len(b[1]) and all(_cells_equal(x, y) for x, y in zip(a[1], b[1]))
+    return a == b
+
+
+def compare_frames(spark_pdf, duck_pdf, name: str) -> list[str]:
+    """Return a list of mismatch descriptions (empty == pass)."""
+    errors: list[str] = []
+    s_cols = sorted(spark_pdf.columns)
+    d_cols = sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        return [f"{name}: column names differ: spark={s_cols} duck={d_cols}"]
+    if len(spark_pdf) != len(duck_pdf):
+        errors.append(f"{name}: row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return errors
+
+    s_rows = sorted(
+        (tuple(_canon_cell(r[c]) for c in s_cols) for _, r in spark_pdf.iterrows()),
+        key=_sort_key,
+    )
+    d_rows = sorted(
+        (tuple(_canon_cell(r[c]) for c in d_cols) for _, r in duck_pdf.iterrows()),
+        key=_sort_key,
+    )
+    for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
+        if not all(_cells_equal(a, b) for a, b in zip(sr, dr)):
+            errors.append(
+                f"{name}: row {i} differs (cols {s_cols}):\n  spark={sr}\n  duck ={dr}"
+            )
+            if len(errors) >= 3:
+                break
+    return errors
+
+
+def run_and_compare(spark, duck, query, sf_dir: str) -> list[str]:
+    sdf = query.fn(spark, sf_dir).toPandas()
+    ddf = duck.execute(query.oracle).fetchdf()
+    return compare_frames(sdf, ddf, query.name)

@@ -1,0 +1,44 @@
+"""t2 mirror: every registered query with an oracle must hash-match DuckDB
+on the sf0.01 tables — the same check the driver runs."""
+
+from __future__ import annotations
+
+import pytest
+
+from reddit_big_data_spark.registry import all_queries
+from tests.conftest import SF_ORACLE, SF_SMOKE
+from tests.oracle_harness import run_and_compare
+
+_QUERIES = all_queries()
+_WITH_ORACLE = [q for q in _QUERIES.values() if q.oracle is not None]
+_ROWS_ONLY = [q for q in _QUERIES.values() if q.oracle is None]
+
+
+@pytest.mark.parametrize("query", _WITH_ORACLE, ids=lambda q: q.name)
+def test_oracle_match(spark, duck, query):
+    errors = run_and_compare(spark, duck, query, SF_ORACLE)
+    assert not errors, "\n".join(errors)
+
+
+@pytest.mark.parametrize("query", _ROWS_ONLY, ids=lambda q: q.name)
+def test_rows_only_runs(spark, query):
+    df = query.fn(spark, SF_SMOKE)
+    n = df.count()
+    assert n >= 0
+    assert df.columns  # stable, non-empty schema
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+
+
+def test_every_oracle_key_has_query():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    for k in e.oracle_sql():
+        assert k in q
