@@ -1,0 +1,72 @@
+"""Benchmark runner: times every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to execute fully with a noop-format write (all rows
+computed, nothing collected to the driver), so the timing covers the real
+scan/shuffle/agg work rather than driver serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _force(df) -> None:
+    # noop datasource: full computation, zero sink cost.
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    from reddit_big_data_spark.registry import all_queries
+    from reddit_big_data_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cpus=cpus)
+    queries = all_queries()
+
+    # Warm the JVM/codegen paths once on a trivial action so the first timed
+    # query doesn't pay session start-up.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    failures: dict[str, str] = {}
+    for name, q in sorted(queries.items()):
+        try:
+            df = q.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            _force(df)
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # keep benching the rest
+            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    result = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_queries": len(timings),
+    }
+    if failures:
+        result["failures"] = failures
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -112,8 +112,12 @@ def q05_broadcast_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r_name").isin("AMERICA", "ASIA"))
         .select("join_key", "n_name")
     )
+    # nation/region are genuinely tiny -> explicit broadcast above. `dim`
+    # is a fact-fraction (~40% of customers), so the join strategy is left
+    # to AQE: at 100 TB a forced broadcast here would push millions of rows
+    # to every executor (and OOM the driver).
     return (
-        orders.join(F.broadcast(dim), "join_key")
+        orders.join(dim, "join_key")
         .groupBy("n_name")
         .agg(
             F.count("*").alias("order_cnt"),

@@ -33,8 +33,10 @@ from reddit_big_data_spark.sources.io import read_table
       GROUP BY 1
     )
     SELECT bucket, cnt, avg_tokens,
-           SUM(cnt) OVER (ORDER BY bucket
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cnt
+           -- DuckDB promotes windowed SUM(BIGINT) to HUGEINT (-> float64 in
+           -- fetchdf); Spark stays bigint. Cast so the hash-compare agrees.
+           CAST(SUM(cnt) OVER (ORDER BY bucket
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cnt
     FROM hist
     ORDER BY bucket
     """,
@@ -158,14 +160,21 @@ def q11_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="lag gap-days + ntile quartiles (§2.5 extension)",
 )
 def q18_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.ranking import with_global_ntile
+
     orders = read_table(spark, sf_dir, "orders")
     w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_ntile = Window.orderBy("o_totalprice", "o_orderkey")
-    gaps = orders.select(
+    # Global NTILE via the distributed two-phase ranker (operators/ranking.py)
+    # instead of ntile().over(Window.orderBy(...)), which would sort the whole
+    # table in ONE task at scale.
+    tiled = with_global_ntile(
+        orders, ["o_totalprice", "o_orderkey"], 4, ntile_col="quartile"
+    )
+    gaps = tiled.select(
         F.datediff(
             F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w_lag))
         ).alias("gap_days"),
-        F.ntile(4).over(w_ntile).cast("int").alias("quartile"),
+        F.col("quartile").cast("int").alias("quartile"),
         "o_totalprice",
     )
     return (

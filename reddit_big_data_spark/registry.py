@@ -43,7 +43,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
         _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=doc)
-        return fn
+        # Return the wrapper so direct imports also get the UTC/AQE conf
+        # pinning, not just registry-mediated calls.
+        return wrapped
 
     return deco
 

@@ -55,8 +55,12 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
-        except Exception:
-            pass  # conf not settable on this build — defaults are close enough
+        except Exception as exc:  # pragma: no cover - build-specific confs
+            # Never silently drop a correctness-critical conf (UTC pin,
+            # nanosAsLong): name it so a downstream failure is diagnosable.
+            import warnings
+
+            warnings.warn(f"could not set {k}={v}: {exc}", stacklevel=2)
     return spark
 
 

@@ -42,13 +42,16 @@ def _canon_cell(v):
 
 
 def _sort_key(row):
-    out = []
+    # Pair rows primarily on non-float columns; floats participate last and
+    # at coarse precision only, so last-ulp noise can't mispair rows that a
+    # non-float column already distinguishes.
+    hard, soft = [], []
     for c in row:
         if isinstance(c, tuple) and c and c[0] == "f":
-            out.append(("f", f"{c[1]:.6e}"))
+            soft.append(f"{c[1]:.6e}")
         else:
-            out.append((str(type(c)), str(c)))
-    return out
+            hard.append((str(type(c)), str(c)))
+    return (hard, soft)
 
 
 def _cells_equal(a, b) -> bool:
@@ -71,14 +74,15 @@ def compare_frames(spark_pdf, duck_pdf, name: str) -> list[str]:
         errors.append(f"{name}: row count differs: spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return errors
 
-    s_rows = sorted(
-        (tuple(_canon_cell(r[c]) for c in s_cols) for _, r in spark_pdf.iterrows()),
-        key=_sort_key,
-    )
-    d_rows = sorted(
-        (tuple(_canon_cell(r[c]) for c in d_cols) for _, r in duck_pdf.iterrows()),
-        key=_sort_key,
-    )
+    # Extract column-wise (never iterrows: it upcasts mixed-dtype rows to a
+    # common float dtype, laundering int-vs-float divergences that the
+    # driver's exact hash would catch).
+    def _rows(pdf, cols):
+        series = [pdf[c] for c in cols]
+        return [tuple(_canon_cell(s.iloc[i]) for s in series) for i in range(len(pdf))]
+
+    s_rows = sorted(_rows(spark_pdf, s_cols), key=_sort_key)
+    d_rows = sorted(_rows(duck_pdf, d_cols), key=_sort_key)
     for i, (sr, dr) in enumerate(zip(s_rows, d_rows)):
         if not all(_cells_equal(a, b) for a, b in zip(sr, dr)):
             errors.append(
