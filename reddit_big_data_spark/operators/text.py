@@ -1,0 +1,141 @@
+"""Text operators N1-N9 (SURVEY.md §2.9) — the reference's closest thing to
+a bespoke engine, rebuilt as native DataFrame expressions.
+
+The reference pipeline (reference code/nlp/NFL_Processing.py:143-167):
+DocumentAssembler -> Tokenizer -> Normalizer -> StopWordsCleaner -> Stemmer
+-> Finisher, all JVM Spark-NLP stages; its TF-IDF is a hand-rolled RDD
+flatMap/reduceByKey chain with a HARD-CODED corpus size N=7511
+(NFL_Processing.py:477-494, repeated as a latent bug in
+Yankees_Processing_with_NLP.py:619-632).
+
+Ours is pure `pyspark.sql.functions` — every op stays inside whole-stage
+codegen, no Python workers, no JVM NLP dependency:
+
+- tokenize:   split on whitespace runs
+- normalize:  lower + strip non-alphanumerics (Normalizer's cleanup pattern,
+              NFL_Processing.py:151-156)
+- stopwords:  array_except against a broadcast-literal list (the Spark ML
+              StopWordsRemover default list's core; StopWordsCleaner at
+              NFL_Processing.py:158-161)
+- stem:       S-stemmer (ies->y, sses->ss, trailing s) as a regexp_replace
+              chain — deterministic, SQL-expressible on both engines, unlike
+              the Porter stemmer the reference downloads (NFL_Processing.py:
+              411-413). A full Porter pandas UDF can slot in behind the same
+              signature when parity with an external model matters.
+- tf_idf:     explode -> groupBy(doc, term) (TF) -> groupBy(term) distinct
+              docs (DF) -> join -> log10(N/df), N COMPUTED from the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Core English stopword list (subset of Spark ML's StopWordsRemover default;
+# kept inline so the DuckDB oracle can pin the identical literal list).
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with",
+)
+
+
+def normalize(col: Column | str) -> Column:
+    """N2: lowercase + collapse everything non-alphanumeric to single spaces
+    (the Normalizer cleanup at reference NFL_Processing.py:151-156)."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    return F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+
+
+def tokenize(col: Column | str) -> Column:
+    """N1: whitespace tokenizer over normalized text -> array<string>."""
+    return F.split(normalize(col), r"\s+")
+
+
+def remove_stopwords(tokens: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    """N3: drop stopwords. array_except also dedups RHS lookups JVM-side —
+    no shuffle, no UDF (vs StopWordsCleaner, NFL_Processing.py:158-161).
+
+    Note array_except removes duplicate tokens too (set semantics); use
+    filter() to keep duplicates when TF matters.
+    """
+    return F.filter(tokens, lambda t: ~t.isin(*stopwords))
+
+
+def s_stem(token: Column) -> Column:
+    """N4: S-stemmer — the common plural-stripping subset of Porter step 1a:
+    *ies->y, *sses->ss, *s (not *ss, not *us) -> drop s. One regexp chain,
+    expressible identically in DuckDB for the oracle."""
+    t = F.regexp_replace(token, r"ies$", "y")
+    t = F.regexp_replace(t, r"sses$", "ss")
+    return F.regexp_replace(t, r"([^su])s$", r"$1")
+
+
+def stem_tokens(tokens: Column) -> Column:
+    return F.transform(tokens, s_stem)
+
+
+def term_frequencies(df: DataFrame, doc_col: str, token_col: str) -> DataFrame:
+    """Per-(doc, term) counts — the flatMap+reduceByKey TF at reference
+    NFL_Processing.py:480-481, as one exploded groupBy (map-side combine)."""
+    return (
+        df.select(doc_col, F.explode(token_col).alias("term"))
+        .groupBy(doc_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def tf_idf(df: DataFrame, doc_col: str, token_col: str) -> DataFrame:
+    """N7 flagship rewrite: DataFrame-native TF-IDF.
+
+    Replaces the reference's RDD chain (NFL_Processing.py:477-494):
+    zero Python round-trips, two shuffles total (doc,term / term), and the
+    corpus size N is COMPUTED (the reference hard-codes 7511 — carried
+    wrongly into the Yankees notebook at Yankees_Processing_with_NLP.py:628).
+
+    idf = log10(N / df_term); tfidf = tf * idf.
+    At scale: TF agg partial-aggregates map-side; the DF agg runs over the
+    already-reduced (doc,term) pairs, not raw tokens; the idf join is a
+    term-keyed join of two aggregated sides (AQE broadcasts the term side
+    when small). Returns (doc, term, tf, idf, tf_idf).
+    """
+    from pyspark import StorageLevel
+
+    # Persist the aggregated TF table: both the doc-frequency branch and the
+    # final join consume it, and Catalyst does NOT reuse the exchange across
+    # the two branches (verified on the executed plan) — without this the
+    # full scan+explode+aggregate of the corpus runs twice. (doc,term,tf) is
+    # orders of magnitude smaller than the raw token stream, so
+    # MEMORY_AND_DISK is cheap even at 100 TB corpus scale.
+    tf = term_frequencies(df, doc_col, token_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(doc_col).distinct().count()
+    idf = docfreq.withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df")))
+    return tf.join(idf.select("term", "idf"), "term").withColumn(
+        "tf_idf", F.col("tf") * F.col("idf")
+    )
+
+
+def top_k_terms(tfidf: DataFrame, doc_col: str, k: int = 5) -> DataFrame:
+    """N8: per-doc top-k TF-IDF terms via W3+W4 (row_number window
+    partitioned by doc — parallel across docs), replacing reference
+    NFL_Processing.py:502-506. Ties broken by term for determinism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(doc_col).orderBy(F.col("tf_idf").desc(), F.col("term"))
+    return tfidf.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def word_counts(df: DataFrame, token_col: str) -> DataFrame:
+    """N9: corpus word counts. The reference concatenates the whole corpus
+    into one driver-side string for a wordcloud (NFL_Processing.py:206-215);
+    here only (word, count) pairs ever exist, fully distributed."""
+    return (
+        df.select(F.explode(token_col).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -1,1 +1,253 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text/NLP queries (N1-N9, P8-P10, P13, F9/F13/F14/F15) over `documents`.
+
+The reference's text stack: regex working-set filters
+(code/nlp/Data_Gathering.py:45; code/eda/project_eda.py:252-253,1122),
+regex dummy variables (code/nlp/Sentiment_Analysis.py:225-233),
+tokenize/normalize/stopword/stem (code/nlp/NFL_Processing.py:143-167),
+hand-rolled RDD TF-IDF (code/nlp/NFL_Processing.py:477-494) and per-doc
+top-k terms (code/nlp/NFL_Processing.py:502-506).
+
+Engine-alignment notes:
+- Spark regexp_replace group refs are `$1`; DuckDB's are `\\1`.
+- DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all.
+- TF-IDF values are rounded to 6dp on BOTH sides and the top-k window
+  orders by the ROUNDED score (+ term tie-break) so ordering is identical
+  across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.text import (
+    STOPWORDS,
+    normalize,
+    remove_stopwords,
+    stem_tokens,
+    tf_idf,
+    top_k_terms,
+    word_counts,
+)
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Shared normalize+tokenize+stopword+stem chain in DuckDB SQL (the oracle
+# twin of operators/text.py). \\s escapes survive the f-string.
+_ORACLE_TOKENS = f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                 '\\s+', ' ', 'g')) AS text_norm
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split(text_norm, ' ')) AS term FROM norm
+    ),
+    stemmed AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(term, 'ies$', 'y'),
+                            'sses$', 'ss'), '([^su])s$', '\\1') AS term
+      FROM toks
+      WHERE term <> '' AND term NOT IN ({_STOP_SQL})
+    )
+"""
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, tokens array) through the N1-N4 chain."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(normalize("text"), " ")
+    toks = F.filter(toks, lambda t: t != "")
+    toks = remove_stopwords(toks)
+    return docs.select("doc_id", stem_tokens(toks).alias("tokens"))
+
+
+# --------------------------------------------------------------------------
+# q03 — regex working-set filter + regex-derived dummy flags: the pattern the
+# reference uses to find its corpus at all (game-thread rlike at
+# code/nlp/Data_Gathering.py:45) and to build mention-dummies
+# (code/nlp/Sentiment_Analysis.py:225-233), plus the length-threshold filter
+# (code/eda/project_eda.py:1012) and regexp_replace cleanup
+# (code/ml/Cleaning&Prepping_Data_ML.py:47). P8 P9 P10 P13 F9 F14 F15.
+# --------------------------------------------------------------------------
+@register(
+    "q03_regex_flags",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS cnt,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'spark\\s+\\w+\\s+agg') THEN 1 ELSE 0 END) AS BIGINT) AS spark_agg_hits,
+           CAST(SUM(CASE WHEN regexp_matches(text, '(join|merge)') OR source = 'src0'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS join_or_src0,
+           CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS consonant_chars,
+           ROUND(AVG(length(text)), 4) AS avg_len
+    FROM documents
+    WHERE regexp_matches(text, '\\bquery\\b') AND length(text) > 120
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="rlike filter + regex dummies + length threshold (P8+P9+P10+P13+F9+F14+F15)",
+)
+def q03_regex_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.filter(t.rlike(r"\bquery\b") & (F.length(t) > 120))
+        .withColumn("spark_agg_hit", t.rlike(r"spark\s+\w+\s+agg").cast("long"))
+        .withColumn(
+            "join_flag",
+            (t.rlike("(join|merge)") | (F.col("source") == "src0")).cast("long"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("spark_agg_hit").alias("spark_agg_hits"),
+            F.sum("join_flag").alias("join_or_src0"),
+            F.sum(F.length(F.regexp_replace(t, "[aeiou]", ""))).alias("consonant_chars"),
+            F.round(F.avg(F.length(t)), 4).alias("avg_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q09 — THE FLAGSHIP: DataFrame-native TF-IDF + per-doc top-3 terms,
+# replacing the reference's RDD chain (code/nlp/NFL_Processing.py:477-506)
+# with explode/groupBy/join — one codegen'd shuffle chain, zero Python
+# round-trips, corpus size N computed (the reference hard-codes 7511).
+# --------------------------------------------------------------------------
+@register(
+    "q09_tfidf_topk",
+    oracle=_ORACLE_TOKENS
+    + f""",
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM stemmed GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             ROUND(tf.tf * log10(n.n_docs / dfreq.dfc), 6) AS tfidf
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    WHERE rn <= 3
+    ORDER BY doc_id, rn
+    """,
+    doc="DataFrame-native TF-IDF + per-doc top-k (N7+N8+J4+F19+F21+F22+W3+W4)",
+)
+def q09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    scored = tf_idf(toks, "doc_id", "tokens").withColumn(
+        "tfidf", F.round(F.col("tf_idf"), 6)
+    )
+    top = top_k_terms(scored.drop("tf_idf").withColumnRenamed("tfidf", "tf_idf"),
+                      "doc_id", k=3)
+    return (
+        top.select(
+            "doc_id",
+            "term",
+            "tf",
+            F.col("tf_idf").alias("tfidf"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("doc_id", "rn")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — corpus word counts, top-20 (N9): the reference builds one giant
+# driver-side string for its wordcloud (code/nlp/NFL_Processing.py:206-215);
+# here only (word, count) pairs exist, distributed end to end.
+# --------------------------------------------------------------------------
+@register(
+    "q19_wordcount_top20",
+    oracle=_ORACLE_TOKENS
+    + """
+    SELECT term AS word, COUNT(*) AS cnt
+    FROM stemmed
+    GROUP BY term
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+    doc="corpus word count + top-N (N9+O1+O2)",
+)
+def q19_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _tokens_df(spark, sf_dir)
+    return (
+        word_counts(toks, "tokens")
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — text quality scoring + n-gram-free language-ID heuristic: token
+# counts, lexical diversity, stopword ratio, chars/token, and a
+# stopword-overlap English detector — the LLM-pipeline quality gates, all
+# as native expressions over one scan.
+# --------------------------------------------------------------------------
+@register(
+    "q20_text_quality",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks,
+             length(text) AS n_chars_raw
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS n_stop,
+             n_chars_raw
+      FROM norm
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS avg_diversity,
+           ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 4) AS avg_stop_ratio,
+           ROUND(AVG(CAST(n_chars_raw AS DOUBLE) / n_tokens), 4) AS avg_chars_per_token,
+           CAST(SUM(CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.02
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pred_english
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="quality scores (token count/diversity/stopword ratio) + lang-ID heuristic",
+)
+def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(normalize("text"), " ")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        F.length("text").alias("n_chars_raw"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(
+                F.avg(F.col("n_distinct").cast("double") / F.col("n_tokens")), 4
+            ).alias("avg_diversity"),
+            F.round(F.avg(stop_ratio), 4).alias("avg_stop_ratio"),
+            F.round(
+                F.avg(F.col("n_chars_raw").cast("double") / F.col("n_tokens")), 4
+            ).alias("avg_chars_per_token"),
+            F.sum(F.when(stop_ratio > 0.02, 1).otherwise(0)).alias("pred_english"),
+        )
+        .orderBy("lang")
+    )

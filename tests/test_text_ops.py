@@ -1,0 +1,84 @@
+"""Unit tests for operators/text.py — pins the TF-IDF formula
+(idf = log10(N/df), N computed) against a hand-computed fixture, the test
+SURVEY.md §5.2 calls for (the reference hard-codes N=7511 at
+code/nlp/NFL_Processing.py:486; this proves ours computes it)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.text import (
+    normalize,
+    remove_stopwords,
+    s_stem,
+    stem_tokens,
+    tf_idf,
+    tokenize,
+    top_k_terms,
+)
+
+
+def test_normalize_tokenize(spark):
+    df = spark.createDataFrame([("Hello, WORLD!!  spark-SQL  ",)], ["text"])
+    row = df.select(
+        normalize("text").alias("n"), tokenize("text").alias("t")
+    ).first()
+    assert row["n"] == "hello world spark sql"
+    assert row["t"] == ["hello", "world", "spark", "sql"]
+
+
+def test_stopwords_keep_duplicates(spark):
+    df = spark.createDataFrame([(["the", "cat", "and", "cat"],)], ["toks"])
+    row = df.select(remove_stopwords(F.col("toks")).alias("t")).first()
+    assert row["t"] == ["cat", "cat"]  # duplicates preserved (TF needs them)
+
+
+def test_s_stem(spark):
+    df = spark.createDataFrame(
+        [("queries",), ("classes",), ("tables",), ("chess",), ("bus",), ("cat",)],
+        ["w"],
+    )
+    got = [r["s"] for r in df.select(s_stem(F.col("w")).alias("s")).collect()]
+    assert got == ["query", "class", "table", "chess", "bus", "cat"]
+
+
+def test_tfidf_formula_n_computed(spark):
+    # 3 docs; term distribution hand-computed.
+    df = spark.createDataFrame(
+        [
+            (1, ["a", "a", "b"]),
+            (2, ["a", "c"]),
+            (3, ["c", "c", "c"]),
+        ],
+        ["doc", "tokens"],
+    )
+    out = {
+        (r["doc"], r["term"]): (r["tf"], r["idf"], r["tf_idf"])
+        for r in tf_idf(df, "doc", "tokens").collect()
+    }
+    n = 3
+    # term a: df=2; term b: df=1; term c: df=2
+    assert out[(1, "a")][0] == 2
+    assert math.isclose(out[(1, "a")][1], math.log10(n / 2))
+    assert math.isclose(out[(1, "a")][2], 2 * math.log10(n / 2))
+    assert math.isclose(out[(1, "b")][1], math.log10(n / 1))
+    assert math.isclose(out[(3, "c")][2], 3 * math.log10(n / 2))
+
+
+def test_top_k_deterministic_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "z", 1, 0.5, 0.5), (1, "a", 1, 0.5, 0.5), (1, "m", 1, 0.9, 0.9)],
+        ["doc", "term", "tf", "idf", "tf_idf"],
+    )
+    got = [r["term"] for r in top_k_terms(df, "doc", k=2).orderBy("rn").collect()]
+    assert got == ["m", "a"]  # tie between a/z broken alphabetically
+
+
+def test_stem_tokens_maps_arrays(spark):
+    df = spark.createDataFrame([(["queries", "rows"],)], ["toks"])
+    assert df.select(stem_tokens(F.col("toks")).alias("t")).first()["t"] == [
+        "query",
+        "row",
+    ]
