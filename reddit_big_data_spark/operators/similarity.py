@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, and a random-hyperplane LSH bucketed
+variant as the 100 TB scale path.
+
+Not in the reference (no vector data there); LLM-pipeline extension per
+the builder brief. All arithmetic is native `pyspark.sql.functions`
+(zip_with/aggregate fold in whole-stage codegen) — no UDFs, no NumPy on
+the hot path.
+
+Float discipline: elements are cast float->double BEFORE any multiply and
+summed left-to-right (aggregate is a sequential fold), which makes the
+result bit-identical to a DuckDB oracle doing the same.
+
+Scale notes:
+- brute_force_topk broadcasts the QUERY side (small batch of probes) and
+  streams the corpus: one scan, no shuffle of the big side, per-partition
+  WindowGroupLimit prunes before the final per-query top-k.
+- lsh_topk prunes the comparison space with L hash tables of b-bit
+  random-hyperplane buckets: candidates share a bucket in >=1 table.
+  Hyperplane components are deterministic +/-1 derived from (table, plane,
+  dim) by an LCG parity — reproducible across runs and engines, no RNG
+  state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float arrays."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: every query against the full corpus.
+
+    Returns (query_id, neighbor_id, cosine_sim, rn). The query side is
+    broadcast (probe batches are small by construction); the corpus is
+    scanned once. Norms are computed once per side, not per pair.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("__e_c"),
+        norm(F.col(emb_col)).alias("__n_c"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("__e_q"),
+        norm(F.col(emb_col)).alias("__n_q"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.withColumn(
+        "cosine_sim",
+        F.round(dot(F.col("__e_q"), F.col("__e_c")) / (F.col("__n_q") * F.col("__n_c")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
+def _hyperplane(table: int, plane: int, dims: int) -> list[float]:
+    """Deterministic +/-1 hyperplane from an LCG over (table, plane, dim)."""
+    out = []
+    for i in range(dims):
+        h = (1103515245 * (i + 64 * plane + 4096 * table) + 12345) % 2147483648
+        out.append(1.0 if (h >> 16) & 1 else -1.0)
+    return out
+
+
+def lsh_bucket(emb: Column, table: int, n_planes: int, dims: int) -> Column:
+    """b-bit bucket id for one hash table: sign pattern of `n_planes`
+    hyperplane dots, as a bit-string."""
+    bits = []
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(w) for w in _hyperplane(table, j, dims)])
+        bits.append(F.when(dot(emb, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_planes: int = 10,
+    n_tables: int = 3,
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates must share an LSH bucket with
+    the query in >=1 of `n_tables` tables; exact cosine reranks candidates.
+
+    The corpus is never all-paired: the join key is (table, bucket), so
+    cost is sum over buckets of |bucket| x |queries in bucket|. Recall
+    rises with n_tables and falls with n_planes (standard tradeoff);
+    tests pin recall on planted clusters.
+    """
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col(emb_col), t, n_planes, dims).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(emb_col).alias(f"__e_{role}"),
+            norm(F.col(emb_col)).alias(f"__n_{role}"),
+            F.explode(tables).alias("__tb"),
+        ).select(
+            f"{role}_id", f"__e_{role}", f"__n_{role}",
+            F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"),
+        )
+
+    cand = (
+        banded(corpus, "neighbor")
+        .join(F.broadcast(banded(queries, "query")), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__e_query", "__n_query", "__e_neighbor", "__n_neighbor")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine_sim",
+        F.round(
+            dot(F.col("__e_query"), F.col("__e_neighbor"))
+            / (F.col("__n_query") * F.col("__n_neighbor")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )

@@ -1,0 +1,101 @@
+"""Unit tests for operators/dedup.py — shingle edge cases, MinHash recall
+on planted near-dups, and the plan-shape guarantee that LSH candidate
+generation never degrades to a cartesian product."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.dedup import (
+    char_shingles,
+    jaccard,
+    lsh_candidate_pairs,
+    near_duplicates,
+    simhash_bits,
+    token_set_fingerprint,
+    word_shingles,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_word_shingles_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ["a", "b", "c"]), (2, ["a"]), (3, [])],
+        "id: int, toks: array<string>",
+    )
+    got = {
+        r["id"]: r["s"]
+        for r in df.select("id", word_shingles(F.col("toks"), 2).alias("s")).collect()
+    }
+    assert got[1] == ["a b", "b c"]
+    assert got[2] == []  # n < k must be empty, not sequence(1,0)=[1,0]
+    assert got[3] == []
+
+
+def test_char_shingles(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",)], ["t"])
+    got = [r["s"] for r in df.select(char_shingles(F.col("t"), 3).alias("s")).collect()]
+    assert got[0] == ["abc", "bcd"]
+    assert got[1] == []
+
+
+def test_fingerprint_order_and_multiplicity_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, ["b", "a", "a"]), (2, ["a", "b"]), (3, ["a", "c"])],
+        "id: int, toks: array<string>",
+    )
+    fps = {
+        r["id"]: r["fp"]
+        for r in df.select("id", token_set_fingerprint(F.col("toks")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_jaccard(spark):
+    df = spark.createDataFrame(
+        [(["a", "b"], ["b", "c"]), ([], [])], "a: array<string>, b: array<string>"
+    )
+    got = [r["j"] for r in df.select(jaccard(F.col("a"), F.col("b")).alias("j")).collect()]
+    assert abs(got[0] - 1 / 3) < 1e-12
+    assert got[1] == 0.0  # empty/empty defined as 0, not NULL/div-by-zero
+
+
+def test_lsh_no_cartesian_product(spark):
+    df = spark.createDataFrame(
+        [(i, [f"tok{i}", f"tok{i+1}", "shared"]) for i in range(20)],
+        "doc_id: int, shingles: array<string>",
+    )
+    pairs = lsh_candidate_pairs(df, "doc_id", "shingles", bands=4, rows=2)
+    plan = _plan(pairs)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    pairs.collect()  # and it actually runs
+
+
+def test_near_duplicates_finds_planted_pair(spark):
+    base = [f"w{i}" for i in range(50)]
+    near = base[:48] + ["x1", "x2"]  # jaccard 48/52 ~ 0.92
+    far = [f"z{i}" for i in range(50)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id: int, sh: array<string>"
+    )
+    got = near_duplicates(df, "doc_id", "sh", threshold=0.6).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert abs(got[0]["jaccard"] - 48 / 52) < 1e-9
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = [f"w{i}" for i in range(60)]
+    near = base[:58] + ["x1", "x2"]
+    far = [f"z{i}" for i in range(60)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id: int, toks: array<string>"
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_bits(df, "doc_id", "toks").collect()}
+    assert all(len(s) == 32 and set(s) <= {"0", "1"} for s in sigs.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])

@@ -1,0 +1,89 @@
+"""Unit tests for operators/similarity.py: exact cosine arithmetic, plan
+shape (no cartesian in the LSH path), and LSH recall on planted clusters
+vs the brute-force truth — the check SURVEY/VERDICT ask for in place of a
+SQL oracle for approximate ANN."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.similarity import (
+    brute_force_topk,
+    cosine,
+    lsh_topk,
+)
+
+
+def test_cosine_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0])],
+        "a: array<float>, b: array<float>",
+    )
+    got = [r["c"] for r in df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert abs(got[0] - 0.0) < 1e-12
+    assert abs(got[1] - 1.0) < 1e-12
+
+
+def _planted(seed: int = 7, n_clusters: int = 5, per_cluster: int = 8, dims: int = 16):
+    rng = random.Random(seed)
+    rows, vid = [], 0
+    for c in range(n_clusters):
+        base = [rng.gauss(0, 1) for _ in range(dims)]
+        for _ in range(per_cluster):
+            noisy = [x + rng.gauss(0, 0.05) for x in base]
+            rows.append((vid, c, [float(x) for x in noisy]))
+            vid += 1
+    return rows
+
+
+def test_brute_force_topk_finds_cluster_mates(spark):
+    rows = _planted()
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    queries = df.filter(F.col("vec_id") < 3)  # all from cluster 0
+    top = brute_force_topk(df, queries, k=5).collect()
+    labels = {r[0]: r[1] for r in rows and [(x[0], x[1]) for x in rows]}
+    assert len(top) == 15
+    # every neighbor of a cluster-0 query is cluster 0 (noise is tiny)
+    assert all(labels[r["neighbor_id"]] == 0 for r in top)
+
+
+def test_lsh_recall_on_planted_clusters(spark):
+    rows = _planted()
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    queries = df.filter(F.col("vec_id") % 8 == 0)  # one probe per cluster
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(df, queries, k=5, n_planes=6, n_tables=4, dims=16).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"LSH recall {recall} below 0.8"
+
+
+def test_lsh_plan_no_cartesian(spark):
+    rows = _planted(n_clusters=2, per_cluster=4)
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    plan = lsh_topk(df, q, k=3, n_planes=4, n_tables=2, dims=16)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_brute_force_math_matches_numpy(spark):
+    rows = _planted(n_clusters=2, per_cluster=3)
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    got = {r["neighbor_id"]: r["cosine_sim"] for r in brute_force_topk(df, q, k=5).collect()}
+    emb = {r[0]: r[2] for r in rows}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(x * x for x in a)) / math.sqrt(sum(y * y for y in b))
+
+    for nid, c in got.items():
+        assert abs(c - round(cos(emb[0], emb[nid]), 6)) < 2e-6
