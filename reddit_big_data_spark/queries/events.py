@@ -1,1 +1,99 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Events-table queries: JSON parsing (from_json / get_json_object over
+`events.props`), nested field access, and the tumbling-window aggregation
+that is the batch twin of the streaming extension.
+
+The reference never parses JSON (its nested data arrives pre-parsed from
+parquet, SURVEY.md §2.8) but DOES unpack nested structs via UDFs
+(code/nlp/Sentiment_Analysis.py:84-94) and explodes nested arrays
+(code/ml/Cleaning&Prepping_Data_ML.py:68); here both are native
+expressions over the driver testdata's JSON `props` column (F19/F20 +
+the §2.12 extension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
+
+
+# --------------------------------------------------------------------------
+# q50 — JSON parse + nested access: from_json(props) -> struct, field access
+# via dot path (the native rewrite of the reference's U2 struct-extractor
+# UDFs), plus get_json_object as the schema-less alternative, aggregated
+# per event_type.
+# --------------------------------------------------------------------------
+@register(
+    "q50_json_props",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+                      THEN 1 END) AS BIGINT) AS high_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="from_json struct parse + dot-path access + get_json_object (F19/F20/§2.8)",
+)
+def q50_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", PROPS_SCHEMA))
+    # schema-less path for one aggregate, proving both APIs:
+    k_json = F.get_json_object("props", "$.k").cast("int")
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("p.k")).alias("sum_k"),
+            F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+            F.count(F.when(k_json > 50, True)).alias("high_k"),
+            F.max(F.col("p.k")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q51 — tumbling-window aggregation over event time: the batch twin of the
+# streaming extension (§2.12). Uses F.window (epoch-aligned 6h tumbling
+# windows), the same operator the stream runs with a watermark.
+# --------------------------------------------------------------------------
+@register(
+    "q51_tumbling_windows",
+    oracle="""
+    SELECT to_timestamp(CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT))
+             AT TIME ZONE 'UTC' AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="tumbling event-time windows (batch twin of the streaming path, §2.12)",
+)
+def q51_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )

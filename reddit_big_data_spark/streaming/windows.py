@@ -1,0 +1,96 @@
+"""Structured Streaming extension (SURVEY.md §2.12): file-source stream
+over the `events` table -> watermark -> tumbling/sliding event-time
+windows. The reference is purely batch; this is the streaming twin of its
+time_slot bucketing (reference code/eda/project_eda.py:692-701), built on
+the exact operator q51 runs in batch — same F.window, same semantics, so
+the batch oracle doubles as the streaming truth when the stream is fully
+drained (tests/test_streaming.py).
+
+Scale posture: a file-source stream with maxFilesPerTrigger bounds batch
+size; the watermark bounds state (late rows beyond it are dropped rather
+than accumulating state forever); windowed aggregation state is keyed by
+(window, keys) and expires with the watermark.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# The testdata stores ts as TIMESTAMP(NANOS); under
+# spark.sql.legacy.parquet.nanosAsLong (session.py) it reads as long.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over events.parquet (readStream requires an
+    explicit schema). ts arrives as long nanos -> truncate to micros,
+    matching the batch reader (sources/io.py)."""
+    # The file stream source requires a DIRECTORY; the testdata ships one
+    # parquet FILE per table, so stream the parent dir filtered to it.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "6 hours",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked tumbling (or sliding, if `slide` given) window counts
+    per event_type — works on both a stream and a batch DataFrame (the
+    cornerstone of Structured Streaming's unified model; the batch form is
+    oracle-checked as q51)."""
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, table_name: str, mode: str = "complete"
+) -> None:
+    """Drain the stream with an availableNow trigger into an in-memory
+    table (test/dev sink; production would writeStream to parquet/kafka
+    with a checkpoint location)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
