@@ -70,8 +70,10 @@ def q50_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q51_tumbling_windows",
     oracle="""
-    SELECT to_timestamp(CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT))
-             AT TIME ZONE 'UTC' AS window_start,
+    -- window_start as epoch seconds: raw timestamp columns reach pandas at
+    -- different resolutions (ns vs us) per engine, which an exact
+    -- hash-compare may treat as different; BIGINT sidesteps that.
+    SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start,
            event_type,
            COUNT(*) AS cnt,
            ROUND(SUM(value), 4) AS sum_value
@@ -90,7 +92,7 @@ def q51_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
             "event_type",
             "cnt",
             "sum_value",

@@ -1,1 +1,172 @@
-"""Placeholder — populated in a later milestone this round."""
+"""ML-family queries (M1-M15) over `customer`: feature indexing (with a
+SQL oracle pinning StringIndexer's frequencyDesc semantics), class-weight
+derivation (oracle), a native pairwise correlation matrix (A8 with an
+oracle — stronger than the reference's collect-based matrix), and the
+end-to-end RF pipeline -> Spark-side confusion matrix (rows-only: tree
+training isn't SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+
+# --------------------------------------------------------------------------
+# q61 — StringIndexer semantics, oracle-pinned: frequencyDesc index order
+# (ties broken alphabetically — Spark sorts (-count, label)). The oracle
+# recomputes the same ranking in SQL, proving the indexer is just a
+# groupBy+rank in disguise (M1; reference ML_Sentiment.py:158,162-166).
+# --------------------------------------------------------------------------
+@register(
+    "q61_string_indexer",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1
+    )
+    SELECT c_mktsegment, cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, c_mktsegment) - 1 AS DOUBLE)
+             AS seg_index
+    FROM counts
+    ORDER BY c_mktsegment
+    """,
+    doc="StringIndexer frequencyDesc order pinned against a SQL rank (M1)",
+)
+def q61_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.ml.features import string_indexers
+
+    cust = read_table(spark, sf_dir, "customer")
+    idx = string_indexers(["c_mktsegment"])[0].setHandleInvalid("error")
+    model = idx.fit(cust)
+    return (
+        model.transform(cust)
+        .groupBy("c_mktsegment", "c_mktsegment_idx")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "c_mktsegment",
+            "cnt",
+            F.col("c_mktsegment_idx").alias("seg_index"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q62 — balanced class weights n/(k*cnt), fully distributed (M15/A13;
+# replaces the driver-side loop at reference ML_Sentiment.py:96-121).
+# --------------------------------------------------------------------------
+@register(
+    "q62_class_weights",
+    oracle="""
+    WITH counts AS (
+      SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n, CAST(COUNT(*) AS DOUBLE) AS k FROM counts)
+    SELECT c_mktsegment, cnt,
+           ROUND(tot.n / (tot.k * cnt), 6) AS weight
+    FROM counts, tot
+    ORDER BY c_mktsegment
+    """,
+    doc="balanced class-weight derivation, distributed (M15+A13)",
+)
+def q62_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.ml.features import with_class_weights
+
+    cust = read_table(spark, sf_dir, "customer")
+    weighted = with_class_weights(cust, "c_mktsegment")
+    return (
+        weighted.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.first("weight"), 6).alias("weight"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q63 — pairwise Pearson correlation matrix in ONE distributed pass (A8):
+# n*(n-1)/2 corr aggregates over one scan, long format — no VectorAssembler
+# round-trip, no driver-side matrix (reference feature_correlation.py:40-49
+# collects a DenseMatrix).
+# --------------------------------------------------------------------------
+_CORR_COLS = ["c_acctbal", "c_nationkey", "c_custkey"]
+
+
+@register(
+    "q63_corr_matrix",
+    oracle="""
+    SELECT 'c_acctbal' AS col_a, 'c_nationkey' AS col_b,
+           ROUND(CORR(c_acctbal, c_nationkey), 6) AS corr FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', 'c_custkey', ROUND(CORR(c_acctbal, c_custkey), 6) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', 'c_custkey', ROUND(CORR(c_nationkey, c_custkey), 6) FROM customer
+    ORDER BY col_a, col_b
+    """,
+    doc="pairwise correlation matrix in one pass, long format (A8)",
+)
+def q63_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = [
+        (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1 :]
+    ]
+    aggs = [
+        F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs
+    ]
+    wide = cust.agg(*aggs)
+    # unpivot via stack — still one aggregation job
+    stack_expr = ", ".join(f"'{a}', '{b}', `{a}|{b}`" for a, b in pairs)
+    return (
+        wide.selectExpr(
+            f"stack({len(pairs)}, {stack_expr}) AS (col_a, col_b, corr)"
+        )
+        .orderBy("col_a", "col_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q60 — end-to-end classification pipeline (M1+M2+M4+M7+M12+M13+M14+M15):
+# index label -> assemble numeric features -> class weights -> seeded
+# split -> RandomForest -> Spark-side confusion matrix. Rows-only (tree
+# training is not SQL-expressible); seeded end to end for stable output.
+# --------------------------------------------------------------------------
+@register(
+    "q60_rf_pipeline",
+    oracle=None,
+    doc="StringIndexer->VectorAssembler->weighted RF->confusion matrix (M*)",
+)
+def q60_rf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.ml.eval import confusion_matrix
+    from reddit_big_data_spark.ml.features import (
+        assembler,
+        string_indexers,
+        with_class_weights,
+    )
+    from reddit_big_data_spark.ml.models import rf_classifier, train_test_split
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    cust = with_class_weights(cust, "c_mktsegment")
+    train, test = train_test_split(cust, 0.75, seed=42)
+    pipe = Pipeline(
+        stages=[
+            *string_indexers(["c_mktsegment"]),
+            assembler(["c_nationkey", "c_acctbal"]),
+            rf_classifier(
+                label_col="c_mktsegment_idx", num_trees=20, weight_col="weight"
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    preds = model.transform(test)
+    return confusion_matrix(preds, "c_mktsegment_idx", "prediction").select(
+        F.col("c_mktsegment_idx").cast("int").alias("label"),
+        F.col("prediction").cast("int").alias("prediction"),
+        "cnt",
+    )
