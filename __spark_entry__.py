@@ -19,11 +19,12 @@ from reddit_big_data_spark.registry import oracle_sqls, query_fns
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the broadcast-join chain
-    (revenue per nation) — the Spark-first rewrite of the reference's
-    slowest step (code/nlp/Data_Gathering.py:214,223)."""
+    """Flagship query on /root/testdata/sf0.001: the DataFrame-native
+    TF-IDF + per-doc top-k — the Spark-first rewrite of the reference's
+    hand-rolled RDD TF-IDF (code/nlp/NFL_Processing.py:477-506), its only
+    bespoke engine code."""
     fns = query_fns()
-    return fns["q05_broadcast_join_chain"](spark, "/root/testdata/sf0.001")
+    return fns["q09_tfidf_topk"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

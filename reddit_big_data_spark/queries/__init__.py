@@ -11,4 +11,6 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     similarity,
     events,
     mlq,
+    multimodal,
+    approx,
 )

@@ -1,0 +1,92 @@
+"""Approximate/scale-path variants and remaining scalar-function coverage.
+
+q16 keeps the EXACT countDistinct/percentile forms for the oracle; q22 is
+the documented 100 TB default for the same shape: approx_count_distinct
+(HyperLogLog++, no per-group value buffering) and percentile_approx
+(bounded-memory sketch). Estimator outputs are engine-specific, so q22 is
+a rows-only entry; tests/test_approx.py pins the estimates within
+tolerance of the exact answers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+
+# --------------------------------------------------------------------------
+# q22 — the scale path for q16: HLL distinct counts + quantile sketches.
+# At 100x data these replace exact forms whose per-group state grows with
+# group size; these are fixed-size sketches with map-side partial merge.
+# --------------------------------------------------------------------------
+@register(
+    "q22_approx_distinct_percentiles",
+    oracle=None,
+    doc="approx_count_distinct + percentile_approx: the 100TB default for q16",
+)
+def q22_approx_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
+            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("nd_supps_approx"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
+            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --------------------------------------------------------------------------
+# q23 — remaining scalar functions with an oracle: F1 from_unixtime (epoch
+# -> wall-clock string; the reference's created_utc conversions at
+# code/eda/project_eda.py:685-686) and F13 concat_ws over a collected set
+# (code/nlp/NFL_Processing.py:206-208 uses it to join token arrays).
+# --------------------------------------------------------------------------
+@register(
+    "q23_epoch_concat",
+    oracle="""
+    SELECT strftime(to_timestamp(CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT))
+                    AT TIME ZONE 'UTC', '%Y-%m-%d %H:%M:%S') AS day_str,
+           COUNT(*) AS cnt,
+           string_agg(DISTINCT event_type, '|' ORDER BY event_type) AS types
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="from_unixtime epoch->string + concat_ws over sorted set (F1+F13)",
+)
+def q23_epoch_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    day = F.from_unixtime(
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long") * 86400
+    )
+    return (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(day.alias("day_str"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias("types"),
+        )
+        .orderBy("day_str")
+    )
+
+
+# --------------------------------------------------------------------------
+# q24 — A12 summary()/describe(): Spark's built-in profile (count/mean/
+# stddev/min/quartiles/max as strings). Rows-only: the quartiles inside
+# summary() are approximate by design.
+# --------------------------------------------------------------------------
+@register(
+    "q24_summary_stats",
+    oracle=None,
+    doc="df.summary() profile over numeric columns (A12)",
+)
+def q24_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select("l_quantity", "l_extendedprice", "l_discount").summary()

@@ -97,6 +97,40 @@ def write_parquet(
     writer.parquet(path)
 
 
+def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
+    """S6: driver-side pandas ingest (the reference's baseball-reference CSV
+    path, code/nlp/Data_Gathering.py:113-137). Arrow-accelerated by the
+    session conf; pass a schema to avoid object-dtype inference surprises.
+    Driver-memory bound by construction — for anything big, write parquet
+    and use read_table instead."""
+    if schema is not None:
+        return spark.createDataFrame(pdf, schema=schema)
+    return spark.createDataFrame(pdf)
+
+
+def from_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """S7: collected-rows ingest (code/project_starter_script.py:94).
+    Schema is REQUIRED: inferring from Python objects gives nullable
+    guesses that break oracle schema comparison."""
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def list_files(path: str, pattern: str = "*") -> list[str]:
+    """S10: FS utility replacing dbutils.fs.ls
+    (code/project_starter_script.py:20) with plain pathlib."""
+    import pathlib
+
+    return sorted(str(p) for p in pathlib.Path(path).glob(pattern))
+
+
+def remove_path(path: str) -> None:
+    """S10: rm -r replacing dbutils.fs.rm
+    (code/nlp/Yankees_Processing_with_NLP.py:719)."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+
+
 def rename_with_suffix(df: DataFrame, suffix: str, keep: Iterable[str] = ()) -> DataFrame:
     """P2: bulk rename to avoid join-time ambiguity.
 
