@@ -13,4 +13,5 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     mlq,
     multimodal,
     approx,
+    sentiment,
 )

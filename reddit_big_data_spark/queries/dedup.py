@@ -119,7 +119,7 @@ def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
     sh = toks.select("doc_id", word_shingles(F.col("toks"), 2).alias("shingles"))
     return (
-        near_duplicates(sh, "doc_id", "shingles", threshold=0.6, bands=16, rows=2)
+        near_duplicates(sh, "doc_id", "shingles", threshold=0.6, bands=8, rows=8)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
@@ -198,9 +198,12 @@ def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select(
         "doc_id", "source", char_shingles(F.col("text"), 3).alias("grams")
     )
+    # The filtered block is one scan task; spread the pairwise-jaccard work
+    # across the cluster before the join (the block is small, the compare
+    # work is quadratic in it).
     a = sh.select(
         F.col("source"), F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")
-    )
+    ).repartition(32, "id_a")
     b = sh.select(
         F.col("source"), F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b")
     )
