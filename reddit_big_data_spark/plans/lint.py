@@ -1,0 +1,82 @@
+"""Analyzer-style plan lint (SURVEY.md §4.3): flags the scale
+anti-patterns the reference commits — row-at-a-time Python UDFs where
+native expressions suffice (reference code/eda/project_eda.py:331-333),
+zip-joins, cartesian products — plus the ones 100 TB adds: global
+single-partition windows and global sorts that aren't top-k.
+
+Pure Python over the executed-plan string: no Catalyst extension needed,
+usable in CI (tests/test_plan_lint.py sweeps every registered query) and
+interactively (`lint_plan(df)`).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass(frozen=True)
+class Finding:
+    code: str
+    detail: str
+
+    def __str__(self) -> str:  # pragma: no cover - repr convenience
+        return f"[{self.code}] {self.detail}"
+
+
+def _top_level_groups(s: str) -> int:
+    """Count top-level [...] groups in a plan-node argument list."""
+    depth = 0
+    groups = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+    return groups
+
+
+def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
+    """Return scale-hazard findings for the DataFrame's executed plan.
+
+    allow: finding codes accepted for this query (e.g. GLOBAL_SORT on an
+    oracle query whose final orderBy exists only for comparison, or
+    GLOBAL_WINDOW when the window input is a pre-aggregated tiny table).
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    findings: list[Finding] = []
+
+    def add(code: str, detail: str) -> None:
+        if code not in allow:
+            findings.append(Finding(code, detail))
+
+    if "CartesianProduct" in plan:
+        add("CARTESIAN", "CartesianProduct join — O(n*m) pair explosion")
+    if "BroadcastNestedLoopJoin" in plan:
+        add("NESTED_LOOP", "BroadcastNestedLoopJoin — non-equi join fallback")
+    if "BatchEvalPython" in plan:
+        add("PY_UDF", "row-at-a-time Python UDF — blocks codegen, forks workers")
+    # Arrow-batched Python is the sanctioned escape hatch but still worth
+    # surfacing: it should be deliberate, not accidental.
+    if "ArrowEvalPython" in plan or "MapInPandas" in plan:
+        add("PY_ARROW", "Arrow-batched Python stage (deliberate use only)")
+    # A Window whose spec has no partitioning funnels ALL rows into one
+    # task. Plan text: partitioned = "Window [funcs], [partKeys], [order]"
+    # (3 groups); unpartitioned = "Window [funcs], [order]" (2 groups).
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: ").strip()
+        if s.startswith("Window ") or s.startswith("WindowGroupLimit "):
+            body = s.split(" ", 1)[1]
+            if s.startswith("Window ") and _top_level_groups(body) < 3:
+                add("GLOBAL_WINDOW", "window with empty partitionBy — single-task sort")
+                break
+    # Global Sort that is not part of TakeOrderedAndProject: full-data sort.
+    if re.search(r"^\s*\+?-? ?\*?\(?\d*\)? ?Sort \[.*\], true,", plan, re.M) and (
+        "TakeOrderedAndProject" not in plan
+    ):
+        add("GLOBAL_SORT", "global sort without limit — full-shuffle total order")
+    return findings

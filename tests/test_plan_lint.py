@@ -1,0 +1,89 @@
+"""Sweep EVERY registered query through the plan lint (SURVEY.md §4.3):
+no cartesian products, no row-at-a-time Python UDFs, no accidental global
+windows/sorts anywhere in the suite. Queries with a justified exception
+declare it here, with the reason."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.plans.lint import lint_plan
+from reddit_big_data_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+# code -> reason, per query. Oracle queries end in a global orderBy purely
+# to stabilize the driver's comparison; that sort is not part of the
+# library operator (VERDICT r1 explicitly accepted this for q10).
+_ORACLE_SORT = "trailing orderBy exists only for oracle-stable output"
+_ALLOW: dict[str, dict[str, str]] = {
+    "q08_histogram_cumulative": {
+        "GLOBAL_WINDOW": "cumsum window runs over the aggregated bucket table "
+        "(dozens of rows at any scale)",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
+    "q60_rf_pipeline": {"GLOBAL_SORT": _ORACLE_SORT},
+    "q24_summary_stats": {"PY_ARROW": "df.summary() is driver-profile tooling"},
+    "q40_cosine_topk": {
+        "NESTED_LOOP": "brute-force exact baseline IS corpus x probe-batch "
+        "by definition (broadcast NLJ streams the corpus once); the scale "
+        "path is q41's LSH bucket join"
+    },
+}
+# every query whose LAST step is an orderBy for hash stability:
+for _q in (
+    "q01_top_groups_by_count q02_time_slot_histogram q03_regex_flags "
+    "q05_broadcast_join_chain q06_groupby_multi_agg q09_tfidf_topk "
+    "q10_running_aggregates q11_topk_per_group q13_set_ops q15_rollup "
+    "q16_distinct_percentiles q17_calendar_features q18_lag_ntile "
+    "q19_wordcount_top20 q20_text_quality q22_approx_distinct_percentiles "
+    "q23_epoch_concat q25_sentiment q30_exact_dedup q31_minhash_neardup "
+    "q32_simhash q33_ngram_jaccard q40_cosine_topk q41_lsh_ann "
+    "q42_label_centroids q50_json_props q51_tumbling_windows "
+    "q52_binary_payloads q61_string_indexer q62_class_weights q63_corr_matrix"
+).split():
+    _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
+
+_QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES), ids=str)
+def test_query_plan_is_scale_clean(spark, name):
+    df = _QUERIES[name].fn(spark, SF_SMOKE)
+    findings = lint_plan(df, allow=set(_ALLOW.get(name, {})))
+    assert not findings, f"{name}: " + "; ".join(map(str, findings))
+
+
+def test_lint_catches_cartesian(spark):
+    a = spark.range(3)
+    b = spark.range(3).withColumnRenamed("id", "id2")
+    findings = lint_plan(a.crossJoin(b))
+    assert any(f.code in ("CARTESIAN", "NESTED_LOOP") for f in findings)
+
+
+def test_lint_catches_global_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert any(f.code == "GLOBAL_WINDOW" for f in lint_plan(df))
+
+
+def test_lint_catches_python_udf(spark):
+    from pyspark.sql.functions import udf
+
+    f = udf(lambda x: x + 1)
+    df = spark.range(3).select(f("id").alias("y"))
+    assert any(f_.code == "PY_UDF" for f_ in lint_plan(df))
+
+
+def test_lint_accepts_partitioned_window(spark):
+    from pyspark.sql import Window
+
+    df = spark.range(10).withColumn("g", F.col("id") % 2)
+    df = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
+    )
+    assert not [f for f in lint_plan(df) if f.code == "GLOBAL_WINDOW"]
