@@ -14,4 +14,5 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     multimodal,
     approx,
     sentiment,
+    sessions,
 )
