@@ -99,3 +99,56 @@ def q51_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q55 — hypertable-style multi-granularity rollup: ONE pass produces 1h /
+# 6h / 1d aggregates via GROUPING SETS over derived buckets (the
+# continuous-aggregate shape). Exercises the spark.sql() entry path (E1's
+# SQL twin) over a temp view.
+# --------------------------------------------------------------------------
+@register(
+    "q55_time_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, value,
+             CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)  AS h1,
+             CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS h6,
+             CAST(FLOOR(epoch(ts) / 86400) * 86400 AS BIGINT) AS d1
+      FROM events
+    )
+    SELECT COALESCE(CAST(h1 AS VARCHAR), '') AS h1_bucket,
+           COALESCE(CAST(h6 AS VARCHAR), '') AS h6_bucket,
+           COALESCE(CAST(d1 AS VARCHAR), '') AS d1_bucket,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((h1, event_type), (h6, event_type), (d1, event_type))
+    ORDER BY h1_bucket, h6_bucket, d1_bucket, event_type
+    """,
+    doc="multi-granularity (1h/6h/1d) rollup in one pass via GROUPING SETS",
+)
+def q55_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__events_rollup")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT event_type, value,
+                 CAST(FLOOR(unix_timestamp(ts) / 3600) * 3600 AS BIGINT)   AS h1,
+                 CAST(FLOOR(unix_timestamp(ts) / 21600) * 21600 AS BIGINT) AS h6,
+                 CAST(FLOOR(unix_timestamp(ts) / 86400) * 86400 AS BIGINT) AS d1
+          FROM __events_rollup
+        )
+        SELECT COALESCE(CAST(h1 AS STRING), '') AS h1_bucket,
+               COALESCE(CAST(h6 AS STRING), '') AS h6_bucket,
+               COALESCE(CAST(d1 AS STRING), '') AS d1_bucket,
+               event_type,
+               COUNT(*) AS cnt,
+               ROUND(SUM(value), 4) AS sum_value
+        FROM b
+        GROUP BY GROUPING SETS ((h1, event_type), (h6, event_type), (d1, event_type))
+        ORDER BY h1_bucket, h6_bucket, d1_bucket, event_type
+        """
+    )

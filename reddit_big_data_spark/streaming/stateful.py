@@ -1,0 +1,86 @@
+"""Custom stateful streaming: applyInPandasWithState (§2.12 extension).
+
+Built-in windowed aggs (streaming/windows.py) cover tumbling/sliding/
+session windows; this module is the escape hatch for state machines they
+can't express. The example operator is a per-user running profile
+(event count, value sum, max gap between events) maintained in a
+GroupState across micro-batches — the streaming twin of what a batch
+groupBy computes in one pass, with the batch equivalence asserted in
+tests/test_streaming.py.
+
+Scale notes: state is keyed by user and lives in the state store (RocksDB
+in production); each micro-batch touches only the groups present in that
+batch. A timeout would evict idle users (GroupStateTimeout.ProcessingTime)
+— left NoTimeout here so the drained availableNow run is deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("sum_value", T.DoubleType(), False),
+        T.StructField("max_gap_s", T.LongType(), False),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.DoubleType()),
+        T.StructField("max_gap", T.LongType()),
+        T.StructField("last_ts", T.LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, s, max_gap, last_ts = state.get
+    else:
+        n, s, max_gap, last_ts = 0, 0.0, 0, None
+    rows = pd.concat(list(batches), ignore_index=True).sort_values("ts")
+    for ts, value in zip(rows["ts"], rows["value"]):
+        epoch = int(ts.timestamp())
+        if last_ts is not None:
+            max_gap = max(max_gap, epoch - last_ts)
+        last_ts = epoch
+        n += 1
+        s += float(value)
+    state.update((n, s, max_gap, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [s],
+            "max_gap_s": [max_gap],
+        }
+    )
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """Stateful per-user profile over a stream (or batch-tested via
+    availableNow drain): count, value sum, max inter-event gap."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update_profile,
+            outputStructType=PROFILE_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

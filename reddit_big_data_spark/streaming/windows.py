@@ -80,6 +80,29 @@ def windowed_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Session windows (merge events within `gap` per user) — the built-in
+    streaming twin of operators/temporal_joins.sessionize; identical
+    session boundaries, asserted in tests/test_streaming.py."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, table_name: str, mode: str = "complete"
 ) -> None:
