@@ -1,0 +1,113 @@
+"""Property-based tests (hypothesis): invariants a fixed fixture can't
+pin — distributed NTILE vs the SQL-standard definition on arbitrary
+(N, buckets), sessionization vs a pure-Python reference on random event
+streams, Jaccard's set identity on random token bags. The reference repo
+has no property tests at all (SURVEY.md §5.1); these guard the operators
+whose edge cases live in arithmetic, not data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.dedup import jaccard
+from reddit_big_data_spark.operators.ranking import ntile_from_rank, with_global_ntile
+from reddit_big_data_spark.operators.temporal_joins import sessionize
+
+_SETTINGS = dict(max_examples=8, deadline=None)
+
+
+@settings(**_SETTINGS)
+@given(n_rows=st.integers(1, 200), n_buckets=st.integers(1, 12))
+def test_ntile_formula_matches_sql_standard(spark, n_rows, n_buckets):
+    df = spark.range(1, n_rows + 1).select(F.col("id").alias("rank"))
+    got = [
+        r["b"]
+        for r in df.select(ntile_from_rank(F.col("rank"), n_rows, n_buckets).alias("b"))
+        .orderBy("rank")
+        .collect()
+    ]
+    # SQL standard: first N % n buckets get N//n + 1 rows, rest N//n
+    q, m = divmod(n_rows, n_buckets)
+    want = []
+    for b in range(1, n_buckets + 1):
+        want += [b] * (q + 1 if b <= m else q)
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    n_rows=st.integers(1, 150),
+    n_buckets=st.integers(1, 6),
+    n_parts=st.integers(1, 5),
+)
+def test_distributed_ntile_equals_builtin(spark, n_rows, n_buckets, n_parts):
+    from pyspark.sql import Window
+
+    df = spark.range(n_rows).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("tie")
+    )
+    got = {
+        (r["v"], r["tie"]): r["nt"]
+        for r in with_global_ntile(
+            df, ["v", "tie"], n_buckets, ntile_col="nt", num_partitions=n_parts
+        ).collect()
+    }
+    want = {
+        (r["v"], r["tie"]): r["nt"]
+        for r in df.withColumn(
+            "nt", F.ntile(n_buckets).over(Window.orderBy("v", "tie"))
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5000)), min_size=1, max_size=40
+    ),
+    gap_min=st.integers(1, 90),
+)
+def test_sessionize_matches_python_reference(spark, events, gap_min):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=m)) for u, m in events
+    ]
+    df = spark.createDataFrame(rows, "user_id: int, ts: timestamp")
+    got = {
+        (r["user_id"], r["ts"]): r["session_id"]
+        for r in sessionize(df, "user_id", "ts", f"{gap_min} minutes").collect()
+    }
+    # pure-python reference (ties: same ts never breaks a session)
+    want = {}
+    by_user: dict[int, list[dt.datetime]] = {}
+    for u, ts in sorted(set(rows), key=lambda x: (x[0], x[1])):
+        by_user.setdefault(u, []).append(ts)
+    for u, times in by_user.items():
+        sid, prev = 0, None
+        for ts in times:
+            if prev is None or (ts - prev) > dt.timedelta(minutes=gap_min):
+                sid += 1
+            want[(u, ts)] = sid
+            prev = ts
+    # duplicated (user, ts) rows get the same session id, so compare on keys
+    assert got == {k: want[k] for k in got}
+
+
+@settings(**_SETTINGS)
+@given(
+    a=st.lists(st.sampled_from("abcdefgh"), max_size=12),
+    b=st.lists(st.sampled_from("abcdefgh"), max_size=12),
+)
+def test_jaccard_set_identity(spark, a, b):
+    df = spark.createDataFrame(
+        [(list(set(a)), list(set(b)))], "a: array<string>, b: array<string>"
+    )
+    got = df.select(jaccard(F.col("a"), F.col("b")).alias("j")).first()["j"]
+    sa, sb = set(a), set(b)
+    want = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
+    assert abs(got - want) < 1e-12
