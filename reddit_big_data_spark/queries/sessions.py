@@ -9,7 +9,15 @@ from pyspark.sql import functions as F
 
 from reddit_big_data_spark.operators.temporal_joins import asof_join, sessionize
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table
+from reddit_big_data_spark.sources.io import from_rows, read_table
+
+# value tiers for the range join (half-open [lo, hi))
+_TIERS = [
+    (0.0, 50.0, "low"),
+    (50.0, 150.0, "mid"),
+    (150.0, 300.0, "high"),
+    (300.0, 1000.0, "top"),
+]
 
 
 # --------------------------------------------------------------------------
@@ -128,4 +136,43 @@ def q54_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("purchases") > 2)
         .orderBy("user_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — range join: events bucketed into value tiers ([lo, hi) intervals)
+# WITHOUT a nested-loop join — ranges explode into fixed-width buckets,
+# points equi-join on their bucket, exact predicate filters. The tier dim
+# arrives via driver-rows ingest (S7).
+# --------------------------------------------------------------------------
+@register(
+    "q56_range_join",
+    oracle="""
+    WITH tiers(lo, hi, tier) AS (
+      VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+             (150.0, 300.0, 'high'), (300.0, 1000.0, 'top')
+    )
+    -- SUM, not AVG: values carry exactly 2 decimals, so a sum can never
+    -- sit on a rounding boundary — but sum/count can land EXACTLY on one
+    -- (measured: avg 194.59325 rounded differently per engine from
+    -- last-ulp summation-order noise).
+    SELECT t.tier, e.event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="bucketed range join into [lo,hi) tiers — no nested-loop (brief: range join)",
+)
+def q56_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.range_join import bucketed_range_join
+
+    ev = read_table(spark, sf_dir, "events")
+    tiers = from_rows(spark, _TIERS, "lo: double, hi: double, tier: string")
+    joined = bucketed_range_join(ev, tiers, "value", "lo", "hi", bucket_width=50.0)
+    return (
+        joined.groupBy("tier", "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("tier", "event_type")
     )
