@@ -90,3 +90,82 @@ def q23_epoch_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     return li.select("l_quantity", "l_extendedprice", "l_discount").summary()
+
+
+# --------------------------------------------------------------------------
+# q57 — pivot/cross-tab: event_type x day-of-week counts, pivoted wide
+# (df.groupBy().pivot() with explicit values — never let pivot scan for
+# distinct values at scale). Oracle: conditional aggregation.
+# --------------------------------------------------------------------------
+_DOWS = ["Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun"]
+
+
+@register(
+    "q57_pivot",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(CASE WHEN strftime(ts, '%a') = 'Mon' THEN 1 END) AS BIGINT) AS "Mon",
+           CAST(COUNT(CASE WHEN strftime(ts, '%a') = 'Tue' THEN 1 END) AS BIGINT) AS "Tue",
+           CAST(COUNT(CASE WHEN strftime(ts, '%a') = 'Wed' THEN 1 END) AS BIGINT) AS "Wed",
+           CAST(COUNT(CASE WHEN strftime(ts, '%a') = 'Thu' THEN 1 END) AS BIGINT) AS "Thu",
+           CAST(COUNT(CASE WHEN strftime(ts, '%a') = 'Fri' THEN 1 END) AS BIGINT) AS "Fri",
+           CAST(COUNT(CASE WHEN strftime(ts, '%a') = 'Sat' THEN 1 END) AS BIGINT) AS "Sat",
+           CAST(COUNT(CASE WHEN strftime(ts, '%a') = 'Sun' THEN 1 END) AS BIGINT) AS "Sun"
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="pivot/cross-tab with explicit pivot values (A2 extension)",
+)
+def q57_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    out = (
+        ev.withColumn("dow", F.date_format("ts", "E"))
+        .groupBy("event_type")
+        .pivot("dow", _DOWS)  # explicit values: no distinct-scan job
+        .agg(F.count(F.lit(1)))  # count(*) star is rejected inside pivot
+        .na.fill(0)
+        .orderBy("event_type")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# q58 — cube: all grouping combinations of (event_type, value tier) with
+# subtotal rows, distinguished via COALESCE sentinels (§2.4 extension;
+# rollup is q15).
+# --------------------------------------------------------------------------
+@register(
+    "q58_cube",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 100 THEN 'small' ELSE 'large' END AS tier,
+             value
+      FROM events
+    )
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(tier, '<all>') AS tier,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM b
+    GROUP BY CUBE (event_type, tier)
+    ORDER BY event_type, tier
+    """,
+    doc="cube with all subtotal combinations (§2.4 extension)",
+)
+def q58_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "tier", F.when(F.col("value") < 100, "small").otherwise("large")
+    )
+    return (
+        ev.cube("event_type", "tier")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("tier", F.lit("<all>")).alias("tier"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("event_type", "tier")
+    )

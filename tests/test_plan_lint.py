@@ -42,7 +42,7 @@ for _q in (
     "q32_simhash q33_ngram_jaccard q40_cosine_topk q41_lsh_ann "
     "q42_label_centroids q50_json_props q51_tumbling_windows "
     "q52_binary_payloads q53_sessionization q54_asof_join q55_time_rollup "
-    "q56_range_join "
+    "q56_range_join q57_pivot q58_cube "
     "q61_string_indexer q62_class_weights q63_corr_matrix"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
