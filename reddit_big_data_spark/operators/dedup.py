@@ -267,3 +267,49 @@ def simhash_bits(df: DataFrame, id_col: str, token_col: str, bits: int = 32) -> 
     return votes.select(
         F.col("__id").alias(id_col), F.concat(*bit_exprs).alias("simhash")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting via winnowing (the MOSS algorithm): hash
+    every char k-gram, slide a `window` over the hash sequence, keep each
+    window's minimum — guaranteeing any match of length >= k+window-1
+    shares a fingerprint, with ~2/(window+1) selection density.
+
+    Fully native: posexplode grams -> md5-derived int hash -> sliding-min
+    window PARTITIONED BY doc (parallel across docs) -> distinct minima.
+    Returns (id, fingerprint) pairs, one row per distinct fingerprint.
+    """
+    from pyspark.sql import Window as W
+
+    n = F.length(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (k - 1)),
+        lambda i: F.col(text_col).substr(i, F.lit(k)),
+    )
+    exploded = df.filter(n >= k).select(
+        F.col(id_col).alias("__id"), F.posexplode(grams).alias("pos", "gram")
+    )
+    hashed = exploded.withColumn(
+        "h", F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long")
+    )
+    w = (
+        W.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    # distinct minima per doc = the fingerprint set; tail positions whose
+    # forward window is truncated are dropped so every kept minimum comes
+    # from a FULL window.
+    return (
+        hashed.withColumn("fp", F.min("h").over(w))
+        .withColumn("__max_pos", F.max("pos").over(W.partitionBy("__id")))
+        .filter(F.col("pos") <= F.col("__max_pos") - (window - 1))
+        .select(F.col("__id").alias(id_col), "fp")
+        .distinct()
+    )

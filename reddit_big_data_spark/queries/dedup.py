@@ -215,3 +215,61 @@ def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("__j", 6).alias("ngram_jaccard"))
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# q34 — winnowing fingerprints (MOSS): rolling k-gram hashes, sliding-
+# window minima, distinct per doc — summarized as shared-fingerprint
+# overlap between near-dup docs vs the corpus average. The per-doc window
+# is partitioned (parallel across docs); the oracle replays the identical
+# algorithm in SQL (('0x'||hex)::BIGINT parses the md5 prefix).
+# --------------------------------------------------------------------------
+@register(
+    "q34_winnowing",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram
+      FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'gram': substr(text, CAST(i AS INTEGER), 5)}
+                       for i in generate_series(1, length(text) - 4)]) AS u
+        FROM documents
+        WHERE length(text) >= 5
+      )
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(gram), 1, 7))::BIGINT AS h
+      FROM grams
+    ),
+    mins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+      FROM hashed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= max_pos - 3
+    ),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1)
+    SELECT CAST(FLOOR(n_fp / 50) AS BIGINT) AS fp_bucket,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_fp) AS BIGINT) AS total_fps
+    FROM per_doc
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="MOSS winnowing fingerprints (rolling hash + sliding-window minima)",
+)
+def q34_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.dedup import winnowing_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    per_doc = fps.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    return (
+        per_doc.groupBy(F.floor(F.col("n_fp") / 50).alias("fp_bucket"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_fp").alias("total_fps"))
+        .orderBy("fp_bucket")
+    )

@@ -99,3 +99,29 @@ def test_simhash_near_dup_small_hamming(spark):
     assert all(len(s) == 32 and set(s) <= {"0", "1"} for s in sigs.values())
     ham = lambda a, b: sum(x != y for x, y in zip(a, b))
     assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_winnowing_guarantee(spark):
+    """Winnowing guarantee: two docs sharing a substring of length >=
+    k + window - 1 (here 8) must share at least one fingerprint."""
+    from reddit_big_data_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "zqxjkwvp_common_block_zqxjkwvp"
+    df = spark.createDataFrame(
+        [
+            (1, "aaaa" + shared + "bbbb"),
+            (2, "cccc" + shared + "dddd"),
+            (3, "totally different content here with no overlap at all"),
+            (4, "abc"),  # shorter than k: no fingerprints
+        ],
+        "doc_id: int, text: string",
+    )
+    fps = winnowing_fingerprints(df, "doc_id", "text", k=5, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "docs sharing a long substring must overlap"
+    assert not (by_doc[1] & by_doc[3]) or len(by_doc[1] & by_doc[3]) < len(
+        by_doc[1] & by_doc[2]
+    )
+    assert 4 not in by_doc  # sub-k doc contributes nothing
