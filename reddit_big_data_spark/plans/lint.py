@@ -65,15 +65,23 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
     if "ArrowEvalPython" in plan or "MapInPandas" in plan:
         add("PY_ARROW", "Arrow-batched Python stage (deliberate use only)")
     # A Window whose spec has no partitioning funnels ALL rows into one
-    # task. Plan text: partitioned = "Window [funcs], [partKeys], [order]"
-    # (3 groups); unpartitioned = "Window [funcs], [order]" (2 groups).
+    # task. Plan text: partitioned+ordered = "Window [funcs], [partKeys],
+    # [order]" (3 groups); unpartitioned = "Window [funcs], [order]";
+    # partition-only (no orderBy) = "Window [funcs], [partKeys]". The
+    # 2-group case is global ONLY if the second group is an ordering
+    # (contains ASC/DESC direction markers).
     for line in plan.splitlines():
         s = line.strip().lstrip("+-: ").strip()
-        if s.startswith("Window ") or s.startswith("WindowGroupLimit "):
+        if s.startswith("Window "):
             body = s.split(" ", 1)[1]
-            if s.startswith("Window ") and _top_level_groups(body) < 3:
-                add("GLOBAL_WINDOW", "window with empty partitionBy — single-task sort")
-                break
+            if _top_level_groups(body) < 3:
+                last = body.rsplit(", [", 1)[-1]
+                if " ASC" in last or " DESC" in last:
+                    add(
+                        "GLOBAL_WINDOW",
+                        "window with empty partitionBy — single-task sort",
+                    )
+                    break
     # Global Sort that is not part of TakeOrderedAndProject: full-data sort.
     if re.search(r"^\s*\+?-? ?\*?\(?\d*\)? ?Sort \[.*\], true,", plan, re.M) and (
         "TakeOrderedAndProject" not in plan
