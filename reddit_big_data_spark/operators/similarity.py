@@ -160,3 +160,101 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
     )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (broadcast centroids, argmax over cosine). Returns (id, emb, norm,
+    cell). Run once, materialize, reuse across queries — the IVF 'index
+    build' step."""
+    c = centroids.select(
+        F.col("cell").alias("__cell"),
+        F.col(emb_col).alias("__c_emb"),
+        norm(F.col(emb_col)).alias("__c_n"),
+    )
+    v = corpus.select(
+        F.col(id_col),
+        F.col(emb_col),
+        norm(F.col(emb_col)).alias("__n"),
+    )
+    scored = v.join(F.broadcast(c), F.lit(True)).withColumn(
+        "__sim", dot(F.col(emb_col), F.col("__c_emb")) / (F.col("__n") * F.col("__c_n"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cell"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, emb_col, F.col("__n").alias("nrm"), F.col("__cell").alias("cell"))
+    )
+
+
+def make_centroids(corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding", k: int = 16) -> DataFrame:
+    """Deterministic coarse centroids: the first k vectors by id (a real
+    deployment would run k-means; the IVF *plumbing* — assignment, probe
+    routing, cell-local search — is identical)."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(emb_col),
+            F.row_number().over(Window.orderBy(id_col)).alias("cell"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: search only the query's `nprobe` nearest
+    cells instead of the whole corpus — comparisons drop by ~nprobe/
+    n_cells. Candidates equi-join on cell (no corpus-wide NLJ); exact
+    cosine reranks within the probed cells."""
+    cents = make_centroids(corpus, id_col, emb_col, n_cells)
+    assigned = ivf_assign(corpus, cents, id_col, emb_col).persist()
+    # route each query to its nprobe nearest cells
+    c = cents.select(
+        F.col("cell"), F.col(emb_col).alias("__c_emb"), norm(F.col(emb_col)).alias("__c_n")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("__e_q"),
+        norm(F.col(emb_col)).alias("__n_q"),
+    )
+    routed = (
+        q.join(F.broadcast(c), F.lit(True))
+        .withColumn(
+            "__sim", dot(F.col("__e_q"), F.col("__c_emb")) / (F.col("__n_q") * F.col("__c_n"))
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("cell"))
+            ),
+        )
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "__e_q", "__n_q", "cell")
+    )
+    cand = assigned.join(F.broadcast(routed), "cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cosine_sim",
+        F.round(dot(F.col("__e_q"), F.col(emb_col)) / (F.col("__n_q") * F.col("nrm")), 6),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine_sim", "rn")
+    )

@@ -74,6 +74,13 @@ def get_spark(app_name: str = "reddit_big_data_spark", cpus: int | None = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # date_format 'MMMM'/'E' render in the JVM default locale; pin
+        # English so q17-style name columns match the (always-English)
+        # DuckDB strftime oracle on any host locale.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Duser.language=en -Duser.country=US",
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -30,6 +30,14 @@ _ALLOW: dict[str, dict[str, str]] = {
         "by definition (broadcast NLJ streams the corpus once); the scale "
         "path is q41's LSH bucket join"
     },
+    "q43_ivf_ann": {
+        "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
+        "assignment — cost is |corpus| x k, the IVF quantization step; the "
+        "candidate search itself is a cell equi-join",
+        "GLOBAL_WINDOW": "centroid numbering runs on the 16-row LIMITed "
+        "centroid dim only",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
 }
 # every query whose LAST step is an orderBy for hash stability:
 for _q in (

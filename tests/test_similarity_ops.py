@@ -87,3 +87,32 @@ def test_brute_force_math_matches_numpy(spark):
 
     for nid, c in got.items():
         assert abs(c - round(cos(emb[0], emb[nid]), 6)) < 2e-6
+
+
+def test_ivf_recall_on_planted_clusters(spark):
+    from reddit_big_data_spark.operators.similarity import ivf_topk
+
+    rows = _planted()
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    queries = df.filter(F.col("vec_id") % 8 == 1)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, queries, k=5, n_cells=5, nprobe=2).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"IVF recall {recall} below 0.8"
+
+
+def test_ivf_assignment_is_total(spark):
+    from reddit_big_data_spark.operators.similarity import ivf_assign, make_centroids
+
+    rows = _planted(n_clusters=3, per_cluster=5)
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    cents = make_centroids(df, k=4)
+    assigned = ivf_assign(df, cents)
+    assert assigned.count() == df.count()  # every vector lands in exactly one cell
+    assert assigned.select("cell").distinct().count() <= 4
