@@ -162,6 +162,53 @@ def lsh_topk(
     )
 
 
+def cosine_candidate_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    slack: float = 1e-6,
+) -> DataFrame:
+    """All-pairs cosine candidate generation: (id_a, id_b) with id_a < id_b
+    and cosine >= threshold - slack.
+
+    Block-nested-loop: one side is broadcast as a normalized float64 NumPy
+    matrix (embeddings are cheap — 64 floats/row), the other side streams
+    through mapInPandas doing one BLAS matmul per Arrow batch. The `slack`
+    margin absorbs BLAS-vs-sequential-fold summation differences, so an
+    exact recompute downstream (see queries/similarity.py q44) keeps final
+    values bit-identical to a sequential-fold oracle.
+
+    Scale contract: the broadcast side must fit in executor memory (same
+    constraint as F.broadcast). Beyond that, pre-filter the pair space with
+    lsh_topk/ivf_topk buckets and verify those candidates instead.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    side = corpus.select(id_col, emb_col).toPandas()
+    b_ids = side[id_col].to_numpy()
+    b_mat = np.stack(side[emb_col].to_numpy()).astype(np.float64)
+    b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((b_ids, b_mat))
+
+    def gen(batches):
+        ids_b, mat_b = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+            sims = a_mat @ mat_b.T
+            mask = (sims >= threshold - slack) & (a_ids[:, None] < ids_b[None, :])
+            i, j = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": a_ids[i], "id_b": ids_b[j]})
+
+    return corpus.select(id_col, emb_col).mapInPandas(gen, "id_a long, id_b long")
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -142,3 +142,60 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).orderBy(
         "query_id", "rn"
     )
+
+
+# --------------------------------------------------------------------------
+# q44 — embedding-cosine near-duplicate pairs (the 5th dedup flavor from
+# the brief): all pairs with cosine >= 0.35, exact. Two stages:
+#   1. candidate pruning — block-nested-loop matmul (mapInPandas + BLAS,
+#      broadcast normalized corpus matrix) at threshold - 1e-6;
+#   2. exact verify — the surviving pairs (a tiny fraction) rejoin their
+#      arrays and recompute the sequential-fold HOF dot, so final values
+#      are bit-identical to the DuckDB oracle's list_sum fold.
+# At true scale stage 1 swaps for the LSH/IVF bucket candidates (q41/q43);
+# stage 2 is unchanged — that is the near-dup verify pattern.
+# --------------------------------------------------------------------------
+@register(
+    "q44_cosine_neardup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(generate_series(1, len(a.e)),
+                                         i -> a.e[i] * b.e[i]))
+                 / (a.nrm * b.nrm), 6) AS cosine_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+                                  i -> a.e[i] * b.e[i]))
+          / (a.nrm * b.nrm) >= 0.35
+    ORDER BY id_a, id_b
+    """,
+    doc="exact embedding-cosine near-dup pairs at threshold (dedup flavor 5)",
+)
+def q44_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = cosine_candidate_pairs(emb, threshold=0.35)
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a")
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
+    )
+    pairs = cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    sim = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    return (
+        pairs.withColumn("__s", sim)
+        .filter(F.col("__s") >= 0.35)  # exact threshold on the fold value, like the oracle
+        .select("id_a", "id_b", F.round("__s", 6).alias("cosine_sim"))
+        .orderBy("id_a", "id_b")
+    )
