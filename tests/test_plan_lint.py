@@ -30,6 +30,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "by definition (broadcast NLJ streams the corpus once); the scale "
         "path is q41's LSH bucket join"
     },
+    "q44_cosine_neardup": {
+        "PY_ARROW": "deliberate BLAS block-matmul candidate pruning "
+        "(mapInPandas, broadcast normalized corpus matrix) — the exact "
+        "HOF fold only runs on surviving pairs",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
