@@ -273,3 +273,107 @@ def q34_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_fp").alias("total_fps"))
         .orderBy("fp_bucket")
     )
+
+
+# Word-2-shingle sets + brute-force all-pairs Jaccard edges at 0.6 — the
+# shared truth for q31 (LSH recall), q36 (prefix-filter exactness), and
+# q35 (cluster edges).
+_SHINGLES_CTE = """
+    sh AS (
+      SELECT doc_id,
+             list_distinct([toks[i] || ' ' || toks[i+1]
+                            for i in generate_series(1, len(toks)-1)]) AS shingles
+      FROM norm
+    )
+"""
+_BRUTE_PAIRS_06 = """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
+"""
+
+
+# --------------------------------------------------------------------------
+# q36 — EXACT set-similarity self-join via prefix filtering (PPJoin-style):
+# same pairs as q31's brute-force truth, but recall is guaranteed 1.0 by
+# the prefix-filter principle instead of probabilistic LSH banding — and
+# the pair space is still an equi-join (on rarest-prefix tokens), never
+# all-pairs. The oracle IS the brute force, so a single missed pair fails.
+# --------------------------------------------------------------------------
+@register(
+    "q36_prefix_simjoin",
+    oracle=_ORACLE_NORM
+    + ","
+    + _SHINGLES_CTE
+    + ", pairs AS ("
+    + _BRUTE_PAIRS_06
+    + """)
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard
+    FROM pairs
+    ORDER BY id_a, id_b
+    """,
+    doc="exact Jaccard self-join via prefix filtering (100% recall, no all-pairs)",
+)
+def q36_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.simjoin import similarity_join
+
+    toks = _tokens(spark, sf_dir)
+    sh = toks.select("doc_id", word_shingles(F.col("toks"), 2).alias("shingles"))
+    return (
+        similarity_join(sh, "doc_id", "shingles", threshold=0.6)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — duplicate CLUSTERS: connected components over the exact near-dup
+# edges (prefix-filter join at 0.6), assigning every clustered doc its
+# canonical representative (the minimum member id) and cluster size — the
+# terminal dedup step a training pipeline actually keeps. Spark side is
+# iterative min-label propagation (operators/components.py); the oracle
+# replays it as a recursive-CTE transitive closure.
+# --------------------------------------------------------------------------
+@register(
+    "q35_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    """
+    + _SHINGLES_CTE
+    + ", edges AS ("
+    + _BRUTE_PAIRS_06
+    + """),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.id AS doc_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (cluster_id)
+    ORDER BY doc_id
+    """,
+    doc="near-dup clusters via connected components (canonical doc = min id)",
+)
+def q35_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.components import dedup_clusters
+    from reddit_big_data_spark.operators.simjoin import similarity_join
+
+    toks = _tokens(spark, sf_dir)
+    sh = toks.select("doc_id", word_shingles(F.col("toks"), 2).alias("shingles"))
+    pairs = similarity_join(sh, "doc_id", "shingles", threshold=0.6)
+    return dedup_clusters(pairs).orderBy("doc_id")

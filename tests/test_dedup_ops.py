@@ -125,3 +125,59 @@ def test_winnowing_guarantee(spark):
         by_doc[1] & by_doc[2]
     )
     assert 4 not in by_doc  # sub-k doc contributes nothing
+
+
+def test_similarity_join_matches_brute_force(spark):
+    """Prefix-filter + positional-filter join must return EXACTLY the
+    brute-force pairs (recall and precision 1.0) across awkward set sizes
+    (where ceil(t*|s|) float noise could under-shoot the prefix)."""
+    import itertools
+
+    from reddit_big_data_spark.operators.simjoin import similarity_join
+
+    sets = {
+        1: ["a", "b", "c", "d", "e"],
+        2: ["a", "b", "c", "d", "f"],          # J(1,2)=4/6=0.667
+        3: ["a", "b", "c", "d", "e"],          # J(1,3)=1.0
+        4: ["x", "y", "z"],
+        5: ["x", "y", "z", "w"],               # J(4,5)=0.75
+        6: ["p", "q"],
+        7: ["a", "f", "g", "h", "i", "j"],
+        8: list("abcdefghij"),
+        9: list("abcdefghkl"),                 # J(8,9)=8/12=0.667
+    }
+    for t in (0.5, 0.6, 0.75, 1.0):
+        truth = set()
+        for i, j in itertools.combinations(sorted(sets), 2):
+            a, b = set(sets[i]), set(sets[j])
+            if len(a & b) / len(a | b) >= t:
+                truth.add((i, j))
+        df = spark.createDataFrame(
+            [(k, v) for k, v in sets.items()], "id: int, s: array<string>"
+        )
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in similarity_join(df, "id", "s", t).collect()
+        }
+        assert got == truth, f"t={t}: {got} != {truth}"
+
+
+def test_connected_components_known_graph(spark):
+    """Two components incl. a 4-chain (multi-round propagation) + a pair."""
+    from reddit_big_data_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (7, 9)], "id_a: int, id_b: int"
+    )
+    comp = {
+        r["id"]: r["comp"]
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    assert comp == {10: 10, 20: 10, 30: 10, 40: 10, 7: 7, 9: 7}
+    rows = dedup_clusters(edges).collect()
+    assert {(r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in rows} == {
+        (10, 10, 4), (20, 10, 4), (30, 10, 4), (40, 10, 4), (7, 7, 2), (9, 7, 2),
+    }
