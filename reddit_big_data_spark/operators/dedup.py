@@ -287,11 +287,16 @@ def winnowing_fingerprints(
     """
     from pyspark.sql import Window as W
 
+    from reddit_big_data_spark.sources.io import spread
+
     n = F.length(F.col(text_col))
     grams = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
         lambda i: F.col(text_col).substr(i, F.lit(k)),
     )
+    # Per-char gram explosion multiplies rows ~|text|x — spread the scan
+    # first so that work isn't pinned to the input's file count.
+    df = spread(df)
     exploded = df.filter(n >= k).select(
         F.col(id_col).alias("__id"), F.posexplode(grams).alias("pos", "gram")
     )

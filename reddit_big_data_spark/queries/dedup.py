@@ -30,7 +30,7 @@ from reddit_big_data_spark.operators.dedup import (
 )
 from reddit_big_data_spark.operators.text import normalize
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table
+from reddit_big_data_spark.sources.io import read_table, spread
 
 # Shared DuckDB CTE: normalized token arrays (twin of normalize+split).
 _ORACLE_NORM = """
@@ -44,7 +44,7 @@ _ORACLE_NORM = """
 
 
 def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", F.split(normalize("text"), " ").alias("toks"))
 
 

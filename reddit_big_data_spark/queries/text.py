@@ -30,7 +30,7 @@ from reddit_big_data_spark.operators.text import (
     word_counts,
 )
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table
+from reddit_big_data_spark.sources.io import read_table, spread
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -58,7 +58,7 @@ _ORACLE_TOKENS = f"""
 
 def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, tokens array) through the N1-N4 chain."""
-    docs = read_table(spark, sf_dir, "documents")
+    docs = spread(read_table(spark, sf_dir, "documents"))
     toks = F.split(normalize("text"), " ")
     toks = F.filter(toks, lambda t: t != "")
     toks = remove_stopwords(toks)

@@ -141,3 +141,20 @@ def rename_with_suffix(df: DataFrame, suffix: str, keep: Iterable[str] = ()) -> 
     return df.select(
         *[F.col(c).alias(c if c in keep_set else f"{c}{suffix}") for c in df.columns]
     )
+
+
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a narrow scan UP to the session's parallelism before
+    row-expanding work (explode / per-char transform chains).
+
+    A small-file scan (the sf0.01/sf0.1 documents table is 1-2 parquet
+    files) otherwise pins every pre-shuffle task — gram explosion, md5,
+    tokenization — to as many cores as there are input splits, no matter
+    how wide the cluster. No-op when the scan already has >= parallelism
+    partitions (any at-scale input), so the extra exchange only ever moves
+    a few small files' worth of rows.
+    """
+    par = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
