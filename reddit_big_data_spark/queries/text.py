@@ -293,3 +293,175 @@ def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("source")
     )
 
+
+# --------------------------------------------------------------------------
+# q37 — within-doc repetition signals (the Gopher/Dolma repetition quality
+# filters a pretraining pipeline runs before training): per-doc fraction of
+# word-bigram occurrences taken by the single most frequent bigram, and the
+# fraction that are repeats of an earlier bigram. Docs where either ratio
+# spikes are boilerplate/spam. Bigrams are NON-distinct (zip_with over two
+# shifted slices) — repetition is exactly what distinct would erase.
+# --------------------------------------------------------------------------
+@register(
+    "q37_repetition_signals",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest([toks[i] || ' ' || toks[i+1]
+                     for i in generate_series(1, len(toks)-1)]) AS gram
+      FROM norm
+      WHERE len(toks) >= 2
+    ),
+    gc AS (
+      SELECT doc_id, lang, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS top_gram_frac,
+             1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(cnt) AS dup_gram_frac
+      FROM gc GROUP BY 1, 2
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           ROUND(AVG(top_gram_frac), 4) AS avg_top_gram_frac,
+           ROUND(AVG(dup_gram_frac), 4) AS avg_dup_gram_frac,
+           CAST(SUM(CASE WHEN top_gram_frac > 0.1 OR dup_gram_frac > 0.3
+                    THEN 1 ELSE 0 END) AS BIGINT) AS flagged_docs
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Gopher-style repetition filters: top-bigram and duplicate-bigram fractions",
+)
+def q37_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = normalize("text")
+    toks = F.split(toks, " ")
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    gc = (
+        docs.filter(n >= 2)
+        .select("doc_id", "lang", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "lang", "gram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_doc = gc.groupBy("doc_id", "lang").agg(
+        (F.max("cnt").cast("double") / F.sum("cnt")).alias("top_gram_frac"),
+        (F.lit(1.0) - F.count("*").cast("double") / F.sum("cnt")).alias(
+            "dup_gram_frac"
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("top_gram_frac"), 4).alias("avg_top_gram_frac"),
+            F.round(F.avg("dup_gram_frac"), 4).alias("avg_dup_gram_frac"),
+            F.sum(
+                F.when(
+                    (F.col("top_gram_frac") > 0.1) | (F.col("dup_gram_frac") > 0.3),
+                    1,
+                ).otherwise(0)
+            ).alias("flagged_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q38 — BM25 keyword retrieval (Okapi k1=1.2 b=0.75): the lexical half of
+# every retrieval pipeline. Inverted-index shape: tf over (doc, term) for
+# the query terms only (filter BEFORE the tf aggregation — the scan never
+# aggregates non-query terms), df per term, document length norm. N and
+# avgdl are two driver scalars (one 1-row agg), same pattern as tf_idf's
+# computed N. Top-10 by rounded score with doc_id tie-break.
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "query", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "q38_bm25_topk",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM norm
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM norm)
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM norm),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / stats.avgdl))
+             ) AS score,
+             COUNT(*) AS terms_hit
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25, CAST(terms_hit AS BIGINT) AS terms_hit
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 10
+    """,
+    doc="Okapi BM25 top-k retrieval over an inverted-index-shaped plan",
+)
+def q38_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", F.split(normalize("text"), " ").alias("toks"))
+    stats = toks.select(
+        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    ).first()
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    dl = toks.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        toks.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm_len = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / norm_len
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(contrib), 6).alias("bm25"),
+            F.count("*").alias("terms_hit"),
+        )
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
