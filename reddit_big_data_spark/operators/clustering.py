@@ -1,0 +1,80 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The shape Spark MLlib's KMeans itself uses: centroids live on the DRIVER
+(k x dim doubles — a few KB at any corpus scale) and are shipped into the
+assignment expression each round as literal arrays; the per-round work on
+the cluster is one narrow pass (argmin over k fold-distances, native HOFs,
+no UDF) plus one posexplode + groupBy(cid, dim) average whose result — at
+most k*dim rows — is collected back. Nothing data-sized ever reaches the
+driver, and the heavy stage is whole-stage-codegen arithmetic.
+
+Determinism (for the oracle twin): init = the vectors of the k smallest
+ids (cid = rank by id), fixed iteration count, ties in the argmin broken
+toward the lowest cid (array_position returns the FIRST minimum).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFrame:
+    """Add `cluster` (int, argmin of squared L2) and `sq_dist` columns."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    dists = F.transform(
+        cent_lit,
+        lambda c: F.aggregate(
+            F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+    )
+    return df.withColumn("__dists", dists).select(
+        "*",
+        (F.array_position("__dists", F.array_min("__dists")) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.array_min("__dists").alias("sq_dist"),
+    ).drop("__dists")
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """Run `iters` assignment passes (so iters - 1 centroid updates in
+    between); return df + (cluster, sq_dist) under the final centroids.
+    Empty clusters keep their previous centroid."""
+    dim_row = df.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("e"))
+        .collect()
+    )
+    centers = [list(r["e"]) for r in init]
+    for _ in range(iters - 1):
+        assigned = _assign(df, vec_col, centers)
+        flat = assigned.select(
+            "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+        )
+        rows = (
+            flat.groupBy("cluster", "pos")
+            .agg(F.avg("col").alias("c"))
+            .collect()
+        )
+        new = {cid: list(c) for cid, c in enumerate(centers)}
+        by_cid: dict[int, list[float]] = {}
+        for r in rows:
+            by_cid.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["c"]
+        new.update(by_cid)
+        centers = [new[c] for c in range(k)]
+    return _assign(df, vec_col, centers)

@@ -199,3 +199,69 @@ def q44_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round("__s", 6).alias("cosine_sim"))
         .orderBy("id_a", "id_b")
     )
+
+# --------------------------------------------------------------------------
+# q45 — distributed k-means (Lloyd's, k=10, 2 deterministic rounds) over the
+# embeddings: MLlib's own shape (driver-held centroids shipped as literal
+# arrays, one codegen'd argmin pass + one k*dim-row centroid agg per round;
+# operators/clustering.py). Init = vectors of the 10 smallest vec_ids, ties
+# to the lowest cid, so the DuckDB oracle can replay both rounds exactly as
+# unrolled CTEs. Output: per-cluster size + mean squared distance.
+# --------------------------------------------------------------------------
+@register(
+    "q45_kmeans",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    flat AS (
+      SELECT vec_id, i AS dim, e[i] AS x
+      FROM v, generate_series(1, 64) AS g(i)
+    ),
+    ids AS (
+      SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+      FROM v ORDER BY vec_id LIMIT 10
+    ),
+    c0 AS (SELECT ids.cid, f.dim, f.x AS c FROM ids JOIN flat f USING (vec_id)),
+    d1 AS (
+      SELECT f.vec_id, c.cid, SUM((f.x - c.c) * (f.x - c.c)) AS d
+      FROM flat f JOIN c0 c USING (dim) GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT a1.cid, f.dim, AVG(f.x) AS c
+      FROM a1 JOIN flat f USING (vec_id) GROUP BY 1, 2
+    ),
+    d2 AS (
+      SELECT f.vec_id, c.cid, SUM((f.x - c.c) * (f.x - c.c)) AS d
+      FROM flat f JOIN c1 c USING (dim) GROUP BY 1, 2
+    ),
+    a2 AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT CAST(cid AS INTEGER) AS cluster_id,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(d), 4) AS avg_sq_dist
+    FROM a2
+    GROUP BY cid
+    ORDER BY cluster_id
+    """,
+    doc="Lloyd's k-means, 2 deterministic rounds; per-cluster size + mean sq dist",
+)
+def q45_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.clustering import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=10, iters=2)
+    return (
+        assigned.groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("sq_dist"), 4).alias("avg_sq_dist"),
+        )
+        .orderBy("cluster_id")
+    )
