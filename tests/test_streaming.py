@@ -109,3 +109,79 @@ def test_sliding_windows_run(spark):
         read_table(spark, SF_SMOKE, "events"), window="12 hours"
     ).count()
     assert len(rows) > tumbling
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: a row arriving in a later micro-batch whose
+    window is already behind the watermark must be DROPPED, and a window
+    the watermark never passes must never emit in append mode."""
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    def ns(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value)
+
+    d = str(tmp_path)
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            # two rows in [10:00, 11:00), one at 20:00 advancing the
+            # watermark (1h delay) to 19:00
+            "ts": [ns(10, 0), ns(10, 20), ns(20, 0)],
+            "user_id": [1, 1, 2],
+            "event_type": ["a", "a", "a"],
+            "value": [1.0, 1.0, 1.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(f1), d + "/f1.parquet")
+    _t.sleep(1.1)  # distinct mtimes => file order => one batch per file
+    # watermark updates take effect one batch late: f2 is a buffer batch
+    # during which the 19:00 watermark becomes effective and the
+    # [10:00, 11:00) window is finalized + emitted
+    f2 = pd.DataFrame(
+        {
+            "event_id": [4],
+            "ts": [ns(20, 30)],
+            "user_id": [2],
+            "event_type": ["a"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(f2), d + "/f2.parquet")
+    _t.sleep(1.1)
+    f3 = pd.DataFrame(
+        {
+            "event_id": [5],
+            "ts": [ns(10, 30)],  # late: watermark has been 19:00 for a batch
+            "user_id": [1],
+            "event_type": ["a"],
+            "value": [1.0],
+            "props": ["{}"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(f3), d + "/f3.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    run_to_memory_sink(
+        windowed_counts(raw, window="1 hour"), "t_late", mode="append"
+    )
+    got = {
+        (r["window_start"].hour, r["cnt"])
+        for r in spark.table("t_late").collect()
+    }
+    # the late 10:30 row is dropped (cnt stays 2, no second (10, 1) row);
+    # the 20:00/20:30 windows are never passed by the watermark, so append
+    # mode never emits them
+    assert got == {(10, 2)}
