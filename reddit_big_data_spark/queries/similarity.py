@@ -265,3 +265,67 @@ def q45_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+# --------------------------------------------------------------------------
+# q46 — int8 embedding quantization (the storage/IO lever for 100 TB ANN:
+# 4x smaller vectors, cosine on dequantized values). Per-vector symmetric
+# scale 127/max|x|, round-to-int8, dequantize, and measure the cosine
+# between each vector and its dequantized self — per label: mean and worst
+# fidelity. All native HOFs; folds are sequential on both engines so the
+# cosines are bit-identical.
+# --------------------------------------------------------------------------
+@register(
+    "q46_int8_quantization",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, label, e,
+             127.0 / list_max(list_transform(e, x -> abs(x))) AS sc
+      FROM v
+    ),
+    d AS (
+      SELECT vec_id, label, e,
+             list_transform(e, x -> round(x * sc) / sc) AS dq
+      FROM s
+    ),
+    c AS (
+      SELECT label,
+             list_sum(list_transform(generate_series(1, len(e)),
+                                     i -> e[i] * dq[i]))
+             / (sqrt(list_sum(list_transform(e, x -> x * x)))
+                * sqrt(list_sum(list_transform(dq, x -> x * x)))) AS cos
+      FROM d
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(cos), 6) AS avg_fidelity,
+           ROUND(MIN(cos), 6) AS worst_fidelity
+    FROM c
+    GROUP BY label
+    ORDER BY label
+    """,
+    doc="int8 symmetric quantization + dequantized-cosine fidelity per label",
+)
+def q46_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    v = emb.select("vec_id", "label", e.alias("e"))
+    sc = 127.0 / F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    d = v.withColumn("sc", sc).withColumn(
+        "dq", F.transform(F.col("e"), lambda x: F.round(x * F.col("sc")) / F.col("sc"))
+    )
+    cos = dot(F.col("e"), F.col("dq")) / (
+        F.sqrt(dot(F.col("e"), F.col("e"))) * F.sqrt(dot(F.col("dq"), F.col("dq")))
+    )
+    return (
+        d.withColumn("cos", cos)
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("cos"), 6).alias("avg_fidelity"),
+            F.round(F.min("cos"), 6).alias("worst_fidelity"),
+        )
+        .orderBy("label")
+    )
