@@ -129,6 +129,64 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def byte_subsample_resizer(
+    payload: bytes, width: int, height: int, target_w: int, target_h: int
+) -> bytes:
+    """Default DETERMINISTIC FAKE resize: nearest-neighbor byte subsampling
+    to exactly target_w * target_h bytes (1 'channel'), standing in for a
+    real bilinear resize with the same contract — output size is a pure
+    function of the TARGET, not the input."""
+    n_out = target_w * target_h
+    if not payload:
+        return bytes(n_out)
+    n_in = len(payload)
+    return bytes(payload[(i * n_in) // n_out] for i in range(n_out))
+
+
+def strict_resizer(
+    payload: bytes, width: int, height: int, target_w: int, target_h: int
+) -> bytes:
+    """The real-resizer slot; the container ships no image codecs."""
+    raise NotImplementedError(
+        "real image resizing requires codec libraries not present in this "
+        "environment; use byte_subsample_resizer or plug in your own"
+    )
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    resizer: Callable[[bytes, int, int, int, int], bytes] = byte_subsample_resizer,
+) -> DataFrame:
+    """Resize the image rows' payloads via mapInPandas, passing non-image
+    rows through untouched; meta.width/height are rewritten to the target
+    on resized rows. Same bounded-memory Arrow-batch shape as
+    extract_features; output schema == input schema, so the operator
+    composes into any media pipeline position."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_payload, out_meta = [], []
+            for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
+                if k == "image":
+                    p = resizer(p, m["width"], m["height"], target_w, target_h)
+                    m = dict(m)
+                    m["width"], m["height"] = target_w, target_h
+                out_payload.append(p)
+                out_meta.append(m)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out_payload,
+                    "meta": out_meta,
+                }
+            )
+
+    return df.mapInPandas(run, schema=df.schema)
+
+
 def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> DataFrame:
     """'Video frame sampling' plumbing: split each payload into fixed-size
     chunks and keep every n-th — pure native expressions (sequence +

@@ -67,3 +67,43 @@ def test_frame_sample_native(spark):
     assert {r["media_id"] for r in rows} <= kinds
     # frame hex chunks are at most 2*frame_bytes chars
     assert all(len(r["frame_hex"]) <= 32 for r in rows)
+
+
+def test_resize_images(spark):
+    from reddit_big_data_spark.functions.multimodal import (
+        byte_subsample_resizer,
+        resize_images,
+        strict_resizer,
+    )
+
+    df = synth_media(spark, 18)
+    out = resize_images(df, target_w=8, target_h=4)
+    assert out.schema == df.schema  # composes anywhere in a media pipeline
+    rows = {r["media_id"]: r for r in out.collect()}
+    src = {r["media_id"]: r for r in df.collect()}
+    assert len(rows) == 18
+    for mid, r in rows.items():
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 8 * 4  # size set by TARGET only
+            assert (r["meta"]["width"], r["meta"]["height"]) == (8, 4)
+            assert bytes(r["payload"]) == byte_subsample_resizer(
+                bytes(src[mid]["payload"]), 0, 0, 8, 4
+            )
+        else:  # non-image rows pass through untouched
+            assert bytes(r["payload"]) == bytes(src[mid]["payload"])
+            assert r["meta"] == src[mid]["meta"]
+
+
+def test_strict_resizer_is_clearly_stubbed(spark):
+    import pytest as _pytest
+
+    from reddit_big_data_spark.functions.multimodal import (
+        resize_images,
+        strict_resizer,
+    )
+
+    with _pytest.raises(NotImplementedError, match="image resizing"):
+        strict_resizer(b"abc", 1, 1, 2, 2)
+    out = resize_images(synth_media(spark, 4), 2, 2, resizer=strict_resizer)
+    with _pytest.raises(Exception):
+        out.collect()
