@@ -117,3 +117,21 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key, with state
+    BOUNDED by the watermark (dropDuplicatesWithinWatermark) — the
+    streaming twin of the batch q30 exact-dedup path. Without the
+    watermark bound, streaming dropDuplicates state grows forever; within
+    it, a duplicate arriving later than the watermark delay re-emits,
+    which is the documented at-least-once dedup contract for infinite
+    streams."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -185,3 +185,61 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # the 20:00/20:30 windows are never passed by the watermark, so append
     # mode never emits them
     assert got == {(10, 2)}
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    horizon are suppressed across micro-batches; state stays bounded."""
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        dedup_stream,
+    )
+
+    def ns(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value)
+
+    d = str(tmp_path)
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 1],  # in-batch duplicate of id 1
+            "ts": [ns(10), ns(10, 5), ns(10, 10)],
+            "user_id": [1, 2, 1],
+            "event_type": ["a"] * 3,
+            "value": [1.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(f1), d + "/f1.parquet")
+    _t.sleep(1.1)
+    f2 = pd.DataFrame(
+        {
+            "event_id": [2, 3],  # cross-batch duplicate of id 2 + a new id
+            "ts": [ns(10, 20), ns(10, 30)],
+            "user_id": [2, 3],
+            "event_type": ["a"] * 2,
+            "value": [1.0] * 2,
+            "props": ["{}"] * 2,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(f2), d + "/f2.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    run_to_memory_sink(
+        dedup_stream(raw, keys=["event_id"]), "t_dedup", mode="append"
+    )
+    rows = spark.table("t_dedup").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]  # each id exactly once, first arrival kept
+    first_ts = {r["event_id"]: r["ts"] for r in rows}
+    assert first_ts[1] == pd.Timestamp(2024, 1, 1, 10)  # not the 10:10 dup
