@@ -191,7 +191,10 @@ def q44_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = v.select(
         F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b")
     )
-    pairs = cand.join(F.broadcast(a), "id_a").join(F.broadcast(b), "id_b")
+    # cand (surviving pairs) is the SMALL side; the vector tables are
+    # corpus-sized — leave strategy choice to AQE rather than hinting a
+    # corpus broadcast (the round-1 q05 mistake).
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     sim = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
     return (
         pairs.withColumn("__s", sim)
