@@ -111,3 +111,37 @@ def test_jaccard_set_identity(spark, a, b):
     sa, sb = set(a), set(b)
     want = len(sa & sb) / len(sa | sb) if (sa | sb) else 0.0
     assert abs(got - want) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(
+    sets=st.lists(
+        st.lists(
+            st.sampled_from("abcdefghij"), min_size=1, max_size=8, unique=True
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.sampled_from([0.34, 0.5, 0.67, 0.8, 1.0]),
+)
+def test_similarity_join_equals_brute_force(spark, sets, threshold):
+    """Property: prefix+positional-filtered exact similarity join returns
+    EXACTLY the brute-force Jaccard pairs, for arbitrary small-vocab set
+    families (the worst case for prefix filtering) and thresholds chosen
+    to stress ceil() boundary arithmetic."""
+    import itertools
+
+    from reddit_big_data_spark.operators.simjoin import similarity_join
+
+    rows = [(i, list(s)) for i, s in enumerate(sets)]
+    truth = set()
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        a, b = set(sa), set(sb)
+        if len(a & b) / len(a | b) >= threshold:
+            truth.add((ia, ib))
+    df = spark.createDataFrame(rows, "id: int, s: array<string>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_join(df, "id", "s", threshold).collect()
+    }
+    assert got == truth
