@@ -332,3 +332,70 @@ def q46_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+# --------------------------------------------------------------------------
+# q48 — embedding-level dedup CLUSTERS: connected components over the exact
+# cosine>=0.35 pairs (q44's edge generator) — the terminal step that turns
+# near-dup PAIRS into keep-one-per-cluster decisions, demonstrating that
+# the dedup composition (candidates -> exact verify -> components) is
+# modality-agnostic: q35 runs it on text shingles, this on embeddings.
+# Oracle: recursive-CTE transitive closure over the brute-force edges.
+# --------------------------------------------------------------------------
+@register(
+    "q48_embedding_dedup_clusters",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    edges AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+                                    i -> a.e[i] * b.e[i]))
+            / (a.nrm * b.nrm) >= 0.35
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY 1)
+    SELECT comp.id AS vec_id, comp.cluster_id, sizes.cluster_size
+    FROM comp JOIN sizes USING (cluster_id)
+    ORDER BY vec_id
+    """,
+    doc="embedding near-dup clusters: cosine edges -> connected components",
+)
+def q48_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.components import dedup_clusters
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cand = cosine_candidate_pairs(emb, threshold=0.35)
+    v = emb.select(
+        "vec_id",
+        F.col("embedding").alias("e"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("e_a"), F.col("nrm").alias("n_a"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("e_b"), F.col("nrm").alias("n_b"))
+    sim = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    edges = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(sim >= 0.35)
+        .select("id_a", "id_b")
+    )
+    return (
+        dedup_clusters(edges)
+        .withColumnRenamed("doc_id", "vec_id")
+        .orderBy("vec_id")
+    )

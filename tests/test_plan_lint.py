@@ -36,6 +36,11 @@ _ALLOW: dict[str, dict[str, str]] = {
         "HOF fold only runs on surviving pairs",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
+    "q48_embedding_dedup_clusters": {
+        "PY_ARROW": "same BLAS candidate-pruning stage as q44 feeding the "
+        "components operator",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
