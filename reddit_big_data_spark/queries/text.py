@@ -465,3 +465,72 @@ def q38_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q39 — sequence packing (the training-example assembly step of an LLM data
+# pipeline): concatenate documents in a stable order and cut fixed
+# token-budget bins; each doc lands in the bin where its span STARTS
+# (contiguous streaming packing). One windowed cumsum per source
+# partition — at 100 TB the source key becomes (source, shard) so no
+# partition exceeds a worker, same plan shape. Output: per-bin document
+# count, token load, and fill ratio vs the budget.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+
+@register(
+    "q39_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY source
+                      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens
+                      AS DOUBLE) / {_PACK_BUDGET}) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT source, bin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / {_PACK_BUDGET}, 4) AS fill_ratio
+    FROM packed
+    GROUP BY source, bin
+    ORDER BY source, bin
+    """,
+    doc="LLM sequence packing: windowed cumsum -> fixed token-budget bins",
+)
+def q39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "bin",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("double")
+            / _PACK_BUDGET
+        ),
+    )
+    return (
+        packed.groupBy("source", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / _PACK_BUDGET, 4
+            ).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin")
+    )
