@@ -377,3 +377,71 @@ def q35_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select("doc_id", word_shingles(F.col("toks"), 2).alias("shingles"))
     pairs = similarity_join(sh, "doc_id", "shingles", threshold=0.6)
     return dedup_clusters(pairs).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q29 — dedup APPLIED: materialize the keep-one-per-cluster decision from
+# the exact-fingerprint dedup (q30's clusters) — canonical = min doc_id per
+# fingerprint, everything else dropped via left_anti — and report the
+# corpus shrink per lang: docs and whitespace tokens before/after. The
+# "what did dedup actually buy us" report every pipeline run ends with.
+# --------------------------------------------------------------------------
+@register(
+    "q29_dedup_materialized",
+    oracle=_ORACLE_NORM
+    + """,
+    fp AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+             md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+      FROM norm JOIN documents USING (doc_id)
+    ),
+    keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY fingerprint
+                                          ORDER BY doc_id) AS rn
+        FROM fp
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS docs_before,
+           CAST(SUM(CASE WHEN keep.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_after,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN keep.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_after
+    FROM fp LEFT JOIN keep ON fp.doc_id = keep.doc_id
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="apply exact dedup (canonical = min id per fingerprint); corpus shrink per lang",
+)
+def q29_dedup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    fp = docs.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        token_set_fingerprint(F.split(normalize("text"), " ")).alias(
+            "fingerprint"
+        ),
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    flagged = fp.withColumn(
+        "is_canonical", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_before"),
+            F.sum("is_canonical").alias("docs_after"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum(F.col("n_tokens") * F.col("is_canonical")).alias(
+                "tokens_after"
+            ),
+        )
+        .orderBy("lang")
+    )
