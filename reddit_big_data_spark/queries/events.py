@@ -152,3 +152,24 @@ def q55_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY h1_bucket, h6_bucket, d1_bucket, event_type
         """
     )
+
+
+# --------------------------------------------------------------------------
+# q59 — mergeable HLL sketch rollup (operators/sketches.py): distinct users
+# per event_type computed by UNIONING per-day sketches, never re-scanning
+# raw rows — the pre-aggregation pattern that keeps 100 TB distinct-count
+# metrics O(days x sketch_size). Rows-only: Datasketches HLL binaries are
+# not reproducible in DuckDB; tests/test_sketches.py pins (a) the merged
+# estimate exactly equals the single-shot estimate (merge correctness) and
+# (b) <2% relative error vs exact.
+# --------------------------------------------------------------------------
+@register(
+    "q59_sketch_rollup",
+    oracle=None,
+    doc="two-level HLL sketch rollup: per-day sketches -> union -> estimate",
+)
+def q59_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.sketches import distinct_rollup
+
+    ev = read_table(spark, sf_dir, "events")
+    return distinct_rollup(ev, "event_type", "user_id").orderBy("event_type")
