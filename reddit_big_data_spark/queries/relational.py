@@ -480,3 +480,50 @@ def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q28 — explicit GROUPING SETS with grouping_id: the mixed-granularity
+# aggregation ROLLUP/CUBE can't express ((status, priority), (status),
+# (priority)) — one Expand pass, no self-unions — plus grouping_id as the
+# level discriminator (robust where a real NULL key would alias with the
+# subtotal NULL, which COALESCE-only outputs can't distinguish).
+# --------------------------------------------------------------------------
+@register(
+    "q28_grouping_sets",
+    oracle="""
+    SELECT CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+           AS BIGINT) AS gid,
+           COALESCE(o_orderstatus, '<all>')   AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS cnt,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    ORDER BY gid, status, priority
+    """,
+    doc="GROUPING SETS + grouping_id mixed-granularity aggregate (§2.4 ext)",
+)
+def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], ["o_orderpriority"]],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("cnt"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            "gid",
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "cnt",
+            "revenue",
+        )
+        .orderBy("gid", "status", "priority")
+    )
