@@ -534,3 +534,66 @@ def q39_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q47 — deterministic stratified sampling: per-stratum rates applied via
+# content-stable hash assignment (md5(doc_id) mod 100), NOT rand() — the
+# sampling a production pipeline actually ships because it is reproducible
+# across reruns, backfills, and engines (which also makes it fully
+# oracle-checkable, unlike rand()/sampleBy). Upsampled strata would take
+# rate > 100 with repeat; here rates downsample per lang.
+# --------------------------------------------------------------------------
+_SAMPLE_RATES = {"de": 25, "en": 100, "es": 50, "fr": 75, "zh": 10}  # pct
+
+
+@register(
+    "q47_stratified_sample",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang,
+             length(text) AS n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents
+    ),
+    rates AS (
+      SELECT * FROM (VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(_SAMPLE_RATES.items()))})
+      AS t(lang, rate)
+    )
+    SELECT a.lang,
+           COUNT(*) AS total_docs,
+           CAST(SUM(CASE WHEN a.bucket < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS sampled_docs,
+           CAST(SUM(CASE WHEN a.bucket < r.rate THEN a.n_chars ELSE 0 END)
+             AS BIGINT) AS sampled_chars
+    FROM assigned a JOIN rates r USING (lang)
+    GROUP BY a.lang
+    ORDER BY a.lang
+    """,
+    doc="deterministic hash-stratified sampling (reproducible, oracle-checkable)",
+)
+def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        sorted(_SAMPLE_RATES.items()), "lang: string, rate: int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = docs.select(
+        "lang", F.length("text").alias("n_chars"), bucket.alias("bucket")
+    )
+    keep = (F.col("bucket") < F.col("rate")).cast("long")
+    return (
+        assigned.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("total_docs"),
+            F.sum(keep).alias("sampled_docs"),
+            F.sum(F.col("n_chars") * keep).alias("sampled_chars"),
+        )
+        .orderBy("lang")
+    )
