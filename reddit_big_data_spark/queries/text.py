@@ -435,6 +435,16 @@ _BM25_B = 0.75
     doc="Okapi BM25 top-k retrieval over an inverted-index-shaped plan",
 )
 def q38_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25 rounded 6dp, terms_hit) for every doc matching any
+    _BM25_TERMS term — shared by q38 (top-k) and q49 (hybrid fusion)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split(normalize("text"), " ").alias("toks"))
     stats = toks.select(
@@ -462,8 +472,6 @@ def q38_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib), 6).alias("bm25"),
             F.count("*").alias("terms_hit"),
         )
-        .orderBy(F.col("bm25").desc(), "doc_id")
-        .limit(10)
     )
 
 
@@ -596,4 +604,131 @@ def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_chars") * keep).alias("sampled_chars"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q49 — hybrid retrieval via reciprocal rank fusion: BM25 lexical ranking
+# (q38's scorer) fused with dense cosine ranking against a query vector
+# (embeddings.vec_id aligns with documents.doc_id) — the standard RAG
+# retrieval shape. Each ranking is cut to a top-50 pool FIRST (TakeOrdered,
+# no corpus-wide window); rank assignment then windows over 50 rows. RRF
+# score = sum over rankings of 1/(60 + rank); absent ranks contribute 0
+# and surface as -1 (never NULL — nullable ints float-launder in pandas).
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_POOL = 50
+
+
+@register(
+    "q49_hybrid_rrf",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(len(toks)) AS avgdl FROM norm),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM norm)
+      WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM norm),
+    bm AS (
+      SELECT tf.doc_id,
+             ROUND(SUM(
+               ln((stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                                        + {_BM25_B} * dl.dl / stats.avgdl))
+             ), 6) AS bm25
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY 1
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm ORDER BY bm25 DESC, doc_id LIMIT {_RRF_POOL}
+    ),
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    qv AS (SELECT * FROM v WHERE vec_id = 0),
+    cosd AS (
+      SELECT v.vec_id AS doc_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(qv.e)),
+                                           i -> qv.e[i] * v.e[i]))
+                   / (qv.nrm * v.nrm), 6) AS c
+      FROM v CROSS JOIN qv
+      WHERE v.vec_id <> qv.vec_id
+    ),
+    den AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS r
+      FROM cosd ORDER BY c DESC, doc_id LIMIT {_RRF_POOL}
+    )
+    SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + lex.r), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + den.r), 0), 6) AS rrf,
+           CAST(COALESCE(lex.r, -1) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(den.r, -1) AS BIGINT) AS dense_rank
+    FROM lex FULL OUTER JOIN den USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 10
+    """,
+    doc="hybrid retrieval: BM25 + dense cosine fused by reciprocal rank fusion",
+)
+def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from pyspark.sql import Window
+
+    from reddit_big_data_spark.operators.similarity import dot
+
+    # lexical pool: cut to top-N via TakeOrdered, THEN rank 50 rows
+    lex_pool = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    lex = lex_pool.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+    ).select("doc_id", "r")
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).first()
+    qe = F.array(*[F.lit(float(x)) for x in qrow["e"]])
+    v = emb.filter(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("e"),
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    cosd = v.select(
+        "doc_id",
+        F.round(dot(qe, F.col("e")) / (F.sqrt(dot(qe, qe)) * F.col("nrm")), 6).alias("c"),
+    )
+    den_pool = cosd.orderBy(F.col("c").desc(), "doc_id").limit(_RRF_POOL)
+    den = den_pool.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.col("c").desc(), "doc_id"))
+    ).select("doc_id", F.col("r").alias("rd"))
+
+    fused = lex.join(den, "doc_id", "full_outer")
+    rrf = F.coalesce(1.0 / (_RRF_K + F.col("r")), F.lit(0.0)) + F.coalesce(
+        1.0 / (_RRF_K + F.col("rd")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 6).alias("rrf"),
+            F.coalesce("r", F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce("rd", F.lit(-1)).cast("long").alias("dense_rank"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(10)
     )

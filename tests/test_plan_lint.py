@@ -41,6 +41,11 @@ _ALLOW: dict[str, dict[str, str]] = {
         "components operator",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
+    "q49_hybrid_rrf": {
+        "GLOBAL_WINDOW": "rank assignment windows over the top-50 pools "
+        "AFTER TakeOrdered cuts them (50 rows at any scale), never the "
+        "corpus",
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
