@@ -61,6 +61,7 @@ def kmeans_assign(
         .collect()
     )
     centers = [list(r["e"]) for r in init]
+    k = len(centers)  # fewer rows than k: every point is its own centroid
     for _ in range(iters - 1):
         assigned = _assign(df, vec_col, centers)
         flat = assigned.select(
