@@ -44,8 +44,12 @@ def main() -> int:
     failures: dict[str, str] = {}
     for name, q in sorted(queries.items()):
         try:
-            df = q.fn(spark, sf_dir)
+            # Time construction + execution: iterative operators (connected
+            # components, k-means, sketch-seeded plans) do real cluster work
+            # while BUILDING the DataFrame, and excluding it would
+            # under-report them.
             t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
             _force(df)
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # keep benching the rest

@@ -26,27 +26,75 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _driver_union_find(edge_rows: list, spark, id_type) -> DataFrame:
+    """Union-find with path compression over collected edges — the
+    small-graph short-circuit. Components are labeled by their minimum
+    member id, matching the distributed path exactly."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: keep the smaller id as the root so the root IS
+            # the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    from pyspark.sql import types as T
+
+    rows = [(x, find(x)) for x in parent]
+    schema = T.StructType(
+        [T.StructField("id", id_type), T.StructField("comp", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Return (id, component) for every node appearing in `edges`, where
     component = the minimum node id reachable through undirected edges.
 
-    Raises RuntimeError if not converged within max_iter rounds (dedup
-    graphs converge in a handful; hitting the cap means the input is not
-    a dedup-shaped graph and the large-star variant should be used).
+    Two paths, chosen by edge count (the same shape-gated strategy AQE
+    applies to joins): at or under `driver_threshold` edges the graph is
+    solved by driver-side union-find (<=16 MB collected at the default —
+    one pass, no per-round job launches, which dominate wall time on
+    dedup-sized graphs); above it, iterative distributed min-label
+    propagation. Both label components by their minimum member id.
+
+    Raises RuntimeError if the distributed path hasn't converged within
+    max_iter rounds (dedup graphs converge in a handful; hitting the cap
+    means the input is not a dedup-shaped graph and the large-star
+    variant should be used).
     """
-    # Materialize the edge list once: every propagation round joins against
-    # it, and without this the upstream plan (e.g. a similarity join) would
-    # re-execute per iteration.
+    # Materialize the edge list once: the count, and every propagation
+    # round after it, reuse this instead of re-executing the upstream plan
+    # (e.g. a similarity join) per action.
     sym = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .union(edges.select(F.col(dst).alias("src"), F.col(src).alias("dst")))
         .localCheckpoint()
     )
+    if sym.count() <= 2 * driver_threshold:  # sym holds both directions
+        directed = sym.filter(F.col("src") < F.col("dst"))
+        return _driver_union_find(
+            [(r["src"], r["dst"]) for r in directed.collect()],
+            edges.sparkSession,
+            sym.schema["src"].dataType,
+        )
     # Symmetric edge list => every node occurs as a src.
     labels = (
         sym.select(F.col("src").alias("id"))

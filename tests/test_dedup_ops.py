@@ -181,3 +181,26 @@ def test_connected_components_known_graph(spark):
     assert {(r["doc_id"], r["cluster_id"], r["cluster_size"]) for r in rows} == {
         (10, 10, 4), (20, 10, 4), (30, 10, 4), (40, 10, 4), (7, 7, 2), (9, 7, 2),
     }
+
+
+def test_connected_components_distributed_path_matches_driver(spark):
+    """Force the iterative distributed path (driver_threshold=0) and
+    assert it produces exactly the union-find result on a graph with
+    chains, a cycle, and singleton-pair components."""
+    from reddit_big_data_spark.operators.components import connected_components
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 1), (5, 6), (7, 8), (8, 9), (2, 4)]
+    edges = spark.createDataFrame(edge_list, "id_a: long, id_b: long")
+    fast = {
+        (r["id"], r["comp"])
+        for r in connected_components(edges, "id_a", "id_b").collect()
+    }
+    dist = {
+        (r["id"], r["comp"])
+        for r in connected_components(
+            edges, "id_a", "id_b", driver_threshold=0
+        ).collect()
+    }
+    assert fast == dist == {
+        (1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7), (8, 7), (9, 7),
+    }
