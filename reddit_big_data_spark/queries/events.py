@@ -173,3 +173,51 @@ def q59_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     return distinct_rollup(ev, "event_type", "user_id").orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q64 — two-phase salted aggregation as an oracle query: the skew-mitigation
+# shape (operators/skew.py) produces EXACTLY the plain GROUP BY answer —
+# phase 1 splits each hot key across 16 salt reducers, phase 2 combines at
+# most 16 partials per key. The oracle IS the plain GROUP BY, so this
+# checks algebraic-decomposition correctness (sum/count/min/max + avg via
+# sum-of-sums / sum-of-counts), not just plumbing.
+# --------------------------------------------------------------------------
+@register(
+    "q64_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 2) AS sum_value,
+           ROUND(AVG(value), 4) AS avg_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="two-phase salted aggregation == plain GROUP BY (skew mitigation)",
+)
+def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.skew import salted_aggregate
+
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_aggregate(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "cnt": ("count", "event_id"),  # non-null key == COUNT(*)
+            "sum_value": ("sum", "value"),
+            "avg_value": ("avg", "value"),
+            "min_value": ("min", "value"),
+            "max_value": ("max", "value"),
+        },
+    )
+    return out.select(
+        "event_type",
+        "cnt",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("avg_value", 4).alias("avg_value"),
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    ).orderBy("event_type")
