@@ -46,6 +46,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "AFTER TakeOrdered cuts them (50 rows at any scale), never the "
         "corpus",
     },
+    "q65_grouped_ols": {
+        "PY_ARROW": "deliberate grouped-map applyInPandas per-group model "
+        "fit — the API surface under demonstration; oracle pins the "
+        "closed form",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
