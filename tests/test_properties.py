@@ -145,3 +145,97 @@ def test_similarity_join_equals_brute_force(spark, sets, threshold):
         for r in similarity_join(df, "id", "s", threshold).collect()
     }
     assert got == truth
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from("abc"),
+            st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salt=st.sampled_from([1, 2, 16]),
+)
+def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salt):
+    """Property: two-phase salted aggregation is algebraically identical
+    to the plain groupBy for count/sum/min/max (exact) and avg (isclose:
+    sum-of-partials reassociates float addition)."""
+    import math
+
+    from reddit_big_data_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k: string, v: double")
+    got = {
+        r["k"]: r
+        for r in salted_aggregate(
+            df,
+            ["k"],
+            {
+                "cnt": ("count", "v"),
+                "s": ("sum", "v"),
+                "mn": ("min", "v"),
+                "mx": ("max", "v"),
+                "a": ("avg", "v"),
+            },
+            n_salt=n_salt,
+        ).collect()
+    }
+    want = {
+        r["k"]: r
+        for r in df.groupBy("k")
+        .agg(
+            F.count("v").alias("cnt"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+            F.avg("v").alias("a"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["cnt"] == want[k]["cnt"]
+        assert got[k]["mn"] == want[k]["mn"]
+        assert got[k]["mx"] == want[k]["mx"]
+        assert math.isclose(got[k]["s"], want[k]["s"], rel_tol=1e-9)
+        assert math.isclose(got[k]["a"], want[k]["a"], rel_tol=1e-9)
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es)),
+    force_distributed=st.booleans(),
+)
+def test_connected_components_matches_reference(spark, edges, force_distributed):
+    """Property: both component paths (driver union-find and distributed
+    min-label propagation) match a simple reachability reference on
+    random graphs with self-loops, duplicates, and cycles."""
+    from reddit_big_data_spark.operators.components import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    # python reference: iterate min-label to fixpoint
+    nodes = {x for e in edges for x in e}
+    label = {x: x for x in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in edges:
+            lo = min(label[a], label[b])
+            if label[a] != lo or label[b] != lo:
+                label[a] = label[b] = lo
+                changed = True
+    df = spark.createDataFrame(edges, "a: long, b: long")
+    got = {
+        (r["id"], r["comp"])
+        for r in connected_components(
+            df, "a", "b", driver_threshold=0 if force_distributed else 10**6
+        ).collect()
+    }
+    assert got == set(label.items())
