@@ -124,3 +124,16 @@ def test_lint_accepts_partitioned_window(spark):
         "rn", F.row_number().over(Window.partitionBy("g").orderBy("id"))
     )
     assert not [f for f in lint_plan(df) if f.code == "GLOBAL_WINDOW"]
+
+
+def test_q05_hints_only_dim_broadcasts(spark):
+    """VERDICT r1 #4 regression guard: q05 may HINT broadcast only for the
+    genuinely tiny dims (nation, region) — never the customer fact
+    fraction. AQE remains free to broadcast at runtime where sizes allow;
+    this pins what the USER plan demands."""
+    df = _QUERIES["q05_broadcast_join_chain"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    hinted = [ln for ln in plan.splitlines() if "strategy=broadcast" in ln]
+    assert len(hinted) == 2, hinted  # nation + region joins only
+    fact_join = [ln for ln in plan.splitlines() if "join_key" in ln and "Join" in ln]
+    assert fact_join and all("Hint" not in ln for ln in fact_join), fact_join
