@@ -445,3 +445,93 @@ def q29_dedup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q66 — benchmark decontamination: flag training documents sharing ANY
+# winnowing fingerprint with a held-out probe set (source = 'src0' plays
+# the benchmark) — the contamination scan every serious pretraining run
+# performs before training. Winnowing's guarantee makes this catch every
+# verbatim overlap of length >= k + window - 1 = 8 chars; the fingerprint
+# equi-join keys on the 28-bit hash (probe fingerprint set is tiny
+# relative to the corpus -> AQE broadcasts it at any scale).
+# --------------------------------------------------------------------------
+@register(
+    "q66_decontamination",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram
+      FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'gram': substr(text, CAST(i AS INTEGER), 5)}
+                       for i in generate_series(1, length(text) - 4)]) AS u
+        FROM documents
+        WHERE length(text) >= 5
+      )
+    ),
+    hashed AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(gram), 1, 7))::BIGINT AS h
+      FROM grams
+    ),
+    mins AS (
+      SELECT doc_id, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             MAX(pos) OVER (PARTITION BY doc_id) AS max_pos
+      FROM hashed
+    ),
+    fps AS (
+      SELECT DISTINCT doc_id, fp FROM mins WHERE pos <= max_pos - 3
+    ),
+    probe_fps AS (
+      SELECT DISTINCT fp
+      FROM fps JOIN documents USING (doc_id)
+      WHERE source = 'src0'
+    ),
+    contaminated AS (
+      SELECT DISTINCT fps.doc_id
+      FROM fps JOIN probe_fps USING (fp)
+    )
+    SELECT d.lang,
+           COUNT(*) AS train_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS contaminated_docs,
+           ROUND(AVG(CASE WHEN c.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
+             AS contamination_rate
+    FROM documents d LEFT JOIN contaminated c USING (doc_id)
+    WHERE d.source <> 'src0'
+    GROUP BY d.lang
+    ORDER BY d.lang
+    """,
+    doc="benchmark decontamination via shared winnowing fingerprints",
+)
+def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.dedup import winnowing_fingerprints
+
+    docs = read_table(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    probe_fps = (
+        fps.join(
+            docs.filter(F.col("source") == "src0").select("doc_id"), "doc_id"
+        )
+        .select("fp")
+        .distinct()
+    )
+    contaminated = fps.join(probe_fps, "fp").select("doc_id").distinct()
+    hit = F.when(F.col("c_id").isNotNull(), 1.0).otherwise(0.0)
+    return (
+        docs.filter(F.col("source") != "src0")
+        .join(
+            contaminated.withColumnRenamed("doc_id", "c_id"),
+            F.col("doc_id") == F.col("c_id"),
+            "left",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("train_docs"),
+            F.sum(hit.cast("long")).alias("contaminated_docs"),
+            F.round(F.avg(hit), 4).alias("contamination_rate"),
+        )
+        .orderBy("lang")
+    )

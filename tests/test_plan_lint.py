@@ -73,7 +73,7 @@ for _q in (
     "q37_repetition_signals q45_kmeans q27_pricing_summary "
     "q46_int8_quantization q39_sequence_packing q29_dedup_materialized "
     "q59_sketch_rollup q28_grouping_sets q47_stratified_sample "
-    "q64_salted_agg "
+    "q64_salted_agg q66_decontamination "
     "q36_prefix_simjoin q40_cosine_topk q41_lsh_ann "
     "q42_label_centroids q50_json_props q51_tumbling_windows "
     "q52_binary_payloads q53_sessionization q54_asof_join q55_time_rollup "
