@@ -52,6 +52,11 @@ _ALLOW: dict[str, dict[str, str]] = {
         "closed form",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
+    "q68_porter_stems": {
+        "PY_ARROW": "dictionary stemming: the Arrow stage stems the DISTINCT "
+        "vocabulary only (|vocab| rows), broadcast-joined back — the corpus "
+        "never enters Python",
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
@@ -78,7 +83,8 @@ for _q in (
     "q42_label_centroids q50_json_props q51_tumbling_windows "
     "q52_binary_payloads q53_sessionization q54_asof_join q55_time_rollup "
     "q56_range_join q57_pivot q58_cube "
-    "q61_string_indexer q62_class_weights q63_corr_matrix"
+    "q61_string_indexer q62_class_weights q63_corr_matrix "
+    "q67_nested_struct q68_porter_stems"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
 
