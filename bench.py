@@ -53,21 +53,34 @@ def main() -> int:
             _force(df)
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # keep benching the rest
-            failures[name] = f"{type(exc).__name__}: {exc}"[:200]
+            failures[name] = f"{type(exc).__name__}: {exc}"[:80]
             print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
+        finally:
+            # Operators that persist() internally (simjoin, LSH, IVF,
+            # global-rank) cannot unpersist what their consumer hasn't
+            # materialized yet; dropping the cache between queries keeps
+            # blocks from accumulating across the 68-query sweep and
+            # distorting later timings (ADVICE r2).
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
+    # Short qNN keys: the driver captures a bounded tail of stdout and
+    # parses the JSON line out of it — round 2's full-name keys pushed the
+    # line past the window and parsed=null. qNN prefixes are unique.
+    short = {name.split("_", 1)[0]: t for name, t in sorted(timings.items())}
     result = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": short,
         "sf": sf,
         "cpus": cpus,
         "n_queries": len(timings),
     }
     if failures:
-        result["failures"] = failures
+        result["failures"] = {
+            name.split("_", 1)[0]: msg for name, msg in failures.items()
+        }
     print(json.dumps(result))
     return 0
 
