@@ -38,9 +38,13 @@ def bucketed_range_join(
     w = float(bucket_width)
     pb = points.withColumn("__bucket", F.floor(F.col(point_col) / w))
     lo_b = F.floor(F.col(lo_col) / w)
-    # hi is exclusive: a range ending exactly on a bucket edge does not
-    # occupy the next bucket
-    hi_b = F.floor((F.col(hi_col) - F.lit(1e-9)) / w)
+    # floor(hi/w) unconditionally: when hi lands exactly on a bucket edge
+    # the range claims one extra bucket, whose candidates the exact
+    # predicate below removes anyway. An epsilon-subtraction "exclusive"
+    # trick would silently DROP matches for any hi strictly inside
+    # (N*w, N*w + eps] — and the epsilon itself vanishes for
+    # large-magnitude hi under float64.
+    hi_b = F.floor(F.col(hi_col) / w)
     rb = ranges.withColumn(
         "__bucket", F.explode(F.sequence(lo_b.cast("long"), hi_b.cast("long")))
     )

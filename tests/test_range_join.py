@@ -47,3 +47,29 @@ def test_range_edge_on_bucket_edge(spark):
     ranges = spark.createDataFrame([(0.0, 50.0, "a")], "lo: double, hi: double, tag: string")
     out = bucketed_range_join(points, ranges, "v", "lo", "hi", bucket_width=50.0)
     assert out.count() == 0
+
+
+def test_hi_just_inside_next_bucket(spark):
+    # ADVICE r2 regression: hi strictly inside (N*w, N*w + 1e-9) — the old
+    # epsilon subtraction computed hi_b = N-1 and silently dropped points
+    # sitting in bucket N that the range legitimately covers.
+    points = spark.createDataFrame([(1, 50.0)], "id: int, v: double")
+    ranges = spark.createDataFrame(
+        [(0.0, 50.0 + 5e-10, "a")], "lo: double, hi: double, tag: string"
+    )
+    out = bucketed_range_join(points, ranges, "v", "lo", "hi", bucket_width=50.0)
+    assert [r["tag"] for r in out.collect()] == ["a"]
+
+
+def test_large_magnitude_hi_epsilon_vanishes(spark):
+    # at |hi| ~ 1e12 a 1e-9 epsilon is below float64 ULP; the fix must not
+    # depend on it. hi exactly on a bucket edge stays exclusive.
+    base = 1.0e12
+    points = spark.createDataFrame(
+        [(1, base), (2, base - 1.0)], "id: int, v: double"
+    )
+    ranges = spark.createDataFrame(
+        [(base - 50.0, base, "a")], "lo: double, hi: double, tag: string"
+    )
+    out = bucketed_range_join(points, ranges, "v", "lo", "hi", bucket_width=50.0)
+    assert {r["id"] for r in out.collect()} == {2}
