@@ -19,11 +19,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _assign(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFrame:
-    """Add `cluster` (int, argmin of squared L2) and `sq_dist` columns."""
+def _assign(
+    df: DataFrame,
+    vec_col: str,
+    centers: list[list[float]],
+    cids: list[int] | None = None,
+) -> DataFrame:
+    """Add `cluster` (int, argmin of squared L2) and `sq_dist` columns.
+    `cids` maps center positions back to stable cluster ids (centers of
+    emptied clusters are dropped between rounds, so position != id)."""
+    if cids is None:
+        cids = list(range(len(centers)))
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
     )
+    cid_lit = F.array(*[F.lit(int(c)) for c in cids])
     vec = F.col(vec_col).cast("array<double>")
     dists = F.transform(
         cent_lit,
@@ -33,11 +43,13 @@ def _assign(df: DataFrame, vec_col: str, centers: list[list[float]]) -> DataFram
             lambda acc, d: acc + d,
         ),
     )
+    # array_position returns the FIRST minimum (1-based); cids ascend, so
+    # ties break toward the lowest cid — same as the oracle's ORDER BY d, cid.
     return df.withColumn("__dists", dists).select(
         "*",
-        (F.array_position("__dists", F.array_min("__dists")) - 1)
-        .cast("int")
-        .alias("cluster"),
+        F.element_at(
+            cid_lit, F.array_position("__dists", F.array_min("__dists")).cast("int")
+        ).alias("cluster"),
         F.array_min("__dists").alias("sq_dist"),
     ).drop("__dists")
 
@@ -51,7 +63,13 @@ def kmeans_assign(
 ) -> DataFrame:
     """Run `iters` assignment passes (so iters - 1 centroid updates in
     between); return df + (cluster, sq_dist) under the final centroids.
-    Empty clusters keep their previous centroid."""
+
+    A cluster that empties in an update round is DROPPED (its centroid
+    does not survive as a zombie that could win later argmins); surviving
+    clusters keep their original ids. This matches the q45 oracle, whose
+    per-round centroid CTE only contains cids with members (ADVICE r2) —
+    e.g. duplicate init vectors tie-break every point to the lower cid,
+    emptying the higher one immediately."""
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     init = (
@@ -61,9 +79,9 @@ def kmeans_assign(
         .collect()
     )
     centers = [list(r["e"]) for r in init]
-    k = len(centers)  # fewer rows than k: every point is its own centroid
+    cids = list(range(len(centers)))  # < k rows: every point its own centroid
     for _ in range(iters - 1):
-        assigned = _assign(df, vec_col, centers)
+        assigned = _assign(df, vec_col, centers, cids)
         flat = assigned.select(
             "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
         )
@@ -72,10 +90,10 @@ def kmeans_assign(
             .agg(F.avg("col").alias("c"))
             .collect()
         )
-        new = {cid: list(c) for cid, c in enumerate(centers)}
         by_cid: dict[int, list[float]] = {}
         for r in rows:
             by_cid.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["c"]
-        new.update(by_cid)
-        centers = [new[c] for c in range(k)]
-    return _assign(df, vec_col, centers)
+        # emptied clusters vanish; survivors keep their cid labels
+        cids = sorted(by_cid)
+        centers = [by_cid[c] for c in cids]
+    return _assign(df, vec_col, centers, cids)

@@ -43,6 +43,33 @@ def test_k_exceeding_corpus_degrades_gracefully(spark):
     assert all(r["sq_dist"] == 0.0 for r in out)
 
 
+def test_empty_cluster_dropped_not_zombie(spark):
+    # ADVICE r2: duplicate init vectors -> the argmin tie sends every point
+    # to the lower cid, emptying cluster 1 in round 1. The old code kept
+    # cluster 1's INIT centroid, which then beat the moved cluster-0 mean
+    # in the final assignment (d=0 for the duplicate points) — a cid the
+    # oracle's members-only centroid CTE can never assign. Emptied
+    # clusters must be dropped.
+    df = spark.createDataFrame(
+        [(1, [5.0]), (2, [5.0]), (3, [7.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    out = kmeans_assign(df, "vec_id", "embedding", k=2, iters=2).collect()
+    assert {r["cluster"] for r in out} == {0}
+
+
+def test_surviving_clusters_keep_cid_labels(spark):
+    # cluster 0 empties (duplicate inits tie to it... construct the inverse:
+    # ids 1,2 duplicate => cluster 1 empties; cluster 2's far blob must
+    # keep label 2, not be renumbered to 1, after the drop.
+    rows = [(1, [5.0]), (2, [5.0]), (3, [100.0]), (4, [101.0]), (5, [99.0])]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    out = {r["vec_id"]: r["cluster"]
+           for r in kmeans_assign(df, "vec_id", "embedding", k=3, iters=3).collect()}
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == out[4] == out[5] == 2
+
+
 def test_deterministic_across_runs(spark):
     df = _planted(spark, per_cluster=10)
     a = sorted((r["vec_id"], r["cluster"]) for r in
