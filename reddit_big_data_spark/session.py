@@ -52,12 +52,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     Queries in this package assume UTC session time and AQE; calling this
     is idempotent and cheap.
     """
+    # Confs whose silent loss produces WRONG RESULTS (not just slower
+    # plans): fail loudly at the set site instead of surfacing later as a
+    # confusing parquet-reader or timestamp mismatch far from the cause.
+    critical = {"spark.sql.session.timeZone", "spark.sql.legacy.parquet.nanosAsLong"}
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception as exc:  # pragma: no cover - build-specific confs
-            # Never silently drop a correctness-critical conf (UTC pin,
-            # nanosAsLong): name it so a downstream failure is diagnosable.
+            if k in critical:
+                raise RuntimeError(
+                    f"required conf {k}={v} could not be set on this session"
+                ) from exc
             import warnings
 
             warnings.warn(f"could not set {k}={v}: {exc}", stacklevel=2)

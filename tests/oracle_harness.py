@@ -48,7 +48,12 @@ def _sort_key(row):
     hard, soft = [], []
     for c in row:
         if isinstance(c, tuple) and c and c[0] == "f":
-            soft.append(f"{c[1]:.6e}")
+            x = c[1]
+            # Numeric coarse bucket first (a %.6e STRING key sorted
+            # negatives backwards), FULL value as tie-break: rows that
+            # genuinely differ but agree at 7 sig figs still pair
+            # deterministically on both sides (ADVICE r1/r2).
+            soft.append((float(f"{x:.6e}"), x))
         else:
             hard.append((str(type(c)), str(c)))
     return (hard, soft)
