@@ -5,8 +5,15 @@ Not present in the reference (its corpora are id-keyed Reddit dumps); this
 is the LLM-pipeline extension from the builder brief. Every step is
 SQL-expressible (md5 exists in both engines), so each query carries a full
 DuckDB oracle — including the LSH one, whose oracle is the brute-force
-all-pairs truth: LSH recall at the planted-pair similarity (~0.99, b=16
-r=2 => miss prob ~1e-27) makes Spark-vs-oracle equality deterministic.
+all-pairs truth. q31 runs 8 bands x 8 rows (S-curve midpoint
+(1/8)^(1/8) ~= 0.77), so Spark-vs-oracle EQUALITY additionally assumes a
+corpus gap: no qualifying pair may fall in the ~[0.6, 0.9) band where
+8x8 LSH has material miss probability. The sf0.01 testdata satisfies it —
+every brute-force pair >= 0.909 Jaccard, where the miss probability is
+<1% and the seeded MinHash permutations make the outcome a fixed
+function of the data. tests/test_dedup_ops.py::test_q31_corpus_gap
+pins the assumption so a testdata change fails THERE, not as an opaque
+driver hash mismatch.
 
 Alignment notes:
 - tokens = normalize -> split(' ') (no stopword/stem: dedup wants raw
@@ -90,10 +97,11 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q31 — MinHash-LSH near-duplicate pairs (word 2-shingles, 32 hashes in 16
-# bands x 2 rows, exact-Jaccard verify at 0.6). The Spark side NEVER forms
+# q31 — MinHash-LSH near-duplicate pairs (word 2-shingles, 64 hashes in 8
+# bands x 8 rows, exact-Jaccard verify at 0.6). The Spark side NEVER forms
 # the all-pairs space; the oracle IS the all-pairs brute force, so this
-# checks LSH recall, not just arithmetic.
+# checks LSH recall, not just arithmetic (see module docstring for the
+# corpus-gap assumption that makes equality deterministic).
 # --------------------------------------------------------------------------
 @register(
     "q31_minhash_neardup",

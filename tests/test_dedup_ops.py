@@ -204,3 +204,44 @@ def test_connected_components_distributed_path_matches_driver(spark):
     assert fast == dist == {
         (1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7), (8, 7), (9, 7),
     }
+
+
+def test_q31_corpus_gap(duck):
+    """Pin the corpus-gap assumption that makes q31's Spark==oracle equality
+    deterministic: 8x8 LSH has material miss probability for pairs in
+    roughly [0.6, 0.9) Jaccard; the testdata must contain NO qualifying
+    pair in that band. If testdata regeneration ever plants one, THIS
+    fails — instead of q31 flaking at the driver's hash gate."""
+    from tests.conftest import SF_ORACLE
+
+    duck.execute(
+        "CREATE OR REPLACE VIEW __gap_docs AS SELECT * FROM "
+        f"read_parquet('{SF_ORACLE}/documents.parquet')"
+    )
+    js = [
+        r[0]
+        for r in duck.execute(
+            """
+            WITH norm AS (
+              SELECT doc_id,
+                     string_split(trim(regexp_replace(regexp_replace(lower(text),
+                         '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM __gap_docs
+            ),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([toks[i] || ' ' || toks[i+1]
+                                    for i in generate_series(1, len(toks)-1)]) AS shingles
+              FROM norm
+            )
+            SELECT CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) AS j
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.6
+            """
+        ).fetchall()
+    ]
+    assert js, "expected planted near-dup pairs in the testdata"
+    in_band = [j for j in js if j < 0.9]
+    assert not in_band, f"qualifying pairs inside the LSH low-recall band: {in_band}"

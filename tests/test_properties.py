@@ -210,32 +210,37 @@ def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salt):
         st.tuples(st.integers(0, 15), st.integers(0, 15)),
         min_size=1,
         max_size=25,
-    ).filter(lambda es: any(a != b for a, b in es)),
-    force_distributed=st.booleans(),
+    ),
+    path=st.sampled_from(["driver", "star", "label"]),
 )
-def test_connected_components_matches_reference(spark, edges, force_distributed):
-    """Property: both component paths (driver union-find and distributed
-    min-label propagation) match a simple reachability reference on
-    random graphs with self-loops, duplicates, and cycles."""
+def test_connected_components_matches_reference(spark, edges, path):
+    """Property: ALL three component paths (driver union-find, distributed
+    large-star/small-star, min-label propagation) match a simple
+    reachability reference on random graphs with self-loops (including
+    self-loop-ONLY nodes — ADVICE r2: every path must surface them as
+    singleton components), duplicates, and cycles."""
     from reddit_big_data_spark.operators.components import connected_components
 
-    edges = [(a, b) for a, b in edges if a != b]
-    # python reference: iterate min-label to fixpoint
+    # python reference: self-loops register the node but link nothing
     nodes = {x for e in edges for x in e}
+    real = [(a, b) for a, b in edges if a != b]
     label = {x: x for x in nodes}
     changed = True
     while changed:
         changed = False
-        for a, b in edges:
+        for a, b in real:
             lo = min(label[a], label[b])
             if label[a] != lo or label[b] != lo:
                 label[a] = label[b] = lo
                 changed = True
     df = spark.createDataFrame(edges, "a: long, b: long")
+    kwargs = (
+        {"algorithm": "auto", "driver_threshold": 10**6}
+        if path == "driver"
+        else {"algorithm": path}
+    )
     got = {
         (r["id"], r["comp"])
-        for r in connected_components(
-            df, "a", "b", driver_threshold=0 if force_distributed else 10**6
-        ).collect()
+        for r in connected_components(df, "a", "b", **kwargs).collect()
     }
     assert got == set(label.items())
