@@ -18,8 +18,8 @@ Scale notes:
 - lsh_topk prunes the comparison space with L hash tables of b-bit
   random-hyperplane buckets: candidates share a bucket in >=1 table.
   Hyperplane components are deterministic +/-1 derived from (table, plane,
-  dim) by an LCG parity — reproducible across runs and engines, no RNG
-  state to ship.
+  dim) by a splitmix64 parity — reproducible across runs and engines, no
+  RNG state to ship.
 """
 
 from __future__ import annotations
@@ -80,12 +80,25 @@ def brute_force_topk(
     )
 
 
+_M64 = (1 << 64) - 1
+
+
 def _hyperplane(table: int, plane: int, dims: int) -> list[float]:
-    """Deterministic +/-1 hyperplane from an LCG over (table, plane, dim)."""
+    """Deterministic +/-1 hyperplane per (table, plane, dim) via the
+    splitmix64 finalizer (Steele/Lea/Vigna — public-domain mixing
+    constants). A raw LCG parity here produced near-IDENTICAL planes
+    across tables (low-bit periodicity under the regular 64/4096 argument
+    strides), so one unlucky split repeated in every table and clone
+    pairs at cosine 0.997 could miss ALL buckets; full avalanche makes
+    per-table misses independent, restoring the 1-(1-p^b)^L recall
+    model."""
     out = []
     for i in range(dims):
-        h = (1103515245 * (i + 64 * plane + 4096 * table) + 12345) % 2147483648
-        out.append(1.0 if (h >> 16) & 1 else -1.0)
+        z = (i + 64 * plane + 4096 * table + 0x9E3779B97F4A7C15) & _M64
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
+        z ^= z >> 31
+        out.append(1.0 if z & 1 else -1.0)
     return out
 
 
@@ -168,21 +181,66 @@ def cosine_candidate_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     slack: float = 1e-6,
+    mode: str = "auto",
+    broadcast_threshold_rows: int = 2_000_000,
+    block_rows: int = 200_000,
+    n_planes: int = 8,
+    n_tables: int = 12,
+    dims: int = 64,
 ) -> DataFrame:
     """All-pairs cosine candidate generation: (id_a, id_b) with id_a < id_b
-    and cosine >= threshold - slack.
+    and cosine >= threshold - slack. The `slack` margin absorbs
+    BLAS-vs-sequential-fold summation differences, so an exact recompute
+    downstream (see queries/similarity.py q44) keeps final values
+    bit-identical to a sequential-fold oracle.
 
-    Block-nested-loop: one side is broadcast as a normalized float64 NumPy
-    matrix (embeddings are cheap — 64 floats/row), the other side streams
-    through mapInPandas doing one BLAS matmul per Arrow batch. The `slack`
-    margin absorbs BLAS-vs-sequential-fold summation differences, so an
-    exact recompute downstream (see queries/similarity.py q44) keeps final
-    values bit-identical to a sequential-fold oracle.
+    Three strategies (size-gated like `connected_components`):
 
-    Scale contract: the broadcast side must fit in executor memory (same
-    constraint as F.broadcast). Beyond that, pre-filter the pair space with
-    lsh_topk/ivf_topk buckets and verify those candidates instead.
+    - ``broadcast`` (auto at <= `broadcast_threshold_rows` rows): the
+      corpus is collected once, broadcast as a normalized float64 matrix,
+      and streamed against itself via mapInPandas + one BLAS matmul per
+      Arrow batch. Fastest when one side fits in executor memory; the
+      collect is the driver-memory bound VERDICT r2 flagged.
+    - ``blocked`` (auto above the threshold): EXACT distributed all-pairs.
+      Rows hash into B = ceil(n/block_rows) blocks; each row replicates to
+      the B block-pairs it participates in; one groupBy(block-pair) +
+      per-task BLAS matmul. No driver collect, no corpus broadcast —
+      memory per task is 2 x block_rows vectors, communication is n*B
+      rows. The n^2/2 flops are inherent to an EXACT all-pairs contract;
+      this spreads them across the cluster instead of capping corpus size
+      at driver RAM.
+    - ``lsh``: approximate prefilter — random-hyperplane bucket collision
+      in >=1 of `n_tables` tables, then native exact cosine at
+      threshold - slack. Near-linear, but NOT auto-selected: recall for a
+      pair at cosine s is 1-(1-p^n_planes)^n_tables with
+      p = 1 - arccos(s)/pi, which at q44's threshold 0.35 is <15% for
+      borderline pairs (p ~= 0.61). Only sound when qualifying pairs are
+      far above the threshold (e.g. true near-dups at >= 0.9, where the
+      default 8x12 gives miss < 1e-4) — an explicit, documented recall
+      contract, like q31's corpus-gap assumption.
     """
+    if mode == "auto":
+        mode = (
+            "broadcast"
+            if corpus.select(id_col).count() <= broadcast_threshold_rows
+            else "blocked"
+        )
+    if mode == "broadcast":
+        return _broadcast_candidate_pairs(corpus, threshold, id_col, emb_col, slack)
+    if mode == "blocked":
+        return _blocked_candidate_pairs(
+            corpus, threshold, id_col, emb_col, slack, block_rows
+        )
+    if mode == "lsh":
+        return _lsh_candidate_pairs(
+            corpus, threshold, id_col, emb_col, slack, n_planes, n_tables, dims
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _broadcast_candidate_pairs(
+    corpus: DataFrame, threshold: float, id_col: str, emb_col: str, slack: float
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -207,6 +265,130 @@ def cosine_candidate_pairs(
             yield pd.DataFrame({"id_a": a_ids[i], "id_b": ids_b[j]})
 
     return corpus.select(id_col, emb_col).mapInPandas(gen, "id_a long, id_b long")
+
+
+def _blocked_candidate_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    slack: float,
+    block_rows: int,
+) -> DataFrame:
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    n = corpus.select(id_col).count()
+    n_blocks = max(1, math.ceil(n / max(1, block_rows)))
+    # Every unordered block pair (bi <= bj); a row in block k serves as the
+    # A side of (k, j>=k) and the B side of (i<=k, k) — n_blocks pairs per
+    # row, each unordered id pair landing in EXACTLY one group.
+    pair_rows = [
+        (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
+    ]
+    pairs_df = spark.createDataFrame(pair_rows, "bi int, bj int")
+    blocked = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(emb_col).alias("__emb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    repl = blocked.join(
+        F.broadcast(pairs_df),
+        (F.col("__blk") == F.col("bi")) | (F.col("__blk") == F.col("bj")),
+    )
+
+    def emit(key, pdf):
+        bi, bj = int(key[0]), int(key[1])
+        a = pdf[pdf["__blk"] == bi]
+        b = pdf[pdf["__blk"] == bj] if bi != bj else a
+        if len(a) == 0 or len(b) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+        a_ids = a["__id"].to_numpy()
+        b_ids = b["__id"].to_numpy()
+        a_mat = np.stack(a["__emb"].to_numpy()).astype(np.float64)
+        a_mat /= np.linalg.norm(a_mat, axis=1, keepdims=True)
+        if bi != bj:
+            b_mat = np.stack(b["__emb"].to_numpy()).astype(np.float64)
+            b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
+        else:
+            b_mat = a_mat
+        sims = a_mat @ b_mat.T
+        if bi == bj:
+            # same-block: every unordered pair appears at BOTH (i,j) and
+            # (j,i); strict < keeps one and drops the self-diagonal.
+            mask = (sims >= threshold - slack) & (a_ids[:, None] < b_ids[None, :])
+            i, j = np.nonzero(mask)
+            id_a, id_b = a_ids[i], b_ids[j]
+        else:
+            # cross-block: each unordered pair appears exactly once, but
+            # block hashing ignores id order — normalize to (min, max).
+            i, j = np.nonzero(sims >= threshold - slack)
+            x, y = a_ids[i], b_ids[j]
+            id_a, id_b = np.minimum(x, y), np.maximum(x, y)
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b})
+
+    return repl.groupBy("bi", "bj").applyInPandas(emit, "id_a long, id_b long")
+
+
+def _lsh_candidate_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    slack: float,
+    n_planes: int,
+    n_tables: int,
+    dims: int,
+) -> DataFrame:
+    """Hyperplane-bucket prefilter + native exact-cosine verify. Candidates
+    share a (table, bucket) key — an equi-join, never all-pairs — and the
+    survivors are re-scored with the sequential-fold HOF dot, so precision
+    is exact; only RECALL is approximate (see cosine_candidate_pairs)."""
+    def banded(role: str) -> DataFrame:
+        tables = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    lsh_bucket(F.col(emb_col), t, n_planes, dims).alias("bucket"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+        return corpus.select(
+            F.col(id_col).alias(f"id_{role}"),
+            F.explode(tables).alias("__tb"),
+        ).select(
+            f"id_{role}",
+            F.col("__tb.tbl").alias("tbl"),
+            F.col("__tb.bucket").alias("bucket"),
+        )
+
+    cand = (
+        banded("a")
+        .join(banded("b"), ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = corpus.select(
+        F.col(id_col), F.col(emb_col), norm(F.col(emb_col)).alias("__n")
+    )
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("__e_a"), F.col("__n").alias("__n_a")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("__e_b"), F.col("__n").alias("__n_b")
+    )
+    sim = dot(F.col("__e_a"), F.col("__e_b")) / (F.col("__n_a") * F.col("__n_b"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(sim >= threshold - slack)
+        .select("id_a", "id_b")
+    )
 
 
 def ivf_assign(

@@ -147,13 +147,17 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q44 — embedding-cosine near-duplicate pairs (the 5th dedup flavor from
 # the brief): all pairs with cosine >= 0.35, exact. Two stages:
-#   1. candidate pruning — block-nested-loop matmul (mapInPandas + BLAS,
-#      broadcast normalized corpus matrix) at threshold - 1e-6;
+#   1. candidate pruning at threshold - 1e-6, SIZE-GATED (VERDICT r2 #3):
+#      small corpora use the broadcast BLAS matmul; above the gate the
+#      EXACT triangle-blocked distributed matmul takes over (no driver
+#      collect, no corpus broadcast — operators/similarity.py). The LSH
+#      prefilter is deliberately NOT the scale default here: qualifying
+#      testdata pairs sit at cosine 0.35-0.55 where hyperplane-bucket
+#      recall is <15%, so it exists only as an explicit approximate mode
+#      for >=0.9-style thresholds.
 #   2. exact verify — the surviving pairs (a tiny fraction) rejoin their
 #      arrays and recompute the sequential-fold HOF dot, so final values
 #      are bit-identical to the DuckDB oracle's list_sum fold.
-# At true scale stage 1 swaps for the LSH/IVF bucket candidates (q41/q43);
-# stage 2 is unchanged — that is the near-dup verify pattern.
 # --------------------------------------------------------------------------
 @register(
     "q44_cosine_neardup",

@@ -116,3 +116,76 @@ def test_ivf_assignment_is_total(spark):
     assigned = ivf_assign(df, cents)
     assert assigned.count() == df.count()  # every vector lands in exactly one cell
     assert assigned.select("cell").distinct().count() <= 4
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_blocked_candidate_pairs_match_broadcast(spark):
+    """VERDICT r2 #3: the distributed triangle-blocked path must return
+    IDENTICAL pairs to the driver-broadcast path (both are exact; the
+    blocked one just removes the driver-memory bound). block_rows=7 forces
+    many blocks, including ragged and same-block (diagonal) groups."""
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    rows = [(vid, emb) for vid, _, emb in _planted(seed=3, n_clusters=4, per_cluster=10)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    want = _pair_set(cosine_candidate_pairs(df, 0.6, mode="broadcast"))
+    got = _pair_set(cosine_candidate_pairs(df, 0.6, mode="blocked", block_rows=7))
+    assert want  # planted clusters must actually produce pairs
+    assert got == want
+
+
+def test_blocked_single_block_degenerate(spark):
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    rows = [(vid, emb) for vid, _, emb in _planted(seed=5, n_clusters=2, per_cluster=4)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    want = _pair_set(cosine_candidate_pairs(df, 0.6, mode="broadcast"))
+    got = _pair_set(cosine_candidate_pairs(df, 0.6, mode="blocked", block_rows=10**6))
+    assert got == want
+
+
+def test_auto_gate_routes_to_blocked(spark):
+    """auto with a zero-ish broadcast threshold must route through the
+    blocked path and still produce the exact pair set."""
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    rows = [(vid, emb) for vid, _, emb in _planted(seed=11, n_clusters=3, per_cluster=6)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    want = _pair_set(cosine_candidate_pairs(df, 0.6, mode="broadcast"))
+    got = _pair_set(
+        cosine_candidate_pairs(
+            df, 0.6, mode="auto", broadcast_threshold_rows=0, block_rows=5
+        )
+    )
+    assert got == want
+
+
+def test_lsh_candidate_pairs_recall_at_high_threshold(spark):
+    """The approximate mode's documented contract: at near-dup-grade
+    thresholds (pairs ~0.99 cosine from 5%-noise clones), the 8x12
+    hyperplane prefilter + exact verify recovers the full exact pair set.
+    (At LOW thresholds it may not — that is why it is never auto-picked.)"""
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    rows = [(vid, emb) for vid, _, emb in _planted(seed=9, n_clusters=4, per_cluster=6, dims=16)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    want = _pair_set(cosine_candidate_pairs(df, 0.95, mode="broadcast"))
+    got = _pair_set(cosine_candidate_pairs(df, 0.95, mode="lsh", dims=16))
+    assert want
+    assert got == want
+
+
+def test_lsh_candidate_pairs_no_cartesian(spark):
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    rows = [(vid, emb) for vid, _, emb in _planted(seed=9, dims=16)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    plan = (
+        cosine_candidate_pairs(df, 0.95, mode="lsh", dims=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
