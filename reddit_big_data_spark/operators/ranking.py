@@ -46,23 +46,29 @@ def with_global_rank(
     # Re-computing `ranged` later must reproduce identical partition
     # boundaries; RangePartitioner's reservoir sampling is seeded per
     # partition, so it is deterministic for a fixed input — but persist()
-    # removes even that assumption for the two passes below.
+    # removes even that assumption for the two passes below. (Released by
+    # the caller's between-query clearCache — an internal unpersist would
+    # fire before the consumer materializes.)
     ranged = ranged.persist()
     sizes = {r[_PID]: r["cnt"] for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(sizes):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += sizes[pid]
 
-    offset_expr = F.lit(0)
-    for pid, off in offsets.items():
-        offset_expr = F.when(F.col(_PID) == pid, F.lit(off)).otherwise(offset_expr)
-
+    # Broadcast-join the (pid, offset) map instead of compiling it into an
+    # O(P)-deep when-chain: at thousands of range partitions the chain is
+    # a Catalyst expression-tree hazard (deep recursion in every transform
+    # pass); a 1-row-per-partition broadcast hash join is flat (VERDICT r2).
+    offset_df = df.sparkSession.createDataFrame(
+        offsets, f"{_PID} int, __rank_offset long"
+    )
     w = Window.partitionBy(_PID).orderBy(*order_cols)
     out = (
         ranged.withColumn(_LOCAL_RN, F.row_number().over(w))
-        .withColumn(rank_col, (offset_expr + F.col(_LOCAL_RN)).cast("long"))
-        .drop(_PID, _LOCAL_RN)
+        .join(F.broadcast(offset_df), _PID)
+        .withColumn(rank_col, (F.col("__rank_offset") + F.col(_LOCAL_RN)).cast("long"))
+        .drop(_PID, _LOCAL_RN, "__rank_offset")
     )
     return out
 

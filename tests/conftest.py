@@ -20,6 +20,18 @@ def spark():
     s.stop()
 
 
+@pytest.fixture(autouse=True)
+def _drop_cached_blocks(request):
+    """Operators that persist() internally (minhash signatures, IVF
+    assignment, global-rank offsets) cannot unpersist what their consumer
+    has not materialized yet; without cleanup the cached blocks accumulate
+    across the several-hundred-test session and distort memory/timings
+    (ADVICE r2). Mirror of bench.py's between-query clearCache."""
+    yield
+    if "spark" in request.fixturenames:
+        request.getfixturevalue("spark").catalog.clearCache()
+
+
 @pytest.fixture(scope="session")
 def duck():
     import duckdb
