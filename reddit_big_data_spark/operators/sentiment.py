@@ -73,3 +73,60 @@ class LexiconSentimentScorer(Transformer):
         for name, expr in cols.items():
             out = out.withColumn(name, expr)
         return out
+
+
+class SparkNLPSentimentScorer(Transformer):
+    """Optional-extra adapter for the reference's pretrained DL scorer
+    (John Snow Labs ``analyze_sentimentdl_use_twitter``,
+    code/nlp/Sentiment_Analysis.py:97-117). Same output schema as
+    LexiconSentimentScorer, so the two swap freely inside a Pipeline.
+
+    Requires the ``sparknlp`` extra (and its model download) — absent
+    here by design: offline CI must never depend on a model fetch, so
+    construction raises ImportError and `sentiment_scorer()` falls back
+    to the lexicon Transformer. Unlike the reference, annotation structs
+    are unpacked with native element_at/getField — not row-at-a-time
+    UDFs (reference Sentiment_Analysis.py:119-141's udf chain)."""
+
+    def __init__(self, inputCol: str = "text", model: str = "analyze_sentimentdl_use_twitter"):
+        import sparknlp  # noqa: F401 — ImportError is the advertised contract
+        from sparknlp.pretrained import PretrainedPipeline
+
+        super().__init__()
+        self._input_col = inputCol
+        self._pipeline = PretrainedPipeline(model, lang="en")
+
+    def _transform(self, dataset: DataFrame) -> DataFrame:
+        annotated = self._pipeline.transform(
+            dataset.withColumnRenamed(self._input_col, "text")
+        )
+        # sentiment: array<annotation struct>; metadata carries the class
+        # probabilities as strings. element_at/getField keep this JVM-side.
+        ann = F.element_at("sentiment", 1)
+        meta = ann.getField("metadata")
+        return (
+            annotated.withColumn(
+                "positive_prob", F.element_at(meta, "positive").cast("double")
+            )
+            .withColumn(
+                "negative_prob", F.element_at(meta, "negative").cast("double")
+            )
+            .withColumn("sentiment_result", ann.getField("result"))
+            .drop("document", "sentence_embeddings", "sentiment")
+        )
+
+
+def sentiment_scorer(backend: str = "auto", **kwargs) -> Transformer:
+    """N10 factory: ``backend='sparknlp'`` forces the pretrained adapter
+    (ImportError when the extra is missing), ``'lexicon'`` forces the
+    deterministic default, ``'auto'`` tries sparknlp and falls back."""
+    if backend == "lexicon":
+        return LexiconSentimentScorer(**kwargs)
+    if backend == "sparknlp":
+        return SparkNLPSentimentScorer(**kwargs)
+    if backend != "auto":
+        raise ValueError(f"unknown backend {backend!r}")
+    try:  # pragma: no cover - optional dependency
+        return SparkNLPSentimentScorer(**kwargs)
+    except ImportError:
+        return LexiconSentimentScorer(**kwargs)

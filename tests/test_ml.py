@@ -90,6 +90,20 @@ def test_boosted_trees_fallback_binary(spark):
     assert acc > 0.9  # x1 alone separates perfectly
 
 
+def test_boosted_trees_fallback_regressor(spark):
+    # M9's other half: the regressor also auto-falls-back to GBT when the
+    # xgboost.spark extra is absent (this container), and learns a linear
+    # target well enough to beat a constant predictor by a wide margin.
+    df = _toy(spark).withColumn("y", F.col("x1") * 2.0)
+    feat = assembler(["x1", "x2"]).transform(df).withColumnRenamed("y", "label")
+    model = boosted_trees("regressor", max_iter=10).fit(feat)
+    preds = model.transform(feat)
+    err = preds.select(
+        F.avg(F.abs(F.col("prediction") - F.col("label"))).alias("mae")
+    ).first()["mae"]
+    assert err < 1.0
+
+
 def test_cross_validator_picks_model_and_persists(spark):
     df = _toy(spark).withColumn("label", (F.col("x1") > 4.5).cast("double"))
     rf = rf_classifier(label_col="label", num_trees=5, weight_col=None)

@@ -52,3 +52,25 @@ def test_map_labels_when_chain(spark):
     assert [r["v"] for r in out.collect()] == [1, 2, -1]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_sentiment_scorer_factory_fallback():
+    """Offline contract: with the sparknlp extra absent, 'auto' silently
+    falls back to the lexicon Transformer, 'sparknlp' raises ImportError,
+    and unknown backends are rejected."""
+    import pytest
+
+    from reddit_big_data_spark.operators.sentiment import (
+        LexiconSentimentScorer,
+        SparkNLPSentimentScorer,
+        sentiment_scorer,
+    )
+
+    assert isinstance(sentiment_scorer("auto"), LexiconSentimentScorer)
+    assert isinstance(sentiment_scorer("lexicon"), LexiconSentimentScorer)
+    with pytest.raises(ImportError):
+        SparkNLPSentimentScorer()
+    with pytest.raises(ImportError):
+        sentiment_scorer("sparknlp")
+    with pytest.raises(ValueError):
+        sentiment_scorer("nope")
