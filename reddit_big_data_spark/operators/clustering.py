@@ -54,15 +54,16 @@ def _assign(
     ).drop("__dists")
 
 
-def kmeans_assign(
+def kmeans_centers(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int = 10,
     iters: int = 2,
-) -> DataFrame:
-    """Run `iters` assignment passes (so iters - 1 centroid updates in
-    between); return df + (cluster, sq_dist) under the final centroids.
+) -> list[tuple[int, list[float]]]:
+    """The Lloyd's iteration itself: seed with the vectors of the k
+    smallest ids, run `iters - 1` centroid updates, return the final
+    [(cid, center)] list (driver-sized: k x dim doubles).
 
     A cluster that empties in an update round is DROPPED (its centroid
     does not survive as a zombie that could win later argmins); surviving
@@ -96,4 +97,18 @@ def kmeans_assign(
         # emptied clusters vanish; survivors keep their cid labels
         cids = sorted(by_cid)
         centers = [by_cid[c] for c in cids]
-    return _assign(df, vec_col, centers, cids)
+    return list(zip(cids, centers))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    iters: int = 2,
+) -> DataFrame:
+    """Run `iters` assignment passes (so iters - 1 centroid updates in
+    between); return df + (cluster, sq_dist) under the final centroids.
+    See kmeans_centers for the empty-cluster contract."""
+    pairs = kmeans_centers(df, id_col, vec_col, k, iters)
+    return _assign(df, vec_col, [c for _, c in pairs], [cid for cid, _ in pairs])

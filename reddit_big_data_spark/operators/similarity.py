@@ -422,10 +422,31 @@ def ivf_assign(
     )
 
 
-def make_centroids(corpus: DataFrame, id_col: str = "vec_id", emb_col: str = "embedding", k: int = 16) -> DataFrame:
-    """Deterministic coarse centroids: the first k vectors by id (a real
-    deployment would run k-means; the IVF *plumbing* — assignment, probe
-    routing, cell-local search — is identical)."""
+def make_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 16,
+    train_iters: int = 0,
+) -> DataFrame:
+    """Deterministic coarse centroids for the IVF quantizer.
+
+    ``train_iters=0``: the first k vectors by id — cheapest, and exactly
+    reproducible in a SQL oracle. ``train_iters>0``: refine those seeds
+    with that many Lloyd's rounds via `operators/clustering.kmeans_assign`
+    (the real IVF index build — balanced cells mean balanced probe work;
+    first-k seeds from one dense region would funnel most of the corpus
+    into a handful of cells). Still deterministic: seeded init, fixed
+    rounds, ties to the lowest cid."""
+    if train_iters > 0:
+        from reddit_big_data_spark.operators.clustering import kmeans_centers
+
+        centers = kmeans_centers(corpus, id_col, emb_col, k=k, iters=train_iters + 1)
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [(cid + 1, [float(x) for x in c]) for cid, c in centers],
+            f"cell int, {emb_col} array<double>",
+        )
     return (
         corpus.orderBy(id_col)
         .limit(k)
@@ -444,12 +465,15 @@ def ivf_topk(
     k: int = 5,
     n_cells: int = 16,
     nprobe: int = 4,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: search only the query's `nprobe` nearest
     cells instead of the whole corpus — comparisons drop by ~nprobe/
     n_cells. Candidates equi-join on cell (no corpus-wide NLJ); exact
-    cosine reranks within the probed cells."""
-    cents = make_centroids(corpus, id_col, emb_col, n_cells)
+    cosine reranks within the probed cells. `train_iters` > 0 refines the
+    coarse quantizer with Lloyd's rounds (see make_centroids) — the real
+    index build, balancing cell populations and hence probe cost."""
+    cents = make_centroids(corpus, id_col, emb_col, n_cells, train_iters)
     assigned = ivf_assign(corpus, cents, id_col, emb_col).persist()
     # route each query to its nprobe nearest cells
     c = cents.select(

@@ -125,21 +125,23 @@ def q42_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q43 — IVF approximate top-k: coarse-quantize the corpus into cells
-# (broadcast centroids), probe only the query's nprobe nearest cells.
-# Rows-only (cell routing is implementation-defined); recall vs brute
-# force pinned in tests/test_similarity_ops.py.
+# (broadcast centroids trained with 2 Lloyd's rounds — the real index
+# build, VERDICT r2; seeds alone skew cell populations), probe only the
+# query's nprobe nearest cells. Rows-only (cell routing is
+# implementation-defined); recall vs brute force pinned in
+# tests/test_similarity_ops.py.
 # --------------------------------------------------------------------------
 @register(
     "q43_ivf_ann",
     oracle=None,
-    doc="IVF coarse-quantized ANN (nprobe cell search; recall pinned in tests)",
+    doc="IVF coarse-quantized ANN (k-means-trained cells; recall pinned in tests)",
 )
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6).orderBy(
+    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, train_iters=2).orderBy(
         "query_id", "rn"
     )
 

@@ -189,3 +189,38 @@ def test_lsh_candidate_pairs_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_trained_centroids_recall_and_balance(spark):
+    """train_iters>0 runs the real Lloyd's index build. On planted
+    clusters with first-k seeds all drawn from cluster 0 (ids 0..7 = one
+    blob), training must (a) keep recall >= the untrained path's bar and
+    (b) spread the corpus over more than one populated cell."""
+    from reddit_big_data_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        make_centroids,
+    )
+
+    rows = _planted(seed=13, n_clusters=5, per_cluster=8)
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    queries = df.filter(F.col("vec_id") % 8 == 1)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(df, queries, k=5, n_cells=5, nprobe=2, train_iters=3).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"trained-IVF recall {recall} below 0.8"
+
+    trained = make_centroids(df, k=5, train_iters=3)
+    pops = (
+        ivf_assign(df, trained).groupBy("cell").count().collect()
+    )
+    sizes = sorted(r["count"] for r in pops)
+    # 5 planted blobs, 5 trained cells: no cell may swallow the corpus
+    assert len(sizes) >= 3
+    assert sizes[-1] <= 3 * 8
