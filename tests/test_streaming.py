@@ -243,3 +243,125 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert ids == [1, 2, 3]  # each id exactly once, first arrival kept
     first_ts = {r["event_id"]: r["ts"] for r in rows}
     assert first_ts[1] == pd.Timestamp(2024, 1, 1, 10)  # not the 10:10 dup
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    """Stream-static broadcast join: drained stream + static dim must
+    equal the same join run in batch (and the dim attributes must land on
+    every matched row)."""
+    from reddit_big_data_spark.streaming.joins import enrich_stream
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("purchase", "conversion")],
+        "event_type: string, label: string",
+    )
+    stream = stream_events(spark, SF_SMOKE)
+    run_to_memory_sink(
+        enrich_stream(stream, dim, "event_type").select(
+            "event_id", "event_type", "label"
+        ),
+        "t_enriched",
+        mode="append",
+    )
+    got = {
+        (r["event_id"], r["label"])
+        for r in spark.table("t_enriched").collect()
+    }
+    batch = enrich_stream(
+        read_table(spark, SF_SMOKE, "events"), dim, "event_type"
+    ).select("event_id", "label")
+    want = {(r["event_id"], r["label"]) for r in batch.collect()}
+    assert got == want
+    assert any(lbl is not None for _, lbl in want)  # join actually matched
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join (click attribution shape): clicks
+    within 30 minutes after a view, per user. Drained result must equal
+    the batch twin of the SAME operator on the same rows."""
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.sources.io import read_table as _rt  # noqa: F401
+    from reddit_big_data_spark.streaming.joins import interval_join_streams
+    from reddit_big_data_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    def ns(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value)
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "event_id": [r[0] for r in rows],
+                "ts": [r[1] for r in rows],
+                "user_id": [r[2] for r in rows],
+                "event_type": [r[3] for r in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        )
+
+    vd, cd = str(tmp_path / "views"), str(tmp_path / "clicks")
+    import os
+
+    os.makedirs(vd), os.makedirs(cd)
+    # views at 10:00/12:00 (u1), 10:10 (u2); clicks at 10:05, 10:45 (u1),
+    # 10:20 (u2), 12:10 (u1): expected pairs = (view@10:00, click@10:05),
+    # (view@10:10, click@10:20), (view@12:00, click@12:10). click@10:45 is
+    # outside the 30m horizon of view@10:00.
+    pq.write_table(
+        pa.Table.from_pandas(
+            mk([(1, ns(10, 0), 1, "view"), (2, ns(10, 10), 2, "view")])
+        ),
+        vd + "/v1.parquet",
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            mk([(10, ns(10, 5), 1, "click"), (11, ns(10, 45), 1, "click")])
+        ),
+        cd + "/c1.parquet",
+    )
+    _t.sleep(1.1)
+    pq.write_table(
+        pa.Table.from_pandas(mk([(3, ns(12, 0), 1, "view")])), vd + "/v2.parquet"
+    )
+    pq.write_table(
+        pa.Table.from_pandas(
+            mk([(12, ns(10, 20), 2, "click"), (13, ns(12, 10), 1, "click")])
+        ),
+        cd + "/c2.parquet",
+    )
+
+    def to_stream(path):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    joined = interval_join_streams(
+        to_stream(vd), to_stream(cd), key="user_id", max_delay="30 minutes"
+    ).select("event_id", "r_event_id")
+    run_to_memory_sink(joined, "t_attributed", mode="append")
+    got = {
+        (r["event_id"], r["r_event_id"])
+        for r in spark.table("t_attributed").collect()
+    }
+
+    def to_batch(path):
+        raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(path)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+    want = {
+        (r["event_id"], r["r_event_id"])
+        for r in interval_join_streams(
+            to_batch(vd), to_batch(cd), key="user_id", max_delay="30 minutes"
+        )
+        .select("event_id", "r_event_id")
+        .collect()
+    }
+    assert got == want == {(1, 10), (2, 12), (3, 13)}
