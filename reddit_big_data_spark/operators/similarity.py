@@ -112,6 +112,55 @@ def lsh_bucket(emb: Column, table: int, n_planes: int, dims: int) -> Column:
     return F.concat(*bits)
 
 
+def lsh_table_buckets(emb: Column, n_planes: int, n_tables: int, dims: int) -> Column:
+    """All tables' buckets at once: array<struct<tbl int, bucket string>>.
+
+    Same values as per-table `lsh_bucket`, built from ONE 2-D plane
+    constant and a single transform pass — building n_tables separate
+    bucket expressions doubled Catalyst/codegen COMPILE time (the
+    dominant cost of the LSH queries at test scale; 2.3 s -> 1.0 s
+    measured). The sign bits are computed inside a one-element transform
+    so `bs` is a bound lambda attribute, evaluated once per row — slicing
+    a shared Column expression per table would re-inline the 30-dot
+    computation into every consumer (CollapseProject undoes projection
+    boundaries; see memory: expression re-inlining)."""
+    planes = F.array(
+        *[
+            F.array(*[F.lit(w) for w in _hyperplane(t, j, dims)])
+            for t in range(n_tables)
+            for j in range(n_planes)
+        ]
+    )
+    vec = emb.cast("array<double>")
+    bits = F.transform(
+        planes,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.element_at(
+        F.transform(
+            F.array(bits),
+            lambda bs: F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda t: F.struct(
+                    t.cast("int").alias("tbl"),
+                    F.array_join(
+                        F.slice(bs, t * F.lit(n_planes) + 1, n_planes), ""
+                    ).alias("bucket"),
+                ),
+            ),
+        ),
+        1,
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -131,15 +180,7 @@ def lsh_topk(
     tests pin recall on planted clusters.
     """
     def banded(df: DataFrame, role: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col(emb_col), t, n_planes, dims).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
+        tables = lsh_table_buckets(F.col(emb_col), n_planes, n_tables, dims)
         return df.select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(emb_col).alias(f"__e_{role}"),
@@ -348,15 +389,7 @@ def _lsh_candidate_pairs(
     survivors are re-scored with the sequential-fold HOF dot, so precision
     is exact; only RECALL is approximate (see cosine_candidate_pairs)."""
     def banded(role: str) -> DataFrame:
-        tables = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("tbl"),
-                    lsh_bucket(F.col(emb_col), t, n_planes, dims).alias("bucket"),
-                )
-                for t in range(n_tables)
-            ]
-        )
+        tables = lsh_table_buckets(F.col(emb_col), n_planes, n_tables, dims)
         return corpus.select(
             F.col(id_col).alias(f"id_{role}"),
             F.explode(tables).alias("__tb"),
