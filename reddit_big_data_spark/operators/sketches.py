@@ -51,3 +51,83 @@ def distinct_rollup(
     return approx.join(exact, key_col).select(
         key_col, "n_days", "approx_nd", "exact_nd"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: mergeable heavy-hitter / frequency estimation
+# ---------------------------------------------------------------------------
+
+
+def cms_cells(
+    df: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Level 1: count-min sketch cells (Cormode & Muthukrishnan, J.Alg
+    2005) per optional shard — the frequency twin of `daily_sketches`.
+
+    Each item increments one cell per hash row: (row r, xxhash64(item, r)
+    mod width). The sketch is the depth x width count grid, stored SPARSE
+    (only touched cells) as rows — at most depth*width rows per shard no
+    matter how many items, and two sketches merge by summing cells
+    (groupBy-sum), so shard/day rollups never re-scan raw data. Everything
+    is explode + groupBy: codegen'd, map-side-combined, no UDFs."""
+    rows = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(depth - 1)),
+            lambda r: F.struct(
+                r.cast("int").alias("r"),
+                F.pmod(F.xxhash64(F.col(item_col), r), F.lit(width))
+                .cast("int")
+                .alias("c"),
+            ),
+        )
+    )
+    keys = ([shard_col] if shard_col else []) + ["r", "c"]
+    return (
+        df.select(*([shard_col] if shard_col else []), rows.alias("__rc"))
+        .select(*([shard_col] if shard_col else []), "__rc.r", "__rc.c")
+        .groupBy(*keys)
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(cells: DataFrame) -> DataFrame:
+    """Level 2: merge sharded sketches into one by summing cells."""
+    return cells.groupBy("r", "c").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(
+    cells: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each row of `items`: estimate =
+    min over hash rows of the item's cell count (>= true count always;
+    over-counts only via collisions, P[err > 2N/width] < (1/2)^depth with
+    the standard bounds). `items` is the small probe side (broadcast);
+    the sketch is at most depth*width rows."""
+    probes = items.select(
+        F.col(item_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda r: F.struct(
+                    r.cast("int").alias("r"),
+                    F.pmod(F.xxhash64(F.col(item_col), r), F.lit(width))
+                    .cast("int")
+                    .alias("c"),
+                ),
+            )
+        ).alias("__rc"),
+    ).select(item_col, "__rc.r", "__rc.c")
+    return (
+        probes.join(cells, ["r", "c"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("est_count"))
+    )

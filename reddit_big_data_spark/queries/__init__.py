@@ -26,4 +26,5 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     windows,
     temporal,
     relational,
+    cms,
 )

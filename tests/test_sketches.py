@@ -42,3 +42,55 @@ def test_rollup_error_bounded(spark):
         assert r["n_days"] >= 1
         err = abs(r["approx_nd"] - r["exact_nd"]) / max(r["exact_nd"], 1)
         assert err < 0.02, (r["event_type"], r["approx_nd"], r["exact_nd"])
+
+
+def test_cms_estimate_never_undercounts_and_is_exact_when_wide(spark):
+    """Structural CMS guarantee: est >= exact for every item; with width
+    far above the distinct-item count, collisions are absent on this
+    fixture and the estimate is exact."""
+    from reddit_big_data_spark.operators.sketches import cms_cells, cms_estimate
+
+    rows = [(f"u{i % 7}",) for i in range(100)] + [("hot",)] * 50
+    df = spark.createDataFrame(rows, "item: string")
+    cells = cms_cells(df, "item", depth=4, width=4096)
+    items = df.select("item").distinct()
+    est = {r["item"]: r["est_count"] for r in cms_estimate(cells, items, "item", width=4096).collect()}
+    exact = {r["item"]: r["cnt"] for r in df.groupBy("item").agg(__import__("pyspark").sql.functions.count("*").alias("cnt")).collect()}
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert est == exact  # wide sketch: no collisions on 8 distinct items
+
+
+def test_cms_merge_equals_single_shot(spark):
+    """Merging per-shard sketches by cell sum must equal the sketch built
+    in one shot over the union -- the mergeability contract that makes
+    shard/day rollups O(cells), not O(rows)."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.sketches import cms_cells, cms_merge
+
+    rows = [(i % 3, f"u{i % 11}") for i in range(200)]
+    df = spark.createDataFrame(rows, "shard: int, item: string")
+    merged = cms_merge(cms_cells(df, "item", shard_col="shard"))
+    single = cms_cells(df, "item")
+    a = {(r["r"], r["c"]): r["cnt"] for r in merged.collect()}
+    b = {(r["r"], r["c"]): r["cnt"] for r in single.collect()}
+    assert a == b
+
+
+def test_cms_overestimates_under_forced_collisions(spark):
+    """width=2 forces collisions: estimates must still be >= exact (the
+    one-sided error direction is the point of CMS)."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.sketches import cms_cells, cms_estimate
+
+    rows = [(f"u{i}",) for i in range(50)]
+    df = spark.createDataFrame(rows, "item: string")
+    cells = cms_cells(df, "item", depth=2, width=2)
+    est = cms_estimate(cells, df.select("item").distinct(), "item", depth=2, width=2)
+    exact = df.groupBy("item").agg(F.count("*").alias("cnt"))
+    joined = est.join(exact, "item").collect()
+    assert len(joined) == 50
+    assert all(r["est_count"] >= r["cnt"] for r in joined)
+    assert any(r["est_count"] > r["cnt"] for r in joined)  # collisions happened
