@@ -20,6 +20,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     sessions,
     events,
     nested,
+    cooc,
     dedup,
     similarity,
     text,

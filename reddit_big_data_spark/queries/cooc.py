@@ -1,0 +1,118 @@
+"""Token co-occurrence analytics: PMI of adjacent word pairs over the
+documents corpus — the corpus-statistics flavor of text analysis (the
+association-measure counterpart of q19's wordcount and q09's TF-IDF).
+
+Fully oracle-expressible: both engines compute counts as exact integers
+and PMI = ln(n_ab * N_u^2 / (N_b * n_a * n_b)) with the SAME association
+order, so the doubles agree (output rounds to 4dp; JVM Math.log and C
+libm may differ in the last ulp, far below the rounding boundary).
+
+Scale shape: bigrams come from one explode of a transform over token
+positions (no self-join of the corpus); unigram/bigram totals are two
+plain aggregates; the unigram side of the final join is the DISTINCT
+vocabulary (tiny) and broadcast-joined onto the top-k bigrams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.text import normalize
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table, spread
+
+
+@register(
+    "q70_pmi_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks
+    ),
+    uni_counts AS (
+      SELECT w, COUNT(*) AS n_w FROM uni WHERE w <> '' GROUP BY w
+    ),
+    bi AS (
+      SELECT unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                     for i in generate_series(1, len(t) - 1)]) AS p
+      FROM toks
+    ),
+    bi_counts AS (
+      SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS n_ab
+      FROM bi WHERE p.w1 <> '' AND p.w2 <> '' GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT (SELECT SUM(n_w) FROM uni_counts) AS nu,
+             (SELECT SUM(n_ab) FROM bi_counts) AS nb
+    ),
+    top AS (
+      SELECT w1, w2, n_ab FROM bi_counts
+      ORDER BY n_ab DESC, w1, w2 LIMIT 20
+    )
+    SELECT top.w1, top.w2, top.n_ab AS pair_count,
+           ROUND(LN(CAST(top.n_ab AS DOUBLE) * nu * nu
+                    / (CAST(nb AS DOUBLE) * a.n_w * b.n_w)), 4) AS pmi
+    FROM top
+    CROSS JOIN totals
+    JOIN uni_counts a ON a.w = top.w1
+    JOIN uni_counts b ON b.w = top.w2
+    ORDER BY pair_count DESC, w1, w2
+    """,
+    doc="PMI of adjacent token pairs: explode-count association analytics",
+)
+def q70_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(F.split(normalize("text"), " ").alias("t"))
+    # adjacent pairs by position — one transform + explode, no join
+    pairs = toks.select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("w1"),
+                        F.element_at("t", i + 1).alias("w2"),
+                    ),
+                ),
+                lambda s: (s["w1"] != "") & (s["w2"] != ""),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("n_w"))
+    )
+    bi_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    nu = uni.agg(F.sum("n_w")).first()[0]
+    nb = bi_counts.agg(F.sum("n_ab")).first()[0]
+    top = bi_counts.orderBy(F.desc("n_ab"), "w1", "w2").limit(20)
+    a = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_ab").cast("double")
+            * F.lit(float(nu))
+            * F.lit(float(nu))
+            / (F.lit(float(nb)) * F.col("n_a") * F.col("n_b"))
+        ),
+        4,
+    )
+    return (
+        top.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").alias("pair_count"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pair_count"), "w1", "w2")
+    )
