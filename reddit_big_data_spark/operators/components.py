@@ -40,11 +40,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _driver_union_find(edge_rows: list, node_rows: list, spark, id_type) -> DataFrame:
+def _driver_union_find(edge_rows: list, spark, id_type) -> DataFrame:
     """Union-find with path compression over collected edges — the
     small-graph short-circuit. Components are labeled by their minimum
-    member id, matching the distributed paths exactly. `node_rows` seeds
-    nodes with no non-self-loop edges so degenerate inputs (self-loops)
+    member id, matching the distributed paths exactly. Self-loop rows
+    (x, x) register node x without linking anything, so degenerate inputs
     still surface their nodes."""
     parent: dict = {}
 
@@ -56,8 +56,6 @@ def _driver_union_find(edge_rows: list, node_rows: list, spark, id_type) -> Data
             parent[x], x = root, parent[x]
         return root
 
-    for x in node_rows:
-        parent.setdefault(x, x)
     for a, b in edge_rows:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -210,6 +208,11 @@ def connected_components(
     Raises RuntimeError if a distributed path hasn't converged within
     max_iter rounds.
     """
+    # Validate BEFORE the eager checkpoint below: a typo'd algorithm must
+    # not cost a full execution of the (typically expensive) upstream
+    # edge plan first.
+    if algorithm not in ("auto", "star", "label"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # Materialize the edge list ONCE before anything branches: the gate
     # count and every round after it reuse this instead of re-executing
     # the upstream plan (e.g. a similarity join) per action — and the
@@ -222,15 +225,12 @@ def connected_components(
     sym = edges.select(F.explode(pair).alias("e")).select(
         "e.src", "e.dst"
     ).localCheckpoint()
-    if algorithm not in ("auto", "star", "label"):
-        raise ValueError(f"unknown algorithm {algorithm!r}")
     if algorithm == "auto" and sym.count() <= 2 * driver_threshold:
         # sym holds both directions; <= keeps each undirected edge once.
         # Self-loops survive the <= filter as (x,x), registering the node.
         directed = sym.filter(F.col("src") <= F.col("dst"))
         return _driver_union_find(
             [(r["src"], r["dst"]) for r in directed.collect()],
-            [],
             edges.sparkSession,
             sym.schema["src"].dataType,
         )

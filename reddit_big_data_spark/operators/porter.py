@@ -192,8 +192,9 @@ def porter_stem(word: str) -> str:
 @pandas_udf(StringType())
 def porter_stem_udf(tokens: pd.Series) -> pd.Series:
     """Arrow-vectorized Porter stem — the sanctioned Python escape hatch
-    (batched columnar transfer, not row-at-a-time BatchEvalPython)."""
-    return tokens.map(porter_stem)
+    (batched columnar transfer, not row-at-a-time BatchEvalPython).
+    NULL tokens pass through as NULL (na_action: len(None) would throw)."""
+    return tokens.map(porter_stem, na_action="ignore")
 
 
 def stem_vocabulary(tokens: DataFrame, token_col: str = "token") -> DataFrame:

@@ -128,5 +128,10 @@ def sentiment_scorer(backend: str = "auto", **kwargs) -> Transformer:
         raise ValueError(f"unknown backend {backend!r}")
     try:  # pragma: no cover - optional dependency
         return SparkNLPSentimentScorer(**kwargs)
-    except ImportError:
+    except Exception:
+        # Not just ImportError: with the extra installed but no network,
+        # the PretrainedPipeline model fetch fails with a Py4J/IO error —
+        # 'auto' means "never let the optional path break offline CI", so
+        # any construction failure falls back (explicit backend='sparknlp'
+        # still surfaces the real error).
         return LexiconSentimentScorer(**kwargs)

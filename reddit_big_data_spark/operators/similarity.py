@@ -92,12 +92,21 @@ def _hyperplane(table: int, plane: int, dims: int) -> list[float]:
     pairs at cosine 0.997 could miss ALL buckets; full avalanche makes
     per-table misses independent, restoring the 1-(1-p^b)^L recall
     model."""
-    out = []
-    for i in range(dims):
-        z = (i + 64 * plane + 4096 * table + 0x9E3779B97F4A7C15) & _M64
+    def mix(z: int) -> int:
+        z = (z + 0x9E3779B97F4A7C15) & _M64
         z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M64
         z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M64
-        z ^= z >> 31
+        return z ^ (z >> 31)
+
+    # Avalanche the (table, plane) seed BEFORE adding the dim index: an
+    # additive pre-mix like i + 64*plane aliases whenever dims exceeds the
+    # stride (plane j at dim 64+i == plane j+1 at dim i -> shifted-copy
+    # planes again, just past the default dims). Mixing twice makes the
+    # argument stream collision-free for any dims.
+    seed = mix(plane + (table << 20))
+    out = []
+    for i in range(dims):
+        z = mix(seed + i)
         out.append(1.0 if z & 1 else -1.0)
     return out
 
@@ -260,17 +269,18 @@ def cosine_candidate_pairs(
       default 8x12 gives miss < 1e-4) — an explicit, documented recall
       contract, like q31's corpus-gap assumption.
     """
+    n_rows = None
     if mode == "auto":
-        mode = (
-            "broadcast"
-            if corpus.select(id_col).count() <= broadcast_threshold_rows
-            else "blocked"
-        )
+        # one count, reused by the blocked path's block sizing — a second
+        # count would re-execute the upstream plan (the repeated-action
+        # trap components/simjoin hit).
+        n_rows = corpus.select(id_col).count()
+        mode = "broadcast" if n_rows <= broadcast_threshold_rows else "blocked"
     if mode == "broadcast":
         return _broadcast_candidate_pairs(corpus, threshold, id_col, emb_col, slack)
     if mode == "blocked":
         return _blocked_candidate_pairs(
-            corpus, threshold, id_col, emb_col, slack, block_rows
+            corpus, threshold, id_col, emb_col, slack, block_rows, n_rows
         )
     if mode == "lsh":
         return _lsh_candidate_pairs(
@@ -315,6 +325,7 @@ def _blocked_candidate_pairs(
     emb_col: str,
     slack: float,
     block_rows: int,
+    n_rows: int | None = None,
 ) -> DataFrame:
     import math
 
@@ -322,7 +333,7 @@ def _blocked_candidate_pairs(
     import pandas as pd
 
     spark = corpus.sparkSession
-    n = corpus.select(id_col).count()
+    n = n_rows if n_rows is not None else corpus.select(id_col).count()
     n_blocks = max(1, math.ceil(n / max(1, block_rows)))
     # Every unordered block pair (bi <= bj); a row in block k serves as the
     # A side of (k, j>=k) and the B side of (i<=k, k) — n_blocks pairs per

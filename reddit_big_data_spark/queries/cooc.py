@@ -69,21 +69,30 @@ from reddit_big_data_spark.sources.io import read_table, spread
 def q70_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
     toks = docs.select(F.split(normalize("text"), " ").alias("t"))
-    # adjacent pairs by position — one transform + explode, no join
-    pairs = toks.select(
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("t") - 1, F.lit(0))),
-                    lambda i: F.struct(
-                        F.element_at("t", i).alias("w1"),
-                        F.element_at("t", i + 1).alias("w2"),
+    # adjacent pairs by position — one transform + explode, no join.
+    # Guard n < 2 BEFORE sequence: Spark's sequence(1, 0) yields a
+    # DESCENDING [1, 0] (not empty), and element_at(t, 0) throws — a
+    # single-token document would fail the whole job (same trap as
+    # word_shingles, operators/dedup.py). DuckDB's generate_series IS
+    # empty there, so the oracle needs no twin guard.
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.struct(
+                            F.element_at("t", i).alias("w1"),
+                            F.element_at("t", i + 1).alias("w2"),
+                        ),
                     ),
-                ),
-                lambda s: (s["w1"] != "") & (s["w2"] != ""),
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
+                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
     uni = (
         toks.select(F.explode("t").alias("w"))
         .filter(F.col("w") != "")

@@ -84,7 +84,8 @@ for _q in (
     "q52_binary_payloads q53_sessionization q54_asof_join q55_time_rollup "
     "q56_range_join q57_pivot q58_cube "
     "q61_string_indexer q62_class_weights q63_corr_matrix "
-    "q67_nested_struct q68_porter_stems"
+    "q67_nested_struct q68_porter_stems q69_cms_heavy_hitters "
+    "q70_pmi_bigrams"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
 

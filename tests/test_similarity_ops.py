@@ -224,3 +224,20 @@ def test_ivf_trained_centroids_recall_and_balance(spark):
     # 5 planted blobs, 5 trained cells: no cell may swallow the corpus
     assert len(sizes) >= 3
     assert sizes[-1] <= 3 * 8
+
+
+def test_hyperplanes_not_aliased_at_high_dims():
+    """Regression (round-3 review): with an additive pre-mix, plane j at
+    dim 64+i equalled plane j+1 at dim i once dims > 64 — shifted-copy
+    planes again. The mixed seed must keep planes independent at any
+    dims."""
+    from reddit_big_data_spark.operators.similarity import _hyperplane
+
+    for dims in (128, 256):
+        p0 = _hyperplane(0, 0, dims)
+        p1 = _hyperplane(0, 1, dims)
+        assert p0[64:128] != p1[0:64]
+        # and no plane is a constant or a duplicate of another
+        planes = [tuple(_hyperplane(t, j, dims)) for t in range(3) for j in range(4)]
+        assert len(set(planes)) == len(planes)
+        assert all(len(set(p)) == 2 for p in planes)

@@ -82,3 +82,31 @@ def test_stem_tokens_maps_arrays(spark):
         "query",
         "row",
     ]
+
+
+def test_q70_survives_single_token_documents(spark, tmp_path):
+    """Regression (round-3 review): a document whose normalized text is a
+    single token must not crash the bigram builder — Spark's
+    sequence(1, 0) is the DESCENDING [1, 0] and element_at(t, 0) throws
+    without the size guard."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.queries.cooc import q70_pmi_bigrams
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["hello", "a!!", "big data big data", "spark query engine"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [5, 3, 17, 18],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+    rows = q70_pmi_bigrams(spark, str(tmp_path)).collect()
+    got = {(r["w1"], r["w2"]) for r in rows}
+    assert ("big", "data") in got and ("data", "big") in got
+    # single-token docs contribute unigrams (PMI denominators) but no pairs
+    assert not any("hello" in p or "a" in p for p in got)
