@@ -39,6 +39,19 @@ def with_global_rank(
     rank to be deterministic. Only per-partition counts are collected to
     the driver — one row per shuffle partition, never data rows.
     """
+    out, _total = _global_rank_with_total(df, order_cols, rank_col, num_partitions)
+    return out
+
+
+def _global_rank_with_total(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    rank_col: str,
+    num_partitions: int | None,
+) -> tuple[DataFrame, int]:
+    """``with_global_rank`` plus the total row count — already known from
+    the per-partition size pass, so callers that need N (NTILE) must not
+    pay a second execution of the ranked plan for ``.count()``."""
     n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
         _PID, F.spark_partition_id()
@@ -70,7 +83,7 @@ def with_global_rank(
         .withColumn(rank_col, (F.col("__rank_offset") + F.col(_LOCAL_RN)).cast("long"))
         .drop(_PID, _LOCAL_RN, "__rank_offset")
     )
-    return out
+    return out, acc
 
 
 def ntile_from_rank(rank: Column, total_rows: int, n: int) -> Column:
@@ -96,8 +109,9 @@ def with_global_ntile(
     """Scale-safe NTILE(n) over a total order — the library default in
     place of ``ntile(n).over(Window.orderBy(...))`` (which Spark executes
     as a single-partition sort)."""
-    ranked = with_global_rank(df, order_cols, rank_col="__global_rank", num_partitions=num_partitions)
-    total = ranked.count()  # served from the persisted ranged data
+    ranked, total = _global_rank_with_total(
+        df, order_cols, rank_col="__global_rank", num_partitions=num_partitions
+    )
     return ranked.withColumn(
         ntile_col, ntile_from_rank(F.col("__global_rank"), total, n)
     ).drop("__global_rank")
