@@ -69,17 +69,27 @@ def _global_rank_with_total(
         offsets.append((pid, acc))
         acc += sizes[pid]
 
-    # Broadcast-join the (pid, offset) map instead of compiling it into an
-    # O(P)-deep when-chain: at thousands of range partitions the chain is
-    # a Catalyst expression-tree hazard (deep recursion in every transform
-    # pass); a 1-row-per-partition broadcast hash join is flat (VERDICT r2).
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    local = ranged.withColumn(_LOCAL_RN, F.row_number().over(w))
+    if len(offsets) <= 64:
+        # Few partitions: fold the offsets into a shallow when-chain —
+        # constant-folded into the existing codegen stage, no extra
+        # exchange/join nodes to compile or execute.
+        offset_expr: Column = F.lit(0)
+        for pid, off in offsets:
+            offset_expr = F.when(F.col(_PID) == pid, F.lit(off)).otherwise(offset_expr)
+        out = local.withColumn(
+            rank_col, (offset_expr + F.col(_LOCAL_RN)).cast("long")
+        ).drop(_PID, _LOCAL_RN)
+        return out, acc
+    # Many partitions: a when-chain this deep is a Catalyst
+    # expression-tree hazard (deep recursion in every transform pass);
+    # a 1-row-per-partition broadcast hash join is flat (VERDICT r2).
     offset_df = df.sparkSession.createDataFrame(
         offsets, f"{_PID} int, __rank_offset long"
     )
-    w = Window.partitionBy(_PID).orderBy(*order_cols)
     out = (
-        ranged.withColumn(_LOCAL_RN, F.row_number().over(w))
-        .join(F.broadcast(offset_df), _PID)
+        local.join(F.broadcast(offset_df), _PID)
         .withColumn(rank_col, (F.col("__rank_offset") + F.col(_LOCAL_RN)).cast("long"))
         .drop(_PID, _LOCAL_RN, "__rank_offset")
     )

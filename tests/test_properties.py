@@ -65,6 +65,30 @@ def test_distributed_ntile_equals_builtin(spark, n_rows, n_buckets, n_parts):
     assert got == want
 
 
+def test_distributed_ntile_broadcast_offset_branch(spark):
+    """num_partitions > 64 takes the broadcast-join offset path (the
+    when-chain constant-fold only covers few-partition plans) — both
+    branches must agree with the builtin single-partition NTILE."""
+    from pyspark.sql import Window
+
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 101).alias("v"), F.col("id").alias("tie")
+    )
+    got = {
+        (r["v"], r["tie"]): r["nt"]
+        for r in with_global_ntile(
+            df, ["v", "tie"], 7, ntile_col="nt", num_partitions=100
+        ).collect()
+    }
+    want = {
+        (r["v"], r["tie"]): r["nt"]
+        for r in df.withColumn(
+            "nt", F.ntile(7).over(Window.orderBy("v", "tie"))
+        ).collect()
+    }
+    assert got == want
+
+
 @settings(**_SETTINGS)
 @given(
     events=st.lists(
