@@ -21,11 +21,12 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     events,
     nested,
     cooc,
+    cms,
+    maintenance,
     dedup,
     similarity,
     text,
     windows,
     temporal,
     relational,
-    cms,
 )
