@@ -23,6 +23,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     cooc,
     cms,
     maintenance,
+    udtfq,
     dedup,
     similarity,
     text,

@@ -57,6 +57,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "vocabulary only (|vocab| rows), broadcast-joined back — the corpus "
         "never enters Python",
     },
+    "q74_udtf_tokens": {
+        "PY_ARROW": "the Arrow-optimized Python UDTF IS the surface under "
+        "demonstration (§2.11 table function); q26 is the native twin for "
+        "hot-path token work",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
