@@ -215,7 +215,13 @@ def q65_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events").select(
         "event_type",
-        ((F.col("ts").cast("double") - _OLS_X0) / 86400.0).alias("x"),
+        # ts is TIMESTAMP_NTZ (parquet isAdjustedToUTC=false); Spark refuses a
+        # direct NTZ->double cast, so hop through LTZ first — value-preserving
+        # because the session timezone is pinned to UTC, and it keeps the
+        # sub-second precision DuckDB's epoch() also returns.
+        (
+            (F.col("ts").cast("timestamp_ltz").cast("double") - _OLS_X0) / 86400.0
+        ).alias("x"),
         F.col("value").alias("y"),
     )
 
