@@ -24,6 +24,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     cms,
     maintenance,
     udtfq,
+    subqueries,
     dedup,
     similarity,
     text,

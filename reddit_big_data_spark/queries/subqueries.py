@@ -1,0 +1,167 @@
+"""Subquery-shaped relational queries: EXISTS, correlated scalar
+subqueries, and NOT-EXISTS + global-scalar filters (TPC-H Q4/Q17/Q22
+shapes over the driver testdata).
+
+The reference never writes subqueries — its notebooks materialize each
+intermediate DataFrame by hand (e.g. the two-step filter-then-join in
+code/project_starter_script.py:141-170). These queries close that SQL
+surface the Spark-first way: EXISTS becomes a LEFT SEMI join, NOT EXISTS
+a LEFT ANTI join, and a correlated scalar subquery becomes an aggregate
+joined back on its correlation key — the same decorrelation Catalyst
+itself performs, written explicitly so the physical plan is the one we
+want at 100 TB:
+
+- semi/anti joins shuffle once on the correlation key and never widen the
+  probe side (no duplicate-row blowup a plain inner join would cause);
+- the per-key aggregate side of a decorrelated scalar subquery is tiny
+  (one row per key) and broadcast-able;
+- a GLOBAL scalar (one row) is a broadcast nested-loop of exactly one
+  value — free at any scale.
+
+Oracles state the same queries in their natural subquery form, so the
+checks also pin semi/anti decorrelation equivalence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+
+# --------------------------------------------------------------------------
+# q78 — EXISTS via LEFT SEMI join with a non-equi residual (TPC-H Q4
+# shape): orders placed in 1996 that had at least one line item shipped
+# more than 30 days after the order date, counted per priority.
+# Scale: one shuffle on orderkey; the semi join keeps the orders side
+# at-most-once regardless of lineitem fan-out.
+# --------------------------------------------------------------------------
+@register(
+    "q78_exists_late_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="EXISTS -> left semi join with non-equi residual (TPC-H Q4 shape)",
+)
+def q78_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# q79 — correlated scalar subquery decorrelated into an aggregate join
+# (TPC-H Q17 shape): revenue from small-quantity orders, where "small" is
+# relative to each part's own average quantity. The per-part average is
+# |part| rows — broadcast onto the lineitem scan, so the fact table is
+# read and shuffled exactly once (for its own aggregate).
+# --------------------------------------------------------------------------
+@register(
+    "q79_below_avg_quantity",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_small,
+           ROUND(SUM(l_extendedprice), 2) AS small_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (
+      SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = p_partkey
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="correlated scalar subquery -> broadcast per-key aggregate join (TPC-H Q17 shape)",
+)
+def q79_below_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Decorrelated subquery: one row per partkey, the size of the part dim.
+    per_part = lineitem.groupBy("l_partkey").agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("__half_avg")
+    )
+    return (
+        lineitem.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("__half_avg"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.round(F.sum("l_extendedprice"), 2).alias("small_revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 — global scalar subquery + NOT EXISTS (TPC-H Q22 shape): "dormant
+# high-balance customers" — above the positive-balance average, with no
+# order since 2000. The global average is a single broadcast row; the
+# NOT EXISTS is a left anti join against the pruned orders scan (the
+# date filter pushes down to the parquet reader before the shuffle).
+# --------------------------------------------------------------------------
+@register(
+    "q80_dormant_high_balance",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+      )
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="global scalar subquery + NOT EXISTS -> broadcast scalar + left anti join (TPC-H Q22 shape)",
+)
+def q80_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    recent = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    avg_pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

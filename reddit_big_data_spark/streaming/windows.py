@@ -20,8 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# The testdata stores ts as TIMESTAMP(NANOS); under
-# spark.sql.legacy.parquet.nanosAsLong (session.py) it reads as long.
+# Explicit schema for synthetic long-nanos event fixtures (tests write
+# raw int64 pd.Timestamp.value columns); production streams derive their
+# schema from the footer via _events_raw_schema.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -34,21 +35,38 @@ EVENTS_RAW_SCHEMA = T.StructType(
 )
 
 
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """readStream requires an explicit schema; derive it from the batch
+    footer so the stream tracks the testdata's physical ts encoding.
+    TIMESTAMP(NANOS) files arrive as long under
+    spark.sql.legacy.parquet.nanosAsLong (session.py); TIMESTAMP(MICROS)
+    files arrive as TIMESTAMP_NTZ. Footer-only read — no data scan."""
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over events.parquet (readStream requires an
-    explicit schema). ts arrives as long nanos -> truncate to micros,
-    matching the batch reader (sources/io.py)."""
+    """File-source stream over events.parquet; ts is normalized to a
+    timestamp exactly like the batch reader (sources/io.py) so
+    stream == batch holds regardless of the file's physical encoding."""
+    schema = _events_raw_schema(spark, sf_dir)
     # The file stream source requires a DIRECTORY; the testdata ships one
     # parquet FILE per table, so stream the parent dir filtered to it.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # long nanos -> truncate to micros (DuckDB-matching, sources/io.py)
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (LTZ); NTZ->LTZ is value-preserving
+        # under the UTC session timezone (session.py pins it).
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def windowed_counts(
