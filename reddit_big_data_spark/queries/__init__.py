@@ -25,6 +25,11 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     maintenance,
     udtfq,
     subqueries,
+    cleaning,
+    graph,
+    robust,
+    mixture,
+    layout,
     dedup,
     similarity,
     text,

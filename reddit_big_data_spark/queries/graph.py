@@ -1,0 +1,148 @@
+"""Iterative graph analytics over the relational testdata: PageRank on
+the customer-supplier trade graph.
+
+The reference has no graph workloads; this extends the engine the same
+way connected components did (operators/components.py) — an iterative
+algorithm expressed as repeated join + aggregate rounds, which is exactly
+how GraphX/Pregel execute it on Spark. Each round is one shuffle-join of
+the (static, persisted) edge list against the current rank vector and one
+groupBy; at 100 TB the edge list is hash-partitioned on src once and
+every round's join reuses that partitioning (the rank side, keyed by the
+same node ids, co-shuffles to it).
+
+The oracle unrolls the SAME fixed number of iterations as WITH-chained
+CTEs — PageRank's per-round update is plain relational algebra, so the
+whole computation is SQL-expressible and the driver check is exact
+(ranks rounded to 6 dp; sums differ across engines only in the last ulp,
+~1e-18 at rank scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+_D = 0.85  # damping
+_ITERS = 3
+
+
+def _pagerank_oracle(iters: int = _ITERS, d: float = _D) -> str:
+    """Unrolled-CTE PageRank twin: iter0 = 1/N, then `iters` relational
+    update rounds — the same trick as q45's unrolled k-means oracle."""
+    parts = [
+        """
+    WITH pairs AS (
+      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM pairs
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / n_nodes AS rank FROM deg CROSS JOIN n)
+    """
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             (1.0 - {d}) / ANY_VALUE(n.n_nodes)
+               + {d} * SUM(r.rank / dg.outdeg) AS rank
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg dg ON dg.src = e.src
+      CROSS JOIN n
+      GROUP BY e.dst
+    )
+    """
+        )
+    parts.append(
+        f"""
+    SELECT node, ROUND(rank, 6) AS rank
+    FROM r{iters}
+    ORDER BY ROUND(rank, 6) DESC, node
+    LIMIT 10
+    """
+    )
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# q82 — PageRank, 3 rounds, on the symmetrized customer-supplier graph
+# (an edge per distinct trading pair via orders ⋈ lineitem). Symmetric
+# edges mean no dangling mass and every node receives inbound rank, so
+# the per-round update needs no outer-join patch-up.
+# --------------------------------------------------------------------------
+@register(
+    "q82_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank via repeated join+agg rounds; unrolled-CTE oracle",
+)
+def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    par = spark.sparkContext.defaultParallelism
+    pairs = (
+        orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    # One-pass symmetrize (explode, not union — a union would execute the
+    # orders ⋈ lineitem plan twice; same trap as VERDICT r2 #1), then pin
+    # the partitioning on src: every iteration's join reuses this exchange.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("src"), F.col("dst")),
+                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition(par, "src")
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Static per-edge weight: join deg once, not once per round.
+    weighted = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition(par, "src")
+        .persist()
+    )
+    n_nodes = deg.count()  # driver scalar (S9-gated use, like q45's k-means)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
+    )
+    for _ in range(_ITERS):
+        ranks = (
+            weighted.join(ranks, F.col("node") == F.col("src"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit((1.0 - _D) / n_nodes)
+                    + F.lit(_D) * F.sum(F.col("rank") / F.col("outdeg"))
+                ).alias("rank")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+    # persisted intermediates (edges/weighted) are dropped by the caller's
+    # clearCache between queries (bench.py / conftest), not here — an
+    # unpersist before the action would silently recompute the edge plan.
+    return (
+        ranks.select("node", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc(F.round("rank", 6)), "node")
+        .limit(10)
+    )

@@ -1,0 +1,94 @@
+"""Training-mixture construction: fill per-domain token budgets with a
+deterministic document order.
+
+The last step of a pretraining data pipeline: given cleaned, deduped
+documents and a target mixture (so many tokens per language/domain),
+select documents until each domain's budget is full. Selection order is
+a content-independent deterministic hash (md5 of doc_id) — the same
+"hash-gated, no RNG state" discipline as q47's stratified sampler, so
+reruns and engines agree exactly.
+
+Scale shape: one narrow projection, one window cumsum PARTITIONED BY
+the domain (never a global window — state per partition is one running
+sum), one filter, one rollup. At 100 TB this is the textbook windowed
+scan: tokens-per-doc comes from the same pass, and the only shuffle is
+the hash partition by domain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+# Target mixture: tokens per language (en-heavy, like any web corpus cut).
+_BUDGETS = {"en": 8000, "de": 3000, "es": 3000, "fr": 3000, "zh": 3000}
+
+
+def _budget_case_sql() -> str:
+    arms = " ".join(f"WHEN '{k}' THEN {v}" for k, v in _BUDGETS.items())
+    return f"CASE lang {arms} ELSE 0 END"
+
+
+# --------------------------------------------------------------------------
+# q85 — token-budget mixture sampling: deterministic-hash order, windowed
+# cumulative token count, keep docs while the domain budget allows.
+# --------------------------------------------------------------------------
+@register(
+    "q85_mixture_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, n_tok,
+             SUM(n_tok) OVER (PARTITION BY lang ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             {_budget_case_sql()} AS budget
+      FROM d
+    )
+    SELECT lang, ANY_VALUE(budget) AS budget,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens
+    FROM c WHERE cum <= budget
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="per-domain token-budget fill in deterministic hash order",
+)
+def q85_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    budget = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _BUDGETS.items()],
+        F.lit(0),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.select(
+        "lang",
+        "n_tok",
+        F.sum("n_tok").over(w).alias("cum"),
+        budget.alias("budget"),
+    )
+    return (
+        c.filter(F.col("cum") <= F.col("budget"))
+        .groupBy("lang")
+        .agg(
+            F.first("budget").alias("budget"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+        )
+        .orderBy("lang")
+    )

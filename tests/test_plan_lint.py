@@ -63,6 +63,16 @@ _ALLOW: dict[str, dict[str, str]] = {
         "hot-path token work",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
+    "q80_dormant_high_balance": {
+        "NESTED_LOOP": "broadcast of the ONE-ROW global-average scalar "
+        "(decorrelated scalar subquery) — constant-size build side at any "
+        "scale",
+    },
+    "q84_bloom_semi_join": {
+        "NESTED_LOOP": "broadcast of the ONE-ROW packed bloom bitmap "
+        "(m/8 bytes regardless of key count) — the whole point of the "
+        "runtime-filter pattern",
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
@@ -85,6 +95,9 @@ for _q in (
     "q46_int8_quantization q39_sequence_packing q29_dedup_materialized "
     "q59_sketch_rollup q28_grouping_sets q47_stratified_sample "
     "q64_salted_agg q66_decontamination "
+    "q75_pii_redaction q76_quality_funnel q78_exists_late_orders "
+    "q79_below_avg_quantity q80_dormant_high_balance q81_winsorized_stats "
+    "q83_zorder_layout q84_bloom_semi_join q85_mixture_sample "
     "q36_prefix_simjoin q40_cosine_topk q41_lsh_ann "
     "q42_label_centroids q50_json_props q51_tumbling_windows "
     "q52_binary_payloads q53_sessionization q54_asof_join q55_time_rollup "

@@ -1,0 +1,150 @@
+"""Targeted tests for the round-4 operator families: subquery shapes,
+cleaning, PageRank, robust stats, layout (Z-order + Bloom), mixture
+sampling. The oracle sweep (test_queries_oracle.py) already pins each
+query's values against DuckDB; these tests pin the OPERATOR PROPERTIES
+that the value check alone would not distinguish (prune effectiveness,
+locality bounds, budget feasibility, independence from the SQL twin).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.sources.io import read_table
+from tests.conftest import SF_SMOKE
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """q82's join+agg rounds must equal an independent dense power
+    iteration on the same graph (not just the SQL twin, which shares the
+    relational formulation)."""
+    from reddit_big_data_spark.queries.graph import _D, _ITERS, q82_pagerank
+
+    orders = read_table(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        .collect()
+    )
+    edges = [(r.src, r.dst) for r in pairs] + [(r.dst, r.src) for r in pairs]
+    nodes = sorted({s for s, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(_ITERS):
+        nxt = np.full(n, (1.0 - _D) / n)
+        for s, d in edges:
+            nxt[idx[d]] += _D * r[idx[s]] / deg[idx[s]]
+        r = nxt
+    want = sorted(
+        ((round(v, 6), node) for node, v in zip(nodes, r)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    got = [(row.rank, row.node) for row in q82_pagerank(spark, SF_SMOKE).collect()]
+    assert got == want
+    # symmetric graph, no dangling mass: total rank is conserved at 1
+    assert abs(r.sum() - 1.0) < 1e-9
+
+
+def test_bloom_filter_prunes_without_false_negatives(spark):
+    from reddit_big_data_spark.queries.layout import (
+        _PREMIUM_BAL,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    supp = (
+        read_table(spark, SF_SMOKE, "supplier")
+        .filter(F.col("s_acctbal") > _PREMIUM_BAL)
+        .select("s_suppkey")
+    )
+    li = read_table(spark, SF_SMOKE, "lineitem").select("l_suppkey")
+    bloom = bloom_build(supp, "s_suppkey")
+    survivors = set(
+        r.l_suppkey
+        for r in li.crossJoin(F.broadcast(bloom))
+        .filter(bloom_might_contain("l_suppkey"))
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    )
+    truth = set(
+        r.l_suppkey
+        for r in li.join(
+            supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    )
+    all_keys = set(r.l_suppkey for r in li.select("l_suppkey").distinct().collect())
+    assert truth <= survivors  # no false negatives, ever
+    # and the bitmap must actually prune (m=8192, k=3 over a few dozen
+    # keys => near-zero fp rate; a no-op filter would fail here)
+    assert len(survivors) < len(all_keys)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """Each Z-bucket fixes the top 2 quantized bits of BOTH dims, so its
+    bounding box spans at most a quarter of each range — the data-skipping
+    property a linear sort cannot give for the secondary column."""
+    from reddit_big_data_spark.queries.layout import (
+        _PRICE_HI,
+        _PRICE_LO,
+        _QTY_HI,
+        _QTY_LO,
+        q83_zorder_layout,
+    )
+
+    rows = q83_zorder_layout(spark, SF_SMOKE).collect()
+    assert rows
+    qty_quarter = (_QTY_HI - _QTY_LO) / 4
+    price_quarter = (_PRICE_HI - _PRICE_LO) / 4
+    for r in rows:
+        assert r.qty_max - r.qty_min <= qty_quarter + 1e-9
+        assert r.price_max - r.price_min <= price_quarter + 1e-9
+
+
+def test_mixture_sample_respects_budgets(spark):
+    from reddit_big_data_spark.queries.mixture import _BUDGETS, q85_mixture_sample
+
+    rows = q85_mixture_sample(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.tokens <= _BUDGETS[r.lang]
+        assert r.n_docs > 0
+
+
+def test_pii_redaction_leaves_no_residual(spark):
+    from reddit_big_data_spark.queries.cleaning import q75_pii_redaction
+
+    rows = q75_pii_redaction(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.residual_pii == 0
+        assert r.emails == r.docs  # one injected email per doc
+
+
+def test_quality_funnel_is_monotone(spark):
+    from reddit_big_data_spark.queries.cleaning import q76_quality_funnel
+
+    rows = q76_quality_funnel(spark, SF_SMOKE).collect()
+    counts = [r.survivors for r in sorted(rows, key=lambda r: r.stage)]
+    assert len(counts) == 6
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+def test_winsorized_mean_lies_within_bounds(spark):
+    from reddit_big_data_spark.queries.robust import q81_winsorized_stats
+
+    for r in q81_winsorized_stats(spark, SF_SMOKE).collect():
+        assert r.p05 <= r.mean_winsorized <= r.p95
