@@ -35,8 +35,7 @@ def _pagerank_oracle(iters: int = _ITERS, d: float = _D) -> str:
     parts = [
         """
     WITH pairs AS (
-      SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                      's' || CAST(l_suppkey AS VARCHAR) AS dst
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     ),
     edges AS (
@@ -66,9 +65,11 @@ def _pagerank_oracle(iters: int = _ITERS, d: float = _D) -> str:
         )
     parts.append(
         f"""
-    SELECT node, ROUND(rank, 6) AS rank
+    SELECT CASE WHEN node % 2 = 0 THEN 'c' || CAST(node // 2 AS VARCHAR)
+                ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+           ROUND(rank, 6) AS rank
     FROM r{iters}
-    ORDER BY ROUND(rank, 6) DESC, node
+    ORDER BY ROUND(rank, 6) DESC, 1
     LIMIT 10
     """
     )
@@ -90,42 +91,43 @@ def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     lineitem = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     par = spark.sparkContext.defaultParallelism
+    # Packed BIGINT node ids (2k = customer k, 2k+1 = supplier k): every
+    # shuffle in the iteration moves 8-byte keys instead of 'c123'-style
+    # strings; the display label is rendered on the final 10 rows only.
     pairs = (
         orders.join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
     # One-pass symmetrize (explode, not union — a union would execute the
     # orders ⋈ lineitem plan twice; same trap as VERDICT r2 #1), then pin
     # the partitioning on src: every iteration's join reuses this exchange.
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(F.col("src"), F.col("dst")),
-                    F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
-                )
-            ).alias("e")
-        )
-        .select("e.src", "e.dst")
-        .repartition(par, "src")
-        .persist()
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # Static per-edge weight: join deg once, not once per round.
+    from pyspark.sql import Window
+
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src"), F.col("dst")),
+                F.struct(F.col("dst").alias("src"), F.col("src").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    # outdeg via a src-partitioned window: ONE shuffle produces the edge
+    # list already weighted AND hash-partitioned on src (a groupBy-deg +
+    # join-back would cost two extra shuffles for the same result).
+    # localCheckpoint truncates lineage so each iteration's plan starts
+    # from the materialized edges, not the orders ⋈ lineitem scan.
     weighted = (
-        edges.join(deg, "src")
-        .select("src", "dst", "outdeg")
-        .repartition(par, "src")
-        .persist()
+        edges.repartition(par, "src")
+        .withColumn("outdeg", F.count("*").over(Window.partitionBy("src")))
+        .localCheckpoint()
     )
-    n_nodes = deg.count()  # driver scalar (S9-gated use, like q45's k-means)
-    ranks = deg.select(
-        F.col("src").alias("node"), F.lit(1.0 / n_nodes).alias("rank")
-    )
+    nodes = weighted.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # driver scalar (S9-gated use, like q45's k-means)
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(_ITERS):
         ranks = (
             weighted.join(ranks, F.col("node") == F.col("src"))
@@ -138,11 +140,12 @@ def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumnRenamed("dst", "node")
         )
-    # persisted intermediates (edges/weighted) are dropped by the caller's
-    # clearCache between queries (bench.py / conftest), not here — an
-    # unpersist before the action would silently recompute the edge plan.
+    label = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("c")).otherwise(F.lit("s")),
+        F.floor(F.col("node") / 2).cast("long").cast("string"),
+    )
     return (
-        ranks.select("node", F.round("rank", 6).alias("rank"))
+        ranks.select(label.alias("node"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc(F.round("rank", 6)), "node")
         .limit(10)
     )
