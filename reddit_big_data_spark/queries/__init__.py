@@ -28,6 +28,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     robust,
     mixture,
     layout,
+    multijoin,
     relational,
     temporal,
     windows,

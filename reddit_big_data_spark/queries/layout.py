@@ -133,7 +133,10 @@ def q83_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _BLOOM_M = 8192  # bits
 _BLOOM_K = 3  # hash functions
-_PREMIUM_BAL = 8000.0
+# Threshold chosen to select a real subset at EVERY test scale (sf0.001's
+# 10 suppliers top out near 6000 — an 8000 cut selected nobody there and
+# made the smoke/property tests vacuous).
+_PREMIUM_BAL = 4000.0
 
 
 def bloom_build(keys: DataFrame, key_col: str) -> DataFrame:
