@@ -84,3 +84,80 @@ def user_profiles(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+)
+
+
+class _ProfileProcessor(StatefulProcessor):
+    """Spark 4 StatefulProcessor twin of `_update_profile`: the SAME
+    per-user profile state machine on the transformWithStateInPandas API
+    (typed ValueState handles in the state store vs a single opaque
+    GroupState tuple; supports timers / list & map state / initial state
+    the legacy API lacks). Equivalence with both the legacy operator and
+    the batch groupBy is asserted in tests/test_streaming.py."""
+
+    def init(self, handle) -> None:
+        self._profile = handle.getValueState("profile", _STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        if self._profile.exists():
+            n, s, max_gap, last_ts = self._profile.get()
+        else:
+            n, s, max_gap, last_ts = 0, 0.0, 0, None
+        batch = pd.concat(list(rows), ignore_index=True).sort_values("ts")
+        for ts, value in zip(batch["ts"], batch["value"]):
+            epoch = int(ts.timestamp())
+            if last_ts is not None:
+                max_gap = max(max_gap, epoch - last_ts)
+            last_ts = epoch
+            n += 1
+            s += float(value)
+        self._profile.update((n, s, max_gap, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "sum_value": [s],
+                "max_gap_s": [max_gap],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs RocksDB state stores AND a working
+    protobuf install for its state-server protocol; this container ships
+    neither-checkable-at-import, so callers gate on this probe (the brief's
+    import-try pattern — same as the xgboost / sparknlp adapters)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """`user_profiles` on the Spark 4 transformWithStateInPandas API.
+
+    Requires `tws_available()` (protobuf) and
+    spark.sql.streaming.stateStore.providerClass =
+    ...state.RocksDBStateStoreProvider — TWS refuses the default HDFS
+    store. The legacy `user_profiles` is the twin that runs anywhere."""
+    proc = _ProfileProcessor()
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=PROFILE_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -365,3 +365,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
         .collect()
     }
     assert got == want == {(1, 10), (2, 12), (3, 13)}
+
+
+def test_transform_with_state_matches_legacy(spark):
+    """The Spark 4 transformWithStateInPandas profile operator must match
+    the legacy applyInPandasWithState one (same state machine, new API).
+    Skipped where the TWS state-server protocol can't run (no protobuf in
+    this container); the operator itself is the documented Spark 4 surface
+    and user_profiles (legacy API) is the always-tested twin."""
+    import pytest
+
+    from reddit_big_data_spark.streaming.stateful import (
+        tws_available,
+        user_profiles_tws,
+    )
+
+    if not tws_available():
+        pytest.skip("google.protobuf unavailable: TWS state server cannot start")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    stream = stream_events(spark, SF_SMOKE)
+    run_to_memory_sink(user_profiles_tws(stream), "t_profiles_tws", mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], round(r["sum_value"], 4), r["max_gap_s"])
+        for r in spark.table("t_profiles_tws").collect()
+    }
+
+    ev = read_table(spark, SF_SMOKE, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.withColumn(
+        "gap", F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    )
+    want = {
+        r["user_id"]: (r["n"], round(r["s"], 4), r["g"] or 0)
+        for r in gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("s"),
+            F.max("gap").alias("g"),
+        )
+        .collect()
+    }
+    assert got == want and len(want) > 0
