@@ -39,6 +39,16 @@ def main() -> int:
     # Warm the JVM/codegen paths once on a trivial action so the first timed
     # query doesn't pay session start-up.
     spark.range(1000).selectExpr("sum(id)").collect()
+    # ... and the parquet reader + whole-stage-codegen + Arrow Python worker
+    # pool on one UNTIMED small query, so the alphabetically-first timed
+    # queries don't absorb one-time costs every later query rides for free
+    # (standard bench hygiene: measure steady state, not cold start).
+    try:
+        queries["q12_top_n_rows"].fn(spark, sf_dir).collect()
+    except Exception:
+        pass
+    spark.range(100).mapInPandas(lambda it: it, "id long").count()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
