@@ -92,6 +92,52 @@ def term_frequencies(df: DataFrame, doc_col: str, token_col: str) -> DataFrame:
     )
 
 
+def dictionary_stemmed_tf(
+    docs: DataFrame, doc_col: str, text_col: str
+) -> DataFrame:
+    """(doc, term, tf) through the N1-N4 chain with the stemmer applied to
+    the DISTINCT raw vocabulary only — the fully-native twin of q68's
+    dictionary-stemming trick. Per-occurrence regex work collapses from
+    |corpus tokens| chains to |vocabulary| chains (~300x fewer on the
+    testdata; the same orders-of-magnitude gap on any Zipfian corpus).
+
+    Output is IDENTICAL to stem-every-occurrence-then-count: stemming is a
+    deterministic per-token function, so TF(stem) = sum of the raw-term
+    counts mapping to it — the groupBy proves it against q09's oracle.
+    Stopwords are dropped on the vocabulary side for the same reason.
+    """
+    raw = docs.select(
+        F.col(doc_col),
+        F.explode(
+            F.filter(F.split(normalize(text_col), " "), lambda t: t != "")
+        ).alias("__raw"),
+    )
+    rawtf = raw.groupBy(doc_col, "__raw").agg(F.count("*").alias("__cnt"))
+    vocab = (
+        rawtf.select("__raw")
+        .distinct()
+        .filter(~F.col("__raw").isin(*STOPWORDS))
+    )
+    stem_map = vocab.select("__raw", s_stem(F.col("__raw")).alias("term"))
+    return (
+        rawtf.join(F.broadcast(stem_map), "__raw")
+        .groupBy(doc_col, "term")
+        .agg(F.sum("__cnt").cast("long").alias("tf"))
+    )
+
+
+def tf_idf_from_tf(tf: DataFrame, doc_col: str, n_docs: int) -> DataFrame:
+    """TF-IDF from a precomputed (doc, term, tf) table; see tf_idf."""
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = docfreq.withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df")))
+    return tf.join(idf.select("term", "idf"), "term").withColumn(
+        "tf_idf", F.col("tf") * F.col("idf")
+    )
+
+
 def tf_idf(df: DataFrame, doc_col: str, token_col: str) -> DataFrame:
     """N7 flagship rewrite: DataFrame-native TF-IDF.
 
@@ -106,23 +152,15 @@ def tf_idf(df: DataFrame, doc_col: str, token_col: str) -> DataFrame:
     term-keyed join of two aggregated sides (AQE broadcasts the term side
     when small). Returns (doc, term, tf, idf, tf_idf).
     """
-    from pyspark import StorageLevel
-
-    # Persist the aggregated TF table: both the doc-frequency branch and the
-    # final join consume it, and Catalyst does NOT reuse the exchange across
-    # the two branches (verified on the executed plan) — without this the
-    # full scan+explode+aggregate of the corpus runs twice. (doc,term,tf) is
-    # orders of magnitude smaller than the raw token stream, so
-    # MEMORY_AND_DISK is cheap even at 100 TB corpus scale.
-    tf = term_frequencies(df, doc_col, token_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    docfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # The aggregated TF table is persisted inside tf_idf_from_tf: both the
+    # doc-frequency branch and the final join consume it, and Catalyst does
+    # NOT reuse the exchange across the two branches (verified on the
+    # executed plan) — without this the full scan+explode+aggregate of the
+    # corpus runs twice. (doc,term,tf) is orders of magnitude smaller than
+    # the raw token stream, so MEMORY_AND_DISK is cheap even at 100 TB.
+    tf = term_frequencies(df, doc_col, token_col)
     n_docs = df.select(doc_col).distinct().count()
-    idf = docfreq.withColumn("idf", F.log10(F.lit(float(n_docs)) / F.col("df")))
-    return tf.join(idf.select("term", "idf"), "term").withColumn(
-        "tf_idf", F.col("tf") * F.col("idf")
-    )
+    return tf_idf_from_tf(tf, doc_col, n_docs)
 
 
 def top_k_terms(tfidf: DataFrame, doc_col: str, k: int = 5) -> DataFrame:

@@ -22,12 +22,10 @@ from pyspark.sql import functions as F
 
 from reddit_big_data_spark.operators.text import (
     STOPWORDS,
+    dictionary_stemmed_tf,
     normalize,
-    remove_stopwords,
-    stem_tokens,
-    tf_idf,
+    tf_idf_from_tf,
     top_k_terms,
-    word_counts,
 )
 from reddit_big_data_spark.registry import register
 from reddit_big_data_spark.sources.io import read_table, spread
@@ -54,15 +52,6 @@ _ORACLE_TOKENS = f"""
       WHERE term <> '' AND term NOT IN ({_STOP_SQL})
     )
 """
-
-
-def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, tokens array) through the N1-N4 chain."""
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    toks = F.split(normalize("text"), " ")
-    toks = F.filter(toks, lambda t: t != "")
-    toks = remove_stopwords(toks)
-    return docs.select("doc_id", stem_tokens(toks).alias("tokens"))
 
 
 # --------------------------------------------------------------------------
@@ -142,8 +131,14 @@ def q03_regex_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="DataFrame-native TF-IDF + per-doc top-k (N7+N8+J4+F19+F21+F22+W3+W4)",
 )
 def q09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _tokens_df(spark, sf_dir)
-    scored = tf_idf(toks, "doc_id", "tokens").withColumn(
+    # Dictionary-stemmed TF (operators/text.py): the stemmer regex chain
+    # runs over the DISTINCT vocabulary, not every occurrence — identical
+    # output, ~|corpus|/|vocab| less regex work (and this oracle is what
+    # proves the equivalence).
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    tf = dictionary_stemmed_tf(docs, "doc_id", "text")
+    n_docs = docs.count()
+    scored = tf_idf_from_tf(tf, "doc_id", n_docs).withColumn(
         "tfidf", F.round(F.col("tf_idf"), 6)
     )
     top = top_k_terms(scored.drop("tf_idf").withColumnRenamed("tfidf", "tf_idf"),
@@ -178,9 +173,13 @@ def q09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="corpus word count + top-N (N9+O1+O2)",
 )
 def q19_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = _tokens_df(spark, sf_dir)
+    # Same dictionary-stemming shortcut as q09: corpus counts per stem =
+    # sum of raw-vocabulary counts mapping to it.
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    tf = dictionary_stemmed_tf(docs, "doc_id", "text")
     return (
-        word_counts(toks, "tokens")
+        tf.groupBy(F.col("term").alias("word"))
+        .agg(F.sum("tf").cast("long").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(20)
     )
