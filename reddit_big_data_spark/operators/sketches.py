@@ -131,3 +131,95 @@ def cms_estimate(
         .groupBy(item_col)
         .agg(F.min("cnt").cast("long").alias("est_count"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k) sketch: one mergeable sketch giving BOTH a distinct-count
+# estimate and a uniform sample of the distinct values (so quantile
+# estimates too) — Bar-Yossef et al., "Counting distinct elements in a
+# data stream" (RANDOM 2002); beats keeping HLL + a separate sampler when
+# both metrics are needed. Completes the sketch trio: HLL (distinct),
+# CMS (frequency), KMV (distinct + quantiles).
+# ---------------------------------------------------------------------------
+
+_TWO_63 = float(2**63)
+_TWO_64 = float(2**64)
+
+
+def _hash_pos(h):  # xxhash64 long -> uniform (0, 1)
+    return (h.cast("double") + _TWO_63 + 1.0) / (_TWO_64 + 2.0)
+
+
+def kmv_partials(
+    df: DataFrame,
+    key_col: str,
+    part_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Level 1: per (key, part) bottom-k sketch — the k DISTINCT values
+    with the smallest xxhash64, as a sorted array of (h, v) structs.
+
+    Shape: distinct -> per-group window rank by hash -> keep k ->
+    collect_list. The window sorts only within (key, part) groups (never
+    global), and the output is FIXED-SIZE per group regardless of input
+    rows — the materialize-once ingest aggregation, like daily_sketches.
+    Deterministic: xxhash64 has no RNG state."""
+    from pyspark.sql import Window
+
+    hv = df.select(
+        key_col,
+        part_col,
+        F.struct(
+            F.xxhash64(F.col(value_col)).alias("h"),
+            F.col(value_col).cast("double").alias("v"),
+        ).alias("hv"),
+    ).distinct()
+    w = Window.partitionBy(key_col, part_col).orderBy(F.col("hv.h"))
+    return (
+        hv.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(key_col, part_col)
+        .agg(F.array_sort(F.collect_list("hv")).alias("sketch"))
+    )
+
+
+def kmv_merge_estimate(
+    partials: DataFrame, key_col: str, k: int = 64
+) -> DataFrame:
+    """Level 2: merge each key's part-sketches (union of (h, v) pairs,
+    re-truncate to the k smallest hashes) and read off:
+
+    - est_nd: the KMV estimator (k-1)/u_k, where u_k is the k-th smallest
+      hash mapped to (0,1) — or the exact sample size when fewer than k
+      distinct values exist (the sketch then holds ALL of them);
+    - est_p50: the median of the sampled values. Bottom-k-by-hash is a
+      uniform sample of the DISTINCT values, so sample quantiles estimate
+      distinct-value quantiles.
+
+    Merging touches O(parts x k) rows per key — never the raw data."""
+    from pyspark.sql import Window
+
+    exploded = (
+        partials.select(key_col, F.explode("sketch").alias("hv"))
+        .select(key_col, "hv.h", "hv.v")
+        .distinct()  # same (h, v) may appear in several part-sketches
+    )
+    w = Window.partitionBy(key_col).orderBy("h")
+    bottom = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+    )
+    agg = bottom.groupBy(key_col).agg(
+        F.count("*").alias("__n"),
+        F.max(F.when(F.col("__rn") == k, _hash_pos(F.col("h")))).alias("__uk"),
+        F.expr("percentile(v, 0.5)").alias("est_p50"),
+    )
+    est = F.when(
+        F.col("__n") < k, F.col("__n").cast("double")
+    ).otherwise((k - 1) / F.col("__uk"))
+    return agg.select(
+        key_col,
+        F.round(est).cast("long").alias("est_nd"),
+        F.round("est_p50", 4).alias("est_p50"),
+    )

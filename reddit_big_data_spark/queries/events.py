@@ -222,3 +222,38 @@ def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
 
+
+
+# --------------------------------------------------------------------------
+# q88 — KMV bottom-k sketch rollup: one mergeable sketch per (event_type,
+# day) yields BOTH an approximate distinct count of `value` AND an
+# approximate median, merged across days without re-scanning raw rows —
+# the quantile-capable sibling of q59's HLL rollup. Rows-only contract
+# (sketch internals are hash-defined, not SQL-expressible); estimator
+# error bounds are pinned in tests/test_sketches.py.
+# --------------------------------------------------------------------------
+@register(
+    "q88_kmv_rollup",
+    oracle=None,
+    doc="mergeable bottom-k sketch: distinct + quantile estimates per key",
+)
+def q88_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.sketches import (
+        kmv_merge_estimate,
+        kmv_partials,
+    )
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "__day", F.to_date("ts")
+    )
+    partials = kmv_partials(ev, "event_type", "__day", "value", k=256)
+    est = kmv_merge_estimate(partials, "event_type", k=256)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("value").alias("exact_nd"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "est_nd", "exact_nd", "est_p50", "exact_p50")
+        .orderBy("event_type")
+    )

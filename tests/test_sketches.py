@@ -94,3 +94,58 @@ def test_cms_overestimates_under_forced_collisions(spark):
     assert len(joined) == 50
     assert all(r["est_count"] >= r["cnt"] for r in joined)
     assert any(r["est_count"] > r["cnt"] for r in joined)  # collisions happened
+
+
+def test_kmv_merge_equals_single_shot(spark):
+    """Merging per-day KMV sketches must give the SAME bottom-k (hence the
+    same estimates) as one sketch over all data — the mergeability
+    property that makes the rollup sound."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.sketches import (
+        kmv_merge_estimate,
+        kmv_partials,
+    )
+    from reddit_big_data_spark.sources.io import read_table
+    from tests.conftest import SF_ORACLE
+
+    ev = read_table(spark, SF_ORACLE, "events").withColumn(
+        "__day", F.to_date("ts")
+    )
+    merged = {
+        r["event_type"]: (r["est_nd"], r["est_p50"])
+        for r in kmv_merge_estimate(
+            kmv_partials(ev, "event_type", "__day", "value", k=128),
+            "event_type",
+            k=128,
+        ).collect()
+    }
+    single = {
+        r["event_type"]: (r["est_nd"], r["est_p50"])
+        for r in kmv_merge_estimate(
+            kmv_partials(
+                ev.withColumn("__one", F.lit(1)), "event_type", "__one", "value", k=128
+            ),
+            "event_type",
+            k=128,
+        ).collect()
+    }
+    assert merged == single and len(merged) > 0
+
+
+def test_kmv_estimates_within_bounds(spark):
+    """KMV relative error is ~1/sqrt(k-1); assert a generous 4-sigma band
+    for the distinct estimate and a sample-noise band for the median."""
+    from reddit_big_data_spark.registry import all_queries
+    from tests.conftest import SF_ORACLE
+
+    rows = all_queries()["q88_kmv_rollup"].fn(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        rel = abs(r["est_nd"] - r["exact_nd"]) / r["exact_nd"]
+        assert rel < 4.0 / (256 - 1) ** 0.5, (r["event_type"], rel)
+        # median of a ~256-point uniform sample of the distinct values:
+        # quantile error ~ 4 * 0.5/sqrt(k) of the value RANGE
+        assert abs(r["est_p50"] - r["exact_p50"]) < 0.125 * (
+            r["exact_p50"] * 2
+        ), r
