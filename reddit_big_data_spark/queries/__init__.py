@@ -29,6 +29,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     mixture,
     layout,
     multijoin,
+    modern,
     relational,
     temporal,
     windows,
