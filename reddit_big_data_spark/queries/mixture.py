@@ -92,3 +92,47 @@ def q85_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q91 — exact k-per-group sampling: every group contributes EXACTLY
+# min(k, |group|) rows, chosen by deterministic hash rank — the
+# group-balanced counterpart of q47's fraction-based stratified sampler
+# (a fraction sampler under-covers small groups; evaluation sets and
+# per-domain audits want fixed counts). One partitioned window, no RNG
+# state, rerun- and engine-stable.
+# --------------------------------------------------------------------------
+@register(
+    "q91_k_per_group_sample",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY md5(CAST(o_orderkey AS VARCHAR)),
+                                         o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS sample_value
+    FROM r WHERE rn <= 20
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="deterministic-hash exact k-per-group sample (window rank, no RNG)",
+)
+def q91_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sample_value"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -74,3 +74,69 @@ def q81_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q90 — MAD-based robust outlier flags: median and median-absolute-
+# deviation per group (two exact-median passes — the first aggregates the
+# group medians, broadcast back; the second aggregates the absolute
+# deviations), then count rows beyond 1 robust-sigma (1.4826·MAD). The
+# robust counterpart of z-scores: one wild row moves a mean/stddev fence,
+# but not a median/MAD fence. The uniform testdata has no 3-sigma tail,
+# so the reported fence is 1 sigma — the CHECK is about the machinery,
+# not the threshold.
+# --------------------------------------------------------------------------
+@register(
+    "q90_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, MEDIAN(l_extendedprice) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, ABS(l_extendedprice - med) AS adev
+      FROM lineitem l JOIN med USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT d.l_returnflag, ANY_VALUE(m.med) AS med, MEDIAN(d.adev) AS mad
+      FROM dev d JOIN med m USING (l_returnflag) GROUP BY d.l_returnflag
+    )
+    SELECT x.l_returnflag, COUNT(*) AS n,
+           ROUND(ANY_VALUE(m.med), 2) AS med,
+           ROUND(ANY_VALUE(m.mad), 2) AS mad,
+           CAST(SUM(CASE WHEN ABS(x.l_extendedprice - m.med) > 1.4826 * m.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1s
+    FROM lineitem x JOIN mad m USING (l_returnflag)
+    GROUP BY x.l_returnflag
+    ORDER BY x.l_returnflag
+    """,
+    doc="median/MAD robust outlier fence per group (two exact-median passes)",
+)
+def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), "l_returnflag")
+    mad = dev.groupBy("l_returnflag").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(abs(l_extendedprice - med), 0.5)").alias("mad"),
+    )
+    return (
+        li.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med"), 2).alias("med"),
+            F.round(F.first("mad"), 2).alias("mad"),
+            F.sum(
+                (
+                    F.abs(F.col("l_extendedprice") - F.col("med"))
+                    > 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_beyond_1s"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -253,47 +253,6 @@ def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q26 — token counting two ways (the LLM-pipeline budget estimator):
-# whitespace tokens vs a BPE-style pre-tokenizer count (letter runs /
-# digit runs / punctuation singletons — the GPT-2 pre-tokenizer shape,
-# minus unicode classes). Native regexp_count on both engines.
-# --------------------------------------------------------------------------
-@register(
-    "q26_token_counts",
-    oracle="""
-    SELECT source,
-           COUNT(*) AS docs,
-           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
-             AS ws_tokens,
-           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
-             AS BIGINT) AS bpe_tokens,
-           ROUND(AVG(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
-                     AS DOUBLE)
-                     / len(string_split_regex(trim(text), '\\s+'))), 6)
-             AS bpe_per_ws
-    FROM documents
-    GROUP BY source
-    ORDER BY source
-    """,
-    doc="whitespace vs BPE-style pre-tokenizer token counts (LLM budget estimate)",
-)
-def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
-    return (
-        docs.groupBy("source")
-        .agg(
-            F.count("*").alias("docs"),
-            F.sum(ws).alias("ws_tokens"),
-            F.sum(bpe).alias("bpe_tokens"),
-            F.round(F.avg(bpe.cast("double") / ws), 6).alias("bpe_per_ws"),
-        )
-        .orderBy("source")
-    )
-
-
-# --------------------------------------------------------------------------
 # q37 — within-doc repetition signals (the Gopher/Dolma repetition quality
 # filters a pretraining pipeline runs before training): per-doc fraction of
 # word-bigram occurrences taken by the single most frequent bigram, and the
@@ -730,4 +689,45 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q26 — token counting two ways (the LLM-pipeline budget estimator):
+# whitespace tokens vs a BPE-style pre-tokenizer count (letter runs /
+# digit runs / punctuation singletons — the GPT-2 pre-tokenizer shape,
+# minus unicode classes). Native regexp_count on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q26_token_counts",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))
+             AS BIGINT) AS bpe_tokens,
+           ROUND(AVG(CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                     AS DOUBLE)
+                     / len(string_split_regex(trim(text), '\\s+'))), 6)
+             AS bpe_per_ws
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="whitespace vs BPE-style pre-tokenizer token counts (LLM budget estimate)",
+)
+def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    bpe = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(ws).alias("ws_tokens"),
+            F.sum(bpe).alias("bpe_tokens"),
+            F.round(F.avg(bpe.cast("double") / ws), 6).alias("bpe_per_ws"),
+        )
+        .orderBy("source")
     )
