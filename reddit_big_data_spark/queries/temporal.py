@@ -117,3 +117,91 @@ def q17_calendar_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("season", "month_name", "day_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q92 — time-series gap fill + forward fill: build the dense hourly grid
+# (distinct keys x sequence(min_hour, max_hour)), left-join the actual
+# hourly aggregate, and carry the last observation forward with an
+# IGNORE NULLS window — the standard warehouse resample. Scale shape: the
+# grid is |keys| x |hours| rows built from a 1-row bounds aggregate (no
+# scan of raw data to enumerate hours); the fill window is partitioned
+# per key. Hourly sums round to 4dp on both sides before the final sum
+# so engine summation order cannot move the 2dp output.
+# --------------------------------------------------------------------------
+@register(
+    "q92_gap_fill",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, ROUND(SUM(value), 4) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT MIN(date_trunc('hour', ts)) AS lo,
+             MAX(date_trunc('hour', ts)) AS hi FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+                  FROM bounds) g
+    ),
+    joined AS (
+      SELECT g.event_type, hourly.v,
+             last_value(hourly.v IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING) AS v_filled
+      FROM grid g LEFT JOIN hourly
+        ON hourly.event_type = g.event_type AND hourly.h = g.h
+    )
+    SELECT event_type, COUNT(*) AS n_hours,
+           CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           ROUND(SUM(v_filled), 2) AS filled_sum
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+    doc="dense-grid resample + last-observation-carried-forward fill",
+)
+def q92_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("h"), "value"
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    bounds = ev.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_gaps"),
+            F.round(F.sum("v_filled"), 2).alias("filled_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -186,73 +186,6 @@ def q19_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q20 — text quality scoring + n-gram-free language-ID heuristic: token
-# counts, lexical diversity, stopword ratio, chars/token, and a
-# stopword-overlap English detector — the LLM-pipeline quality gates, all
-# as native expressions over one scan.
-# --------------------------------------------------------------------------
-@register(
-    "q20_text_quality",
-    oracle=f"""
-    WITH norm AS (
-      SELECT doc_id, lang,
-             string_split(trim(regexp_replace(regexp_replace(lower(text),
-                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks,
-             length(text) AS n_chars_raw
-      FROM documents
-    ),
-    per_doc AS (
-      SELECT doc_id, lang,
-             len(toks) AS n_tokens,
-             len(list_distinct(toks)) AS n_distinct,
-             len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS n_stop,
-             n_chars_raw
-      FROM norm
-    )
-    SELECT lang,
-           COUNT(*) AS docs,
-           ROUND(AVG(n_tokens), 4) AS avg_tokens,
-           ROUND(AVG(CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS avg_diversity,
-           ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 4) AS avg_stop_ratio,
-           ROUND(AVG(CAST(n_chars_raw AS DOUBLE) / n_tokens), 4) AS avg_chars_per_token,
-           CAST(SUM(CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.02
-                    THEN 1 ELSE 0 END) AS BIGINT) AS pred_english
-    FROM per_doc
-    GROUP BY lang
-    ORDER BY lang
-    """,
-    doc="quality scores (token count/diversity/stopword ratio) + lang-ID heuristic",
-)
-def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(normalize("text"), " ")
-    per_doc = docs.select(
-        "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
-        F.length("text").alias("n_chars_raw"),
-    )
-    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
-    return (
-        per_doc.groupBy("lang")
-        .agg(
-            F.count("*").alias("docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(
-                F.avg(F.col("n_distinct").cast("double") / F.col("n_tokens")), 4
-            ).alias("avg_diversity"),
-            F.round(F.avg(stop_ratio), 4).alias("avg_stop_ratio"),
-            F.round(
-                F.avg(F.col("n_chars_raw").cast("double") / F.col("n_tokens")), 4
-            ).alias("avg_chars_per_token"),
-            F.sum(F.when(stop_ratio > 0.02, 1).otherwise(0)).alias("pred_english"),
-        )
-        .orderBy("lang")
-    )
-
-
-# --------------------------------------------------------------------------
 # q37 — within-doc repetition signals (the Gopher/Dolma repetition quality
 # filters a pretraining pipeline runs before training): per-doc fraction of
 # word-bigram occurrences taken by the single most frequent bigram, and the
@@ -730,4 +663,71 @@ def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(bpe.cast("double") / ws), 6).alias("bpe_per_ws"),
         )
         .orderBy("source")
+    )
+
+
+# --------------------------------------------------------------------------
+# q20 — text quality scoring + n-gram-free language-ID heuristic: token
+# counts, lexical diversity, stopword ratio, chars/token, and a
+# stopword-overlap English detector — the LLM-pipeline quality gates, all
+# as native expressions over one scan.
+# --------------------------------------------------------------------------
+@register(
+    "q20_text_quality",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks,
+             length(text) AS n_chars_raw
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct,
+             len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS n_stop,
+             n_chars_raw
+      FROM norm
+    )
+    SELECT lang,
+           COUNT(*) AS docs,
+           ROUND(AVG(n_tokens), 4) AS avg_tokens,
+           ROUND(AVG(CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS avg_diversity,
+           ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 4) AS avg_stop_ratio,
+           ROUND(AVG(CAST(n_chars_raw AS DOUBLE) / n_tokens), 4) AS avg_chars_per_token,
+           CAST(SUM(CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.02
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pred_english
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="quality scores (token count/diversity/stopword ratio) + lang-ID heuristic",
+)
+def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(normalize("text"), " ")
+    per_doc = docs.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        F.length("text").alias("n_chars_raw"),
+    )
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(
+                F.avg(F.col("n_distinct").cast("double") / F.col("n_tokens")), 4
+            ).alias("avg_diversity"),
+            F.round(F.avg(stop_ratio), 4).alias("avg_stop_ratio"),
+            F.round(
+                F.avg(F.col("n_chars_raw").cast("double") / F.col("n_tokens")), 4
+            ).alias("avg_chars_per_token"),
+            F.sum(F.when(stop_ratio > 0.02, 1).otherwise(0)).alias("pred_english"),
+        )
+        .orderBy("lang")
     )
