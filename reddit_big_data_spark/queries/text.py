@@ -55,53 +55,6 @@ _ORACLE_TOKENS = f"""
 
 
 # --------------------------------------------------------------------------
-# q03 — regex working-set filter + regex-derived dummy flags: the pattern the
-# reference uses to find its corpus at all (game-thread rlike at
-# code/nlp/Data_Gathering.py:45) and to build mention-dummies
-# (code/nlp/Sentiment_Analysis.py:225-233), plus the length-threshold filter
-# (code/eda/project_eda.py:1012) and regexp_replace cleanup
-# (code/ml/Cleaning&Prepping_Data_ML.py:47). P8 P9 P10 P13 F9 F14 F15.
-# --------------------------------------------------------------------------
-@register(
-    "q03_regex_flags",
-    oracle="""
-    SELECT lang,
-           COUNT(*) AS cnt,
-           CAST(SUM(CASE WHEN regexp_matches(text, 'spark\\s+\\w+\\s+agg') THEN 1 ELSE 0 END) AS BIGINT) AS spark_agg_hits,
-           CAST(SUM(CASE WHEN regexp_matches(text, '(join|merge)') OR source = 'src0'
-                    THEN 1 ELSE 0 END) AS BIGINT) AS join_or_src0,
-           CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS consonant_chars,
-           ROUND(AVG(length(text)), 4) AS avg_len
-    FROM documents
-    WHERE regexp_matches(text, '\\bquery\\b') AND length(text) > 120
-    GROUP BY lang
-    ORDER BY lang
-    """,
-    doc="rlike filter + regex dummies + length threshold (P8+P9+P10+P13+F9+F14+F15)",
-)
-def q03_regex_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    t = F.col("text")
-    return (
-        docs.filter(t.rlike(r"\bquery\b") & (F.length(t) > 120))
-        .withColumn("spark_agg_hit", t.rlike(r"spark\s+\w+\s+agg").cast("long"))
-        .withColumn(
-            "join_flag",
-            (t.rlike("(join|merge)") | (F.col("source") == "src0")).cast("long"),
-        )
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.sum("spark_agg_hit").alias("spark_agg_hits"),
-            F.sum("join_flag").alias("join_or_src0"),
-            F.sum(F.length(F.regexp_replace(t, "[aeiou]", ""))).alias("consonant_chars"),
-            F.round(F.avg(F.length(t)), 4).alias("avg_len"),
-        )
-        .orderBy("lang")
-    )
-
-
-# --------------------------------------------------------------------------
 # q09 — THE FLAGSHIP: DataFrame-native TF-IDF + per-doc top-3 terms,
 # replacing the reference's RDD chain (code/nlp/NFL_Processing.py:477-506)
 # with explode/groupBy/join — one codegen'd shuffle chain, zero Python
@@ -152,36 +105,6 @@ def q09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("rn"),
         )
         .orderBy("doc_id", "rn")
-    )
-
-
-# --------------------------------------------------------------------------
-# q19 — corpus word counts, top-20 (N9): the reference builds one giant
-# driver-side string for its wordcloud (code/nlp/NFL_Processing.py:206-215);
-# here only (word, count) pairs exist, distributed end to end.
-# --------------------------------------------------------------------------
-@register(
-    "q19_wordcount_top20",
-    oracle=_ORACLE_TOKENS
-    + """
-    SELECT term AS word, COUNT(*) AS cnt
-    FROM stemmed
-    GROUP BY term
-    ORDER BY cnt DESC, word
-    LIMIT 20
-    """,
-    doc="corpus word count + top-N (N9+O1+O2)",
-)
-def q19_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same dictionary-stemming shortcut as q09: corpus counts per stem =
-    # sum of raw-vocabulary counts mapping to it.
-    docs = spread(read_table(spark, sf_dir, "documents"))
-    tf = dictionary_stemmed_tf(docs, "doc_id", "text")
-    return (
-        tf.groupBy(F.col("term").alias("word"))
-        .agg(F.sum("tf").cast("long").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), F.col("word"))
-        .limit(20)
     )
 
 
@@ -730,4 +653,81 @@ def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(stop_ratio > 0.02, 1).otherwise(0)).alias("pred_english"),
         )
         .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q03 — regex working-set filter + regex-derived dummy flags: the pattern the
+# reference uses to find its corpus at all (game-thread rlike at
+# code/nlp/Data_Gathering.py:45) and to build mention-dummies
+# (code/nlp/Sentiment_Analysis.py:225-233), plus the length-threshold filter
+# (code/eda/project_eda.py:1012) and regexp_replace cleanup
+# (code/ml/Cleaning&Prepping_Data_ML.py:47). P8 P9 P10 P13 F9 F14 F15.
+# --------------------------------------------------------------------------
+@register(
+    "q03_regex_flags",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS cnt,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'spark\\s+\\w+\\s+agg') THEN 1 ELSE 0 END) AS BIGINT) AS spark_agg_hits,
+           CAST(SUM(CASE WHEN regexp_matches(text, '(join|merge)') OR source = 'src0'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS join_or_src0,
+           CAST(SUM(length(regexp_replace(text, '[aeiou]', '', 'g'))) AS BIGINT) AS consonant_chars,
+           ROUND(AVG(length(text)), 4) AS avg_len
+    FROM documents
+    WHERE regexp_matches(text, '\\bquery\\b') AND length(text) > 120
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="rlike filter + regex dummies + length threshold (P8+P9+P10+P13+F9+F14+F15)",
+)
+def q03_regex_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (
+        docs.filter(t.rlike(r"\bquery\b") & (F.length(t) > 120))
+        .withColumn("spark_agg_hit", t.rlike(r"spark\s+\w+\s+agg").cast("long"))
+        .withColumn(
+            "join_flag",
+            (t.rlike("(join|merge)") | (F.col("source") == "src0")).cast("long"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("spark_agg_hit").alias("spark_agg_hits"),
+            F.sum("join_flag").alias("join_or_src0"),
+            F.sum(F.length(F.regexp_replace(t, "[aeiou]", ""))).alias("consonant_chars"),
+            F.round(F.avg(F.length(t)), 4).alias("avg_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q19 — corpus word counts, top-20 (N9): the reference builds one giant
+# driver-side string for its wordcloud (code/nlp/NFL_Processing.py:206-215);
+# here only (word, count) pairs exist, distributed end to end.
+# --------------------------------------------------------------------------
+@register(
+    "q19_wordcount_top20",
+    oracle=_ORACLE_TOKENS
+    + """
+    SELECT term AS word, COUNT(*) AS cnt
+    FROM stemmed
+    GROUP BY term
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+    doc="corpus word count + top-N (N9+O1+O2)",
+)
+def q19_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Same dictionary-stemming shortcut as q09: corpus counts per stem =
+    # sum of raw-vocabulary counts mapping to it.
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    tf = dictionary_stemmed_tf(docs, "doc_id", "text")
+    return (
+        tf.groupBy(F.col("term").alias("word"))
+        .agg(F.sum("tf").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word"))
+        .limit(20)
     )
