@@ -97,6 +97,41 @@ def write_parquet(
     writer.parquet(path)
 
 
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """S3 sibling: JSON-lines source. Pass an explicit schema in
+    production — inference scans the data twice, and a single corrupt
+    line otherwise poisons the frame via the _corrupt_record column."""
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S4 sibling: JSON-lines sink (timestamps serialize ISO-8601)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S1 sibling: ORC source — footer schema, predicate pushdown and
+    column pruning exactly like parquet (both are tested to round-trip)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S5 sibling: ORC sink with the same partition-pruning contract as
+    write_parquet."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
 def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
     """S6: driver-side pandas ingest (the reference's baseball-reference CSV
     path, code/nlp/Data_Gathering.py:113-137). Arrow-accelerated by the
