@@ -60,3 +60,57 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.withColumn("change_type", change).drop(_IN_OLD, _IN_NEW)
+
+
+def scd2_history(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+    t_old: str,
+    t_new: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from two snapshots.
+
+    Builds on `snapshot_diff`'s classification (one key-partitioned
+    full-outer join — the only shuffle):
+
+    - unchanged  -> one OPEN row (valid_from = t_old, current)
+    - changed    -> the old version CLOSED at t_new + a new OPEN row
+    - removed    -> the old version CLOSED at t_new
+    - added      -> a new OPEN row (valid_from = t_new)
+
+    Returns ``*keys, *compare_cols, valid_from, valid_to, is_current``;
+    valid_to is NULL on open rows. The two-rows-for-changed expansion is
+    an explode of a conditionally built array — no second join, no second
+    pass over either snapshot.
+    """
+    d = snapshot_diff(old, new, keys, compare_cols)
+    old_version = F.struct(
+        *[F.col(f"old_{c}").alias(c) for c in compare_cols],
+        F.lit(t_old).alias("valid_from"),
+        F.lit(t_new).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    new_version = F.struct(
+        *[F.col(f"new_{c}").alias(c) for c in compare_cols],
+        F.lit(t_new).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    open_old = F.struct(
+        *[F.col(f"old_{c}").alias(c) for c in compare_cols],
+        F.lit(t_old).alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    versions = (
+        F.when(F.col("change_type") == "unchanged", F.array(open_old))
+        .when(F.col("change_type") == "removed", F.array(old_version))
+        .when(F.col("change_type") == "added", F.array(new_version))
+        .otherwise(F.array(old_version, new_version))  # changed
+    )
+    return (
+        d.select(*keys, F.explode(versions).alias("__v"))
+        .select(*keys, "__v.*")
+    )

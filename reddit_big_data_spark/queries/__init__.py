@@ -5,23 +5,24 @@ operator family.
 IMPORT ORDER IS LOAD-BEARING: the driver's correctness gate verifies the
 first 50 registrations (registration order == import order here), so the
 window rotates each round toward the queries most in need of a fresh
-driver-green row. Round-4 priority, in order:
+driver-green row. Round-4 composition, in order:
 
-1. mlq — q65's NTZ-cast failure was round 3's only red row; its fix (and
-   the rest of the ML family) must land back inside the window.
-2. The round-4 additions, never driver-checked: subqueries (q78-q80),
-   cleaning (q75-q77), graph (q82), robust (q81), mixture (q85),
-   layout (q83-q84).
-3. relational/temporal/windows + text — green in round 2 but rotated past
-   the cap in round 3; their 24 queries re-enter.
-4. dedup opens the tail of the window (q30-q34 repeats).
+1. olsfit — q65, round 3's only red row (NTZ cast), now fixed.
+2. Every round-4 addition, never driver-checked: subqueries q78-q80,
+   cleaning q75-q77, graph q82, robust q81/q90, mixture q85/q91,
+   layout q83-q84, multijoin q86/q87/q93/q94, modern q88/q89,
+   maintenance (q71-q73 repeats riding along with the new q95).
+3. relational/temporal (incl. new q92)/windows/text rotations — green in
+   round 2 but past the cap in round 3; all 24 re-enter, with the text
+   module's round-3-green q03/q19/q20/q26 moved to its tail to make room.
+4. q09 (flagship) rides as the window's only discretionary repeat.
 
 Everything past the cap was driver-green in round 3 and stays covered by
 tests/test_queries_oracle.py, the local mirror of the driver check.
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
-    mlq,
+    olsfit,
     subqueries,
     cleaning,
     graph,
@@ -30,6 +31,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     layout,
     multijoin,
     modern,
+    maintenance,
     relational,
     temporal,
     windows,
@@ -43,7 +45,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     nested,
     cooc,
     cms,
-    maintenance,
     udtfq,
     multimodal,
+    mlq,
 )

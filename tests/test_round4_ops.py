@@ -148,3 +148,28 @@ def test_winsorized_mean_lies_within_bounds(spark):
 
     for r in q81_winsorized_stats(spark, SF_SMOKE).collect():
         assert r.p05 <= r.mean_winsorized <= r.p95
+
+
+def test_scd2_history_versions(spark):
+    """Row-level SCD2 semantics: unchanged stays open from t1; changed
+    yields a closed v1 row AND an open v2 row; removed closes; added
+    opens at t2."""
+    from reddit_big_data_spark.operators.diff import scd2_history
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (4, 40.0)], "k long, v double"
+    )
+    rows = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(old, new, ["k"], ["v"], "t1", "t2").collect()
+    }
+    assert rows == {
+        (1, 10.0, "t1", None, True),      # unchanged: open since t1
+        (2, 20.0, "t1", "t2", False),     # changed: v1 closed at t2
+        (2, 99.0, "t2", None, True),      # changed: v2 open
+        (3, 30.0, "t1", "t2", False),     # removed: closed at t2
+        (4, 40.0, "t2", None, True),      # added: open at t2
+    }
