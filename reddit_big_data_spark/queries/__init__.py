@@ -11,7 +11,7 @@ driver-green row. Round-4 composition, in order:
 2. Every round-4 addition, never driver-checked: subqueries q78-q80,
    cleaning q75-q77, graph q82, robust q81/q90, mixture q85/q91,
    layout q83-q84, multijoin q86/q87/q93/q94, modern q88/q89,
-   maintenance (q71-q73 repeats riding along with the new q95).
+   fuzzy-match q96 (cleaning), scd q95.
 3. relational/temporal (incl. new q92)/windows/text rotations — green in
    round 2 but past the cap in round 3; all 24 re-enter, with the text
    module's round-3-green q03/q19/q20/q26 moved to its tail to make room.
@@ -31,7 +31,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     layout,
     multijoin,
     modern,
-    maintenance,
+    scd,
     relational,
     temporal,
     windows,
@@ -45,6 +45,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     nested,
     cooc,
     cms,
+    maintenance,
     udtfq,
     multimodal,
     mlq,

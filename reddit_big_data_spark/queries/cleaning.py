@@ -273,3 +273,57 @@ def q77_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), "gram")
         .limit(15)
     )
+
+
+# --------------------------------------------------------------------------
+# q96 — fuzzy entity matching (blocked edit-distance join): the
+# block -> verify pattern every entity-resolution / reference-matching
+# pipeline uses. Blocking key = p_brand (an equi-join, so the quadratic
+# verify runs only WITHIN blocks — the same bounded-block discipline as
+# q33's n-gram Jaccard); verify = native levenshtein, identical in both
+# engines. Output: per-brand duplicate-name and near-name pair counts.
+# --------------------------------------------------------------------------
+@register(
+    "q96_fuzzy_name_match",
+    oracle="""
+    SELECT a.p_brand,
+           CAST(COUNT(DISTINCT a.p_partkey) AS BIGINT) AS n_parts_in_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_pairs,
+           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS near_pairs
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    GROUP BY a.p_brand
+    ORDER BY a.p_brand
+    """,
+    doc="blocked fuzzy join: brand blocking + levenshtein verify",
+)
+def q96_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name"
+    )
+    a = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_brand"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    d = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .filter(d <= 2)
+        .groupBy("p_brand")
+        .agg(
+            F.countDistinct("key_a").alias("n_parts_in_pairs"),
+            F.sum((d == 0).cast("long")).alias("exact_dup_pairs"),
+            F.sum(d.between(1, 2).cast("long")).alias("near_pairs"),
+        )
+        .orderBy("p_brand")
+    )
