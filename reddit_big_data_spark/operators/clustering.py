@@ -71,6 +71,11 @@ def kmeans_centers(
     per-round centroid CTE only contains cids with members (ADVICE r2) —
     e.g. duplicate init vectors tie-break every point to the lower cid,
     emptying the higher one immediately."""
+    # Every Lloyd round re-reads the corpus (assign + centroid update),
+    # plus the dim probe and seed collect below — cache it once for the
+    # loop instead of re-scanning the source per action. The caller's
+    # between-query clearCache (bench/conftest) drops it.
+    df = df.persist()
     dim_row = df.select(F.size(vec_col).alias("d")).first()
     dim = int(dim_row["d"])
     init = (
