@@ -276,54 +276,101 @@ def q77_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q96 — fuzzy entity matching (blocked edit-distance join): the
-# block -> verify pattern every entity-resolution / reference-matching
-# pipeline uses. Blocking key = p_brand (an equi-join, so the quadratic
-# verify runs only WITHIN blocks — the same bounded-block discipline as
-# q33's n-gram Jaccard); verify = native levenshtein, identical in both
-# engines. Output: per-brand duplicate-name and near-name pair counts.
+# q96 — fuzzy entity matching (blocked edit-distance join) at the
+# DICTIONARY level: the block -> verify pattern every entity-resolution
+# pipeline uses, with the quadratic levenshtein verify running over
+# DISTINCT (brand, name) groups, never part rows — pair counts between
+# groups multiply back (cnt_a * cnt_b), exact-duplicate pairs are
+# C(cnt, 2) per group. Same |rows| -> |vocabulary| collapse as q09's
+# dictionary stemming: at 100 TB the name vocabulary, not the row count,
+# bounds the verify (measured 7.1s -> sub-second at sf0.1).
 # --------------------------------------------------------------------------
 @register(
     "q96_fuzzy_name_match",
     oracle="""
-    SELECT a.p_brand,
-           CAST(COUNT(DISTINCT a.p_partkey) AS BIGINT) AS n_parts_in_pairs,
-           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) = 0
-                    THEN 1 ELSE 0 END) AS BIGINT) AS exact_dup_pairs,
-           CAST(SUM(CASE WHEN levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
-                    THEN 1 ELSE 0 END) AS BIGINT) AS near_pairs
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
-    GROUP BY a.p_brand
-    ORDER BY a.p_brand
+    WITH ng AS (
+      SELECT p_brand, p_name, COUNT(*) AS cnt FROM part GROUP BY 1, 2
+    ),
+    np AS (
+      SELECT a.p_brand, a.p_name AS na, b.p_name AS nb,
+             a.cnt * b.cnt AS cross_cnt
+      FROM ng a JOIN ng b
+        ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+      WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+    ),
+    paired_names AS (
+      SELECT DISTINCT p_brand, na AS p_name FROM np
+      UNION
+      SELECT DISTINCT p_brand, nb AS p_name FROM np
+    ),
+    per_brand_np AS (
+      SELECT p_brand, CAST(SUM(cross_cnt) AS BIGINT) AS near_pairs
+      FROM np GROUP BY p_brand
+    ),
+    per_brand AS (
+      SELECT ng.p_brand,
+             CAST(SUM(ng.cnt * (ng.cnt - 1) / 2) AS BIGINT) AS exact_dup_pairs,
+             CAST(SUM(CASE WHEN ng.cnt >= 2 OR pn.p_name IS NOT NULL
+                      THEN ng.cnt ELSE 0 END) AS BIGINT) AS parts_in_pairs
+      FROM ng LEFT JOIN paired_names pn
+        ON pn.p_brand = ng.p_brand AND pn.p_name = ng.p_name
+      GROUP BY ng.p_brand
+    )
+    SELECT p_brand, exact_dup_pairs,
+           COALESCE(near_pairs, 0) AS near_pairs, parts_in_pairs
+    FROM per_brand LEFT JOIN per_brand_np USING (p_brand)
+    ORDER BY p_brand
     """,
-    doc="blocked fuzzy join: brand blocking + levenshtein verify",
+    doc="blocked fuzzy join on the name dictionary: levenshtein over groups",
 )
 def q96_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = read_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_name"
+    part = read_table(spark, sf_dir, "part").select("p_brand", "p_name")
+    ng = part.groupBy("p_brand", "p_name").agg(F.count("*").alias("cnt"))
+    a = ng.select(
+        "p_brand", F.col("p_name").alias("na"), F.col("cnt").alias("cnt_a")
     )
-    a = part.select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
+    b = ng.select(
+        "p_brand", F.col("p_name").alias("nb"), F.col("cnt").alias("cnt_b")
     )
-    b = part.select(
-        F.col("p_brand"),
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-    )
-    d = F.levenshtein("name_a", "name_b")
-    return (
+    np_ = (
         a.join(b, "p_brand")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .filter(d <= 2)
+        .filter(F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb").between(1, 2))
+        .select("p_brand", "na", "nb", (F.col("cnt_a") * F.col("cnt_b")).alias("cross_cnt"))
+    )
+    paired = (
+        np_.select("p_brand", F.col("na").alias("p_name"))
+        .union(np_.select("p_brand", F.col("nb").alias("p_name")))
+        .distinct()
+        .withColumn("__paired", F.lit(True))
+    )
+    per_brand = (
+        ng.join(paired, ["p_brand", "p_name"], "left")
         .groupBy("p_brand")
         .agg(
-            F.countDistinct("key_a").alias("n_parts_in_pairs"),
-            F.sum((d == 0).cast("long")).alias("exact_dup_pairs"),
-            F.sum(d.between(1, 2).cast("long")).alias("near_pairs"),
+            F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2)
+            .cast("long")
+            .alias("exact_dup_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("cnt") >= 2) | F.col("__paired").isNotNull(),
+                    F.col("cnt"),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("parts_in_pairs"),
+        )
+    )
+    near = np_.groupBy("p_brand").agg(
+        F.sum("cross_cnt").cast("long").alias("near_pairs")
+    )
+    return (
+        per_brand.join(near, "p_brand", "left")
+        .select(
+            "p_brand",
+            "exact_dup_pairs",
+            F.coalesce("near_pairs", F.lit(0)).alias("near_pairs"),
+            "parts_in_pairs",
         )
         .orderBy("p_brand")
     )
