@@ -16,14 +16,37 @@ from reddit_big_data_spark.sources.io import read_table
 # q88 — KMV bottom-k sketch rollup: one mergeable sketch per (event_type,
 # day) yields BOTH an approximate distinct count of `value` AND an
 # approximate median, merged across days without re-scanning raw rows —
-# the quantile-capable sibling of q59's HLL rollup. Rows-only contract
-# (sketch internals are hash-defined, not SQL-expressible); estimator
-# error bounds are pinned in tests/test_sketches.py.
+# the quantile-capable sibling of q59's HLL rollup.
+#
+# Oracle contract (VERDICT r4 #2, q31-recall-style): the sketch estimates
+# themselves are hash-defined and not SQL-expressible, so the query
+# projects the SQL-checkable EXACT values plus booleans asserting the
+# estimates landed inside their published error bounds — deterministic
+# because xxhash64 has no RNG state. Bounds (k = 256):
+#   - nd: |est - exact| <= 0.25 * exact. KMV RSE = 1/sqrt(k-2) ~= 6.3%
+#     (Beyer et al., SIGMOD 2007); 0.25 is ~4 sigma. Observed max error on
+#     the testdata is 8.1%.
+#   - p50: est within the exact p35..p65 of the DISTINCT values (bottom-k
+#     by hash uniformly samples distinct values, so the sample-median rank
+#     se = 0.5/sqrt(k) ~= 3.1%; the +-15pp band is ~4.8 sigma). Observed
+#     worst case sits at the ~53rd percentile.
+# Tighter per-run error magnitudes stay pinned in tests/test_sketches.py.
 # --------------------------------------------------------------------------
 @register(
     "q88_kmv_rollup",
-    oracle=None,
-    doc="mergeable bottom-k sketch: distinct + quantile estimates per key",
+    oracle="""
+    WITH dv AS (SELECT DISTINCT event_type, value FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS exact_nd,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50_distinct,
+           TRUE AS nd_within_bound,
+           TRUE AS p50_within_bound
+    FROM dv
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="mergeable bottom-k sketch: distinct + quantile estimates per key, "
+    "error-bound booleans vs exact (SQL-checkable)",
 )
 def q88_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.sketches import (
@@ -36,13 +59,31 @@ def q88_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partials = kmv_partials(ev, "event_type", "__day", "value", k=256)
     est = kmv_merge_estimate(partials, "event_type", k=256)
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("value").alias("exact_nd"),
-        F.round(F.expr("percentile(value, 0.5)"), 4).alias("exact_p50"),
+    exact = (
+        ev.select("event_type", "value")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("exact_nd"),
+            F.expr("percentile(value, 0.5)").alias("__p50"),
+            F.expr("percentile(value, 0.35)").alias("__p35"),
+            F.expr("percentile(value, 0.65)").alias("__p65"),
+        )
     )
     return (
         est.join(exact, "event_type")
-        .select("event_type", "est_nd", "exact_nd", "est_p50", "exact_p50")
+        .select(
+            "event_type",
+            "exact_nd",
+            F.round("__p50", 4).alias("exact_p50_distinct"),
+            (
+                F.abs(F.col("est_nd") - F.col("exact_nd"))
+                <= 0.25 * F.col("exact_nd")
+            ).alias("nd_within_bound"),
+            F.col("est_p50")
+            .between(F.col("__p35"), F.col("__p65"))
+            .alias("p50_within_bound"),
+        )
         .orderBy("event_type")
     )
 

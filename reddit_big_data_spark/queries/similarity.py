@@ -59,23 +59,93 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rn")
 
 
+# Shared DuckDB CTE: exact cosine top-1 per probe (the SQL-checkable half
+# of the q41/q43 recall oracles; same fold discipline as q40's oracle).
+_EXACT_TOP1_SQL = """
+    WITH v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             ROUND(list_sum(list_transform(generate_series(1, len(q.e)),
+                                           i -> q.e[i] * v.e[i]))
+                   / (q.nrm * v.nrm), 6) AS cosine_sim
+      FROM q JOIN v ON v.vec_id <> q.vec_id
+    ),
+    top1 AS (
+      SELECT query_id, neighbor_id AS exact_top1_id, cosine_sim AS exact_top1_sim
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: int) -> DataFrame:
+    """(query_id, exact_top1_id, exact_top1_sim, recall_ok): join the ANN
+    result against the exact top-k computed in the SAME query; recall_ok
+    asserts >= `floor` of the exact top-k were found. The q31 pattern:
+    the driver row then checks ANN RECALL, not just arithmetic."""
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(
+            exact.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("__hits"))
+    )
+    top1 = exact.filter(F.col("rn") == 1).select(
+        "query_id",
+        F.col("neighbor_id").alias("exact_top1_id"),
+        F.col("cosine_sim").alias("exact_top1_sim"),
+    )
+    return (
+        top1.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "exact_top1_id",
+            "exact_top1_sim",
+            (F.coalesce(F.col("__hits"), F.lit(0)) >= floor).alias("recall_ok"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # q41 — LSH-bucketed approximate top-k: the 100 TB path (bucket join prunes
-# the pair space; exact cosine reranks). Rows-only: LSH membership is
-# implementation-defined; tests/test_similarity_ops.py pins recall >= 0.8
-# on planted clusters vs the brute-force truth.
+# the pair space; exact cosine reranks). Oracle contract (VERDICT r4 #5):
+# bucket membership is implementation-defined, so the query emits per-probe
+# recall-vs-exact booleans plus the SQL-checkable exact top-1 — the oracle
+# asserts recall_ok = TRUE for every probe. 4 planes x 16 tables puts the
+# collision S-curve where the testdata's weak neighbors (cosine 0.25-0.49)
+# still collide: observed per-probe hits at sf0.01 are 3-5 of 5; the floor
+# of 2 leaves 1 hit of margin. Deterministic: hyperplanes are splitmix64
+# constants, no RNG state. tests/test_similarity_ops.py separately pins
+# recall >= 0.8 on planted clusters.
 # --------------------------------------------------------------------------
 @register(
     "q41_lsh_ann",
-    oracle=None,
-    doc="random-hyperplane LSH ANN (approximate; recall pinned in unit tests)",
+    oracle=_EXACT_TOP1_SQL
+    + """
+    SELECT query_id, exact_top1_id, exact_top1_sim, TRUE AS recall_ok
+    FROM top1
+    ORDER BY query_id
+    """,
+    doc="random-hyperplane LSH ANN with per-probe recall-vs-exact oracle",
 )
 def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return lsh_topk(emb, queries, k=5, n_planes=8, n_tables=4).orderBy(
-        "query_id", "rn"
-    )
+    exact = brute_force_topk(emb, queries, k=5)
+    ann = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16)
+    return _ann_recall_frame(ann, exact, floor=2)
 
 
 # --------------------------------------------------------------------------
@@ -127,23 +197,32 @@ def q42_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q43 — IVF approximate top-k: coarse-quantize the corpus into cells
 # (broadcast centroids trained with 2 Lloyd's rounds — the real index
 # build, VERDICT r2; seeds alone skew cell populations), probe only the
-# query's nprobe nearest cells. Rows-only (cell routing is
-# implementation-defined); recall vs brute force pinned in
-# tests/test_similarity_ops.py.
+# query's nprobe nearest cells. Oracle contract (VERDICT r4 #5): cell
+# routing is implementation-defined, so the query emits per-probe
+# recall-vs-exact booleans plus the SQL-checkable exact top-1. Observed
+# per-probe hits at sf0.01: 4-5 of 5 (nprobe=6 of 16 cells); floor 3
+# leaves a hit of margin. Deterministic: k-means init and Lloyd updates
+# are seed-free functions of the data. tests/test_similarity_ops.py
+# separately pins recall on planted clusters.
 # --------------------------------------------------------------------------
 @register(
     "q43_ivf_ann",
-    oracle=None,
-    doc="IVF coarse-quantized ANN (k-means-trained cells; recall pinned in tests)",
+    oracle=_EXACT_TOP1_SQL
+    + """
+    SELECT query_id, exact_top1_id, exact_top1_sim, TRUE AS recall_ok
+    FROM top1
+    ORDER BY query_id
+    """,
+    doc="IVF coarse-quantized ANN with per-probe recall-vs-exact oracle",
 )
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.similarity import ivf_topk
 
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, train_iters=2).orderBy(
-        "query_id", "rn"
-    )
+    exact = brute_force_topk(emb, queries, k=5)
+    ann = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, train_iters=2)
+    return _ann_recall_frame(ann, exact, floor=3)
 
 
 # --------------------------------------------------------------------------
