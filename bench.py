@@ -45,8 +45,11 @@ def main() -> int:
     # (standard bench hygiene: measure steady state, not cold start).
     try:
         queries["q12_top_n_rows"].fn(spark, sf_dir).collect()
-    except Exception:
-        pass
+    except Exception as exc:
+        # A failed warmup means the first timed queries absorb cold-start
+        # costs — surface it instead of silently skewing them (ADVICE r4).
+        print(f"bench: warmup query failed ({type(exc).__name__}: {exc})",
+              file=sys.stderr)
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
     spark.catalog.clearCache()
 

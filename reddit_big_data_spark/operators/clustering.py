@@ -73,36 +73,41 @@ def kmeans_centers(
     emptying the higher one immediately."""
     # Every Lloyd round re-reads the corpus (assign + centroid update),
     # plus the dim probe and seed collect below — cache it once for the
-    # loop instead of re-scanning the source per action. The caller's
-    # between-query clearCache (bench/conftest) drops it.
+    # DURATION OF THE LOOP only; the final action in each round is the
+    # centroid collect, so by the time we return, nothing downstream
+    # still needs the cached blocks (ADVICE r4: don't lean on callers'
+    # clearCache to mop up).
     df = df.persist()
-    dim_row = df.select(F.size(vec_col).alias("d")).first()
-    dim = int(dim_row["d"])
-    init = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(F.col(vec_col).cast("array<double>").alias("e"))
-        .collect()
-    )
-    centers = [list(r["e"]) for r in init]
-    cids = list(range(len(centers)))  # < k rows: every point its own centroid
-    for _ in range(iters - 1):
-        assigned = _assign(df, vec_col, centers, cids)
-        flat = assigned.select(
-            "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
-        )
-        rows = (
-            flat.groupBy("cluster", "pos")
-            .agg(F.avg("col").alias("c"))
+    try:
+        dim_row = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(dim_row["d"])
+        init = (
+            df.orderBy(id_col)
+            .limit(k)
+            .select(F.col(vec_col).cast("array<double>").alias("e"))
             .collect()
         )
-        by_cid: dict[int, list[float]] = {}
-        for r in rows:
-            by_cid.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["c"]
-        # emptied clusters vanish; survivors keep their cid labels
-        cids = sorted(by_cid)
-        centers = [by_cid[c] for c in cids]
-    return list(zip(cids, centers))
+        centers = [list(r["e"]) for r in init]
+        cids = list(range(len(centers)))  # < k rows: every point its own centroid
+        for _ in range(iters - 1):
+            assigned = _assign(df, vec_col, centers, cids)
+            flat = assigned.select(
+                "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
+            )
+            rows = (
+                flat.groupBy("cluster", "pos")
+                .agg(F.avg("col").alias("c"))
+                .collect()
+            )
+            by_cid: dict[int, list[float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cluster"], [0.0] * dim)[r["pos"]] = r["c"]
+            # emptied clusters vanish; survivors keep their cid labels
+            cids = sorted(by_cid)
+            centers = [by_cid[c] for c in cids]
+        return list(zip(cids, centers))
+    finally:
+        df.unpersist()
 
 
 def kmeans_assign(

@@ -411,3 +411,127 @@ def test_transform_with_state_matches_legacy(spark):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+class _FakeValueState:
+    """Stands in for a transformWithStateInPandas ValueState handle so the
+    processor's state machine runs where the TWS state server can't
+    (ADVICE r4: the protobuf skip left _ProfileProcessor with zero
+    executed coverage — a handleInputRows signature or state-tuple
+    mismatch would only surface in production)."""
+
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_profile_processor_state_machine_pure_pandas():
+    """Drive _ProfileProcessor.handleInputRows directly: two micro-batches
+    for one user must accumulate (n, sum, max gap) across the ValueState
+    round-trip exactly like the legacy applyInPandasWithState function
+    and a hand computation."""
+    import pandas as pd
+
+    from reddit_big_data_spark.streaming.stateful import _ProfileProcessor
+
+    proc = _ProfileProcessor()
+    proc.init(_FakeHandle())
+
+    def batch(epochs_values):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([e for e, _ in epochs_values], unit="s"),
+                "value": [v for _, v in epochs_values],
+            }
+        )
+
+    # Batch 1: two events 10s apart (arriving out of order — the
+    # processor must sort by ts before folding).
+    out1 = list(
+        proc.handleInputRows((7,), iter([batch([(110, 2.0), (100, 1.0)])]), None)
+    )
+    assert len(out1) == 1
+    row = out1[0].iloc[0]
+    assert (
+        row["user_id"],
+        row["n_events"],
+        row["sum_value"],
+        row["max_gap_s"],
+    ) == (7, 2, 3.0, 10)
+
+    # Batch 2: one event 100s after the last -> max gap widens; counters
+    # continue from the persisted state tuple, proving the round-trip.
+    out2 = list(proc.handleInputRows((7,), iter([batch([(210, 4.0)])]), None))
+    row = out2[0].iloc[0]
+    assert (
+        row["user_id"],
+        row["n_events"],
+        row["sum_value"],
+        row["max_gap_s"],
+    ) == (7, 3, 7.0, 100)
+
+    proc.close()
+
+
+def test_profile_processor_matches_legacy_fn_pure_pandas():
+    """_ProfileProcessor and the legacy _update_profile must be the SAME
+    state machine: replay identical batch sequences through both (fake
+    state handles on both sides) and compare every emitted row."""
+    import pandas as pd
+
+    from reddit_big_data_spark.streaming.stateful import (
+        _ProfileProcessor,
+        _update_profile,
+    )
+
+    class _FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    batches = [
+        [(50, 1.5), (20, 0.5)],
+        [(60, 2.0), (300, -1.0)],
+        [(301, 0.25)],
+    ]
+
+    proc = _ProfileProcessor()
+    proc.init(_FakeHandle())
+    legacy_state = _FakeGroupState()
+
+    for ev in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime([e for e, _ in ev], unit="s"),
+                "value": [v for _, v in ev],
+            }
+        )
+        new = list(proc.handleInputRows((3,), iter([pdf.copy()]), None))[0]
+        old = list(_update_profile((3,), iter([pdf.copy()]), legacy_state))[0]
+        pd.testing.assert_frame_equal(new, old)
