@@ -129,3 +129,60 @@ def q89_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q97 — t-digest quantile rollup: one mergeable digest per (event_type,
+# day), merged across days, answering p50/p90 of `value` without
+# re-scanning raw rows — the row-level-quantile upgrade over q88's KMV
+# (which samples DISTINCT values only; t-digest bounds RANK error of the
+# true row distribution and concentrates accuracy at the tails). Same
+# oracle contract as q88: estimates are construction-defined, so the query
+# emits the exact quantiles plus booleans asserting the estimates landed
+# within a +-5pp rank band — observed worst-case rank error on tied
+# (discrete) data is ~0.0125, so the band is ~4x margin.
+# tests/test_sketches.py pins the tighter per-distribution bounds and the
+# merge-of-parts == whole property.
+# --------------------------------------------------------------------------
+@register(
+    "q97_tdigest_rollup",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS exact_p90,
+           TRUE AS p50_in_band,
+           TRUE AS p90_in_band
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="mergeable t-digest rollup: p50/p90 per key, rank-band booleans vs exact",
+)
+def q97_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.tdigest import tdigest_quantiles
+
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "__day", F.to_date("ts").cast("string")
+    )
+    est = tdigest_quantiles(
+        ev, "event_type", "__day", "value", quantiles=[0.5, 0.9], delta=100
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("__p50"),
+        F.expr("percentile(value, 0.9)").alias("__p90"),
+        F.expr("percentile(value, 0.45)").alias("__p45"),
+        F.expr("percentile(value, 0.55)").alias("__p55"),
+        F.expr("percentile(value, 0.85)").alias("__p85"),
+        F.expr("percentile(value, 0.95)").alias("__p95"),
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("__p50", 4).alias("exact_p50"),
+            F.round("__p90", 4).alias("exact_p90"),
+            F.col("est_q50").between(F.col("__p45"), F.col("__p55")).alias("p50_in_band"),
+            F.col("est_q90").between(F.col("__p85"), F.col("__p95")).alias("p90_in_band"),
+        )
+        .orderBy("event_type")
+    )

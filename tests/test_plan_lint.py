@@ -78,6 +78,18 @@ _ALLOW: dict[str, dict[str, str]] = {
         "(m/8 bytes regardless of key count) — the whole point of the "
         "runtime-filter pattern",
     },
+    "q41_lsh_ann": {
+        "NESTED_LOOP": "the recall oracle computes the exact top-k IN the "
+        "query (q40's broadcast-probe NLJ baseline) to compare the LSH "
+        "result against — the ANN candidate path itself is a bucket "
+        "equi-join",
+    },
+    "q97_tdigest_rollup": {
+        "PY_ARROW": "t-digest build/merge is the sanctioned grouped-map "
+        "applyInPandas surface (greedy scale-function clustering is "
+        "genuinely non-SQL); per-group output is a fixed-size centroid "
+        "array, never raw rows",
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
@@ -104,7 +116,7 @@ for _q in (
     "q79_below_avg_quantity q80_dormant_high_balance q81_winsorized_stats "
     "q83_zorder_layout q84_bloom_semi_join q85_mixture_sample "
     "q86_local_supplier_volume q87_rank_family q82_pagerank q88_kmv_rollup q89_variant_props q90_mad_outliers q91_k_per_group_sample q92_gap_fill q93_volume_shipping q94_market_share q95_scd2_history q96_fuzzy_name_match "
-    "q36_prefix_simjoin q40_cosine_topk q41_lsh_ann "
+    "q36_prefix_simjoin q40_cosine_topk q41_lsh_ann q43_ivf_ann q97_tdigest_rollup "
     "q42_label_centroids q50_json_props q51_tumbling_windows "
     "q52_binary_payloads q53_sessionization q54_asof_join q55_time_rollup "
     "q56_range_join q57_pivot q58_cube "
