@@ -323,3 +323,137 @@ def winnowing_fingerprints(
         .select(F.col("__id").alias(id_col), "fp")
         .distinct()
     )
+
+
+def simhash_wide(
+    df: DataFrame, id_col: str, token_col: str, bits: int = 64
+) -> DataFrame:
+    """SimHash over the BIT level of each token's md5 (vs `simhash_bits`,
+    which votes on one bit per hex DIGIT and so caps at 32 bits): bit j
+    of the signature is the sign of the sum over tokens of (+1 if bit j
+    of md5(token) is set else -1). 64 bits is the production sweet spot —
+    at 32 bits a few thousand word-soup docs already collapse to within
+    hamming 3 of each other (measured: 51% of all sf0.1 pairs), while 64
+    bits keeps the distance distribution spread.
+
+    Fully native: the hex digits are conv'd to ints once per token, the
+    64 votes are SUM aggregates with map-side partial aggregation, and
+    the signature assembles as a bit-string column."""
+    tok = df.select(F.col(id_col).alias("__id"), F.explode(token_col).alias("__t"))
+    tok = tok.withColumn("__h", F.md5(F.col("__t")))
+    ndig = (bits + 3) // 4
+    tok = tok.select(
+        "__id",
+        *[
+            F.conv(F.substring("__h", d, 1), 16, 10).cast("int").alias(f"__d{d}")
+            for d in range(1, ndig + 1)
+        ],
+    )
+    votes = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col(f"__d{j // 4 + 1}"), 3 - (j % 4))
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
+            ).alias(f"__v{j}")
+            for j in range(bits)
+        ]
+    )
+    bit_exprs = [
+        F.when(F.col(f"__v{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(bits)
+    ]
+    return votes.select(
+        F.col("__id").alias(id_col), F.concat(*bit_exprs).alias("simhash")
+    )
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT hamming-distance self-join over bit-string signatures:
+    (id_a, id_b, hamming) for every pair within `max_hamming` bits.
+
+    Pigeonhole banding (the bit-sampling LSH made exact): split the
+    signature into `bands` equal chunks; a pair differing in at most
+    max_hamming <= bands - 1 bits must agree EXACTLY on >= 1 chunk, so
+    candidates come from an equi-join on (band, chunk) — never all-pairs
+    — with recall 1.0 by construction. Verification recomputes the true
+    hamming distance natively (per-band conv -> xor -> bit_count fold).
+
+    Scale: same banded-join shape as MinHash-LSH (operators/dedup.py
+    near_duplicates) — shuffle keys are 16-bit chunks, skewed chunks mean
+    near-identical doc clusters, which is exactly the signal dedup wants."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    if bits % bands:
+        raise ValueError(f"signature width {bits} not divisible by {bands} bands")
+    width = bits // bands
+
+    def banded(role: str) -> DataFrame:
+        # Rename FIRST and slice chunks as PLAIN literal-indexed exprs
+        # (no higher-order-function lambdas): both join sides derive from
+        # the same `sig` plan, and HOF lambda variables referencing the
+        # shared plan trip Spark's self-join attribute disambiguation
+        # (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND). Band count is a small
+        # Python constant, so an unrolled array literal is also the
+        # faster codegen.
+        s = sig.select(
+            F.col(id_col).alias(f"id_{role}"),
+            F.col(sig_col).alias(f"sig_{role}"),
+        )
+        chunks = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.col(f"sig_{role}")
+                        .substr(i * width + 1, width)
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        )
+        return s.select(
+            f"id_{role}", f"sig_{role}", chunks.alias("__bc")
+        ).select(f"id_{role}", f"sig_{role}", "__bc.band", "__bc.chunk")
+
+    cand = (
+        banded("a")
+        .join(banded("b"), ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    # Exact distance: per-band ints xor'd and popcounted, summed as plain
+    # unrolled exprs — no string scan per pair beyond the substr slicing.
+    band_hams = [
+        F.bit_count(
+            F.conv(F.col("sig_a").substr(i * width + 1, width), 2, 10)
+            .cast("long")
+            .bitwiseXOR(
+                F.conv(F.col("sig_b").substr(i * width + 1, width), 2, 10).cast(
+                    "long"
+                )
+            )
+        )
+        for i in range(bands)
+    ]
+    ham = sum(band_hams[1:], band_hams[0]).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

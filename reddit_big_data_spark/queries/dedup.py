@@ -543,3 +543,69 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q98 — SimHash HAMMING near-dup pairs: the step q32 stops short of.
+# q32 summarizes exact-signature collisions; this finds every pair within
+# hamming distance 3 on a 64-bit bit-level simhash, EXACTLY, via
+# pigeonhole banding (4 bands x 16 bits: <= 3 differing bits force >= 1
+# identical band), so the pair space is a chunk equi-join — bit-sampling
+# LSH made exact, the hamming twin of q36's prefix filter. The oracle
+# replays the full signature construction in SQL and brute-forces ALL
+# pairs, so a single missed pair fails the driver row (recall check, not
+# just arithmetic).
+# --------------------------------------------------------------------------
+_Q98_SIG_CTE = (
+    _ORACLE_NORM
+    + """,
+    tok AS (
+      SELECT doc_id, md5(unnest(toks)) AS h FROM norm
+    ),
+    votes AS (
+      SELECT doc_id, j,
+             SUM(CASE WHEN (('0x' || substr(h, CAST((j - 1) // 4 + 1 AS INTEGER), 1))::BIGINT
+                            >> CAST(3 - (j - 1) % 4 AS INTEGER)) & 1 = 1
+                      THEN 1 ELSE -1 END) AS v
+      FROM tok, generate_series(1, 64) AS g(j)
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN v >= 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+               AS simhash
+      FROM votes GROUP BY 1
+    )
+"""
+)
+
+
+@register(
+    "q98_simhash_hamming",
+    oracle=_Q98_SIG_CTE
+    + """
+    SELECT id_a, id_b, hamming
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len([i for i in generate_series(1, 64)
+                       if substr(a.simhash, CAST(i AS INTEGER), 1)
+                          <> substr(b.simhash, CAST(i AS INTEGER), 1)])
+                  AS INTEGER) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    )
+    WHERE hamming <= 3
+    ORDER BY id_a, id_b
+    """,
+    doc="exact hamming<=3 simhash pairs via pigeonhole banding vs brute-force oracle",
+)
+def q98_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_wide,
+    )
+
+    toks = _tokens(spark, sf_dir)
+    sig = simhash_wide(toks, "doc_id", "toks", bits=64)
+    return simhash_hamming_pairs(
+        sig, "doc_id", bits=64, bands=4, max_hamming=3
+    ).orderBy("id_a", "id_b")

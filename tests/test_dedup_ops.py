@@ -245,3 +245,47 @@ def test_q31_corpus_gap(duck):
     assert js, "expected planted near-dup pairs in the testdata"
     in_band = [j for j in js if j < 0.9]
     assert not in_band, f"qualifying pairs inside the LSH low-recall band: {in_band}"
+
+
+def test_simhash_hamming_banding_equals_brute_force(spark):
+    """Pigeonhole recall property: the banded hamming join must return
+    EXACTLY the brute-force pairs within max_hamming, on signatures
+    engineered to sit at distances straddling the threshold (0, 1, 3, 4
+    bits, including differences concentrated in one band and spread
+    across bands)."""
+    import itertools
+
+    from reddit_big_data_spark.operators.dedup import simhash_hamming_pairs
+
+    def flip(sig, *positions):
+        s = list(sig)
+        for p in positions:
+            s[p] = "1" if s[p] == "0" else "0"
+        return "".join(s)
+
+    base = ("01" * 32)
+    rows = [
+        (0, base),                      # identical to 1 -> hamming 0
+        (1, base),
+        (2, flip(base, 5)),             # 1 bit from base
+        (3, flip(base, 5, 6, 7)),       # 3 bits, same band
+        (4, flip(base, 0, 17, 33)),     # 3 bits, three bands
+        (5, flip(base, 0, 17, 33, 49)), # 4 bits, all bands differ -> out
+        (6, flip(base, *range(32))),    # far away
+    ]
+    df = spark.createDataFrame(rows, "doc_id: int, simhash: string")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_hamming_pairs(
+            df, "doc_id", bits=64, bands=4, max_hamming=3
+        ).collect()
+    }
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        d = sum(x != y for x, y in zip(sa, sb))
+        if d <= 3:
+            want[(ia, ib)] = d
+    # sanity of the fixture itself: an identical pair is in, the 4-bit
+    # all-bands-differ pair (0 vs 5) is out
+    assert (0, 1) in want and (0, 5) not in want
+    assert got == want

@@ -116,7 +116,7 @@ for _q in (
     "q79_below_avg_quantity q80_dormant_high_balance q81_winsorized_stats "
     "q83_zorder_layout q84_bloom_semi_join q85_mixture_sample "
     "q86_local_supplier_volume q87_rank_family q82_pagerank q88_kmv_rollup q89_variant_props q90_mad_outliers q91_k_per_group_sample q92_gap_fill q93_volume_shipping q94_market_share q95_scd2_history q96_fuzzy_name_match "
-    "q36_prefix_simjoin q40_cosine_topk q41_lsh_ann q43_ivf_ann q97_tdigest_rollup "
+    "q36_prefix_simjoin q40_cosine_topk q41_lsh_ann q43_ivf_ann q97_tdigest_rollup q98_simhash_hamming "
     "q42_label_centroids q50_json_props q51_tumbling_windows "
     "q52_binary_payloads q53_sessionization q54_asof_join q55_time_rollup "
     "q56_range_join q57_pivot q58_cube "
