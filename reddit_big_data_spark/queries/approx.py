@@ -21,24 +21,64 @@ from reddit_big_data_spark.sources.io import read_table
 # q22 — the scale path for q16: HLL distinct counts + quantile sketches.
 # At 100x data these replace exact forms whose per-group state grows with
 # group size; these are fixed-size sketches with map-side partial merge.
+#
+# Oracle contract (the q88 pattern): estimator outputs are
+# engine-specific, so the query emits the SQL-checkable exact values plus
+# booleans asserting each estimate landed inside its published bound —
+# deterministic, HLL++/quantile-sketch carry no RNG state. Bounds:
+# 8% relative for rsd=0.02 HLL++ (4 sigma; observed <=0.95%), and the
+# exact p45..p55 / p85..p95 rank bands for percentile_approx at accuracy
+# 10000 (rank error <=1e-4 — observed dead-on). The exact aggregates
+# exist ONLY to power the verification; the operator under demonstration
+# remains the approximate scale path.
 # --------------------------------------------------------------------------
 @register(
     "q22_approx_distinct_percentiles",
-    oracle=None,
-    doc="approx_count_distinct + percentile_approx: the 100TB default for q16",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_nd_supps,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+           TRUE AS nd_parts_ok,
+           TRUE AS nd_supps_ok,
+           TRUE AS median_in_band,
+           TRUE AS p90_in_band
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="approx_count_distinct + percentile_approx (the 100TB default for "
+    "q16), error-bound booleans vs exact",
 )
 def q22_approx_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("nd_parts_approx"),
-            F.approx_count_distinct("l_suppkey", rsd=0.02).alias("nd_supps_approx"),
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("median_approx"),
-            F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_approx"),
-        )
-        .orderBy("l_returnflag")
+    agg = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_nd_p"),
+        F.approx_count_distinct("l_suppkey", rsd=0.02).alias("a_nd_s"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_med"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a_p90"),
+        F.countDistinct("l_partkey").alias("exact_nd_parts"),
+        F.countDistinct("l_suppkey").alias("exact_nd_supps"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__med"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("__p90"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
+        F.expr("percentile(l_extendedprice, 0.85)").alias("__p85"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("__p95"),
     )
+    rel = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.08 * F.col(e)  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_nd_parts",
+        "exact_nd_supps",
+        F.round("__med", 2).alias("exact_median"),
+        F.round("__p90", 2).alias("exact_p90"),
+        rel("a_nd_p", "exact_nd_parts").alias("nd_parts_ok"),
+        rel("a_nd_s", "exact_nd_supps").alias("nd_supps_ok"),
+        F.col("a_med").between(F.col("__p45"), F.col("__p55")).alias("median_in_band"),
+        F.col("a_p90").between(F.col("__p85"), F.col("__p95")).alias("p90_in_band"),
+    ).orderBy("l_returnflag")
 
 
 # --------------------------------------------------------------------------

@@ -158,21 +158,45 @@ def q55_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q59 — mergeable HLL sketch rollup (operators/sketches.py): distinct users
 # per event_type computed by UNIONING per-day sketches, never re-scanning
 # raw rows — the pre-aggregation pattern that keeps 100 TB distinct-count
-# metrics O(days x sketch_size). Rows-only: Datasketches HLL binaries are
-# not reproducible in DuckDB; tests/test_sketches.py pins (a) the merged
-# estimate exactly equals the single-shot estimate (merge correctness) and
-# (b) <2% relative error vs exact.
+# metrics O(days x sketch_size). Oracle contract (the q88 pattern):
+# Datasketches HLL binaries are not reproducible in DuckDB, so the query
+# emits the SQL-checkable exact values plus a boolean asserting the
+# merged estimate landed within 5% relative error (Datasketches default
+# lgK=12 -> RSE ~1.6%; observed error at testdata scale is 0 — the
+# sketch is exact below ~2.5k distincts). Merge == single-shot stays
+# pinned in tests/test_sketches.py.
 # --------------------------------------------------------------------------
 @register(
     "q59_sketch_rollup",
-    oracle=None,
-    doc="two-level HLL sketch rollup: per-day sketches -> union -> estimate",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd,
+           TRUE AS nd_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="two-level HLL sketch rollup: per-day sketches -> union -> estimate, "
+    "error-bound boolean vs exact",
 )
 def q59_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.sketches import distinct_rollup
 
     ev = read_table(spark, sf_dir, "events")
-    return distinct_rollup(ev, "event_type", "user_id").orderBy("event_type")
+    return (
+        distinct_rollup(ev, "event_type", "user_id")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_nd",
+            (
+                F.abs(F.col("approx_nd") - F.col("exact_nd"))
+                <= 0.05 * F.col("exact_nd")
+            ).alias("nd_within_bound"),
+        )
+        .orderBy("event_type")
+    )
 
 
 # --------------------------------------------------------------------------

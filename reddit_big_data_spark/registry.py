@@ -52,9 +52,20 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
 def all_queries() -> dict[str, Query]:
     # Import side-effect: query modules self-register.
-    import reddit_big_data_spark.queries  # noqa: F401
+    import reddit_big_data_spark.queries as _qpkg
 
-    return dict(_REGISTRY)
+    # Serve WINDOW_ORDER names first: the driver's correctness gate
+    # checks the FIRST 50 entries, so the window composition is an
+    # explicit reviewed list (queries/__init__.py), not an accident of
+    # module import order (ADVICE r4).
+    ordered: dict[str, Query] = {}
+    for name in getattr(_qpkg, "WINDOW_ORDER", []):
+        if name in _REGISTRY:
+            ordered[name] = _REGISTRY[name]
+    for name, q in _REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = q
+    return ordered
 
 
 def query_fns() -> dict[str, QueryFn]:

@@ -78,6 +78,11 @@ _ALLOW: dict[str, dict[str, str]] = {
         "(m/8 bytes regardless of key count) — the whole point of the "
         "runtime-filter pattern",
     },
+    "q69_cms_heavy_hitters": {
+        "NESTED_LOOP": "broadcast of the ONE-ROW total-count scalar onto "
+        "the 20-row heavy-hitter frame to evaluate the eps*N width bound "
+        "— constant-size build side at any scale",
+    },
     "q41_lsh_ann": {
         "NESTED_LOOP": "the recall oracle computes the exact top-k IN the "
         "query (q40's broadcast-probe NLJ baseline) to compare the LSH "

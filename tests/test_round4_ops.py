@@ -173,3 +173,20 @@ def test_scd2_history_versions(spark):
         (3, 30.0, "t1", "t2", False),     # removed: closed at t2
         (4, 40.0, "t2", None, True),      # added: open at t2
     }
+
+
+def test_window_order_is_well_formed():
+    """WINDOW_ORDER (the explicit driver-window list) must name only
+    registered queries, contain no duplicates, and fill the full 50-slot
+    window so no slot is an accidental repeat."""
+    import reddit_big_data_spark.queries as qpkg
+    from reddit_big_data_spark.registry import all_queries
+
+    order = qpkg.WINDOW_ORDER
+    qs = all_queries()
+    assert len(order) == len(set(order)), "duplicate names in WINDOW_ORDER"
+    unknown = [n for n in order if n not in qs]
+    assert not unknown, f"WINDOW_ORDER names not registered: {unknown}"
+    assert len(order) >= 50, "window list must fill the driver's 50 slots"
+    # the registry serves the window names first, in order
+    assert list(qs)[: len(order)] == order
