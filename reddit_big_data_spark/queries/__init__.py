@@ -18,8 +18,9 @@ Round-5 window composition (the VERDICT r4 #1 rotation):
    only proof against testdata drift.
 2. q88 (KMV rollup) — re-contracted this round from rows-only to an
    error-bound-boolean oracle; needs its first driver-green row.
-3. q97 (t-digest rollup) and q98 (simhash hamming join) — new this round.
-4. q09 (flagship TF-IDF) rides as the window's only discretionary repeat.
+3. q97 (t-digest rollup), q98 (simhash hamming join) and q99 (weighted
+   sampling) — new this round; slot 50 goes to q99's first green rather
+   than a discretionary repeat.
 
 Everything past the cap was driver-green in round 4.
 """
@@ -115,6 +116,5 @@ WINDOW_ORDER: list[str] = [
     "q88_kmv_rollup",
     "q97_tdigest_rollup",
     "q98_simhash_hamming",
-    # -- flagship repeat (slot 50)
-    "q09_tfidf_topk",
+    "q99_weighted_sample",
 ]

@@ -136,3 +136,61 @@ def q91_k_per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — weighted sampling WITHOUT replacement (Efraimidis & Spirakis,
+# IPL 2006 "Weighted random sampling with a reservoir"): each doc draws
+# a deterministic uniform u from md5(doc_id) and scores key = ln(u)/w
+# (monotone twin of u^(1/w)); the top-k keys ARE a weighted-without-
+# replacement sample with inclusion proportional to w at every step.
+# Weight here = document length, the "sample long docs more" curriculum
+# knob. No RNG state: u is a hash, so reruns and engines agree — the
+# oracle replays the identical arithmetic and the driver row checks
+# VALUES, not just shape.
+#
+# Scale shape: one narrow projection + one TakeOrdered(k) — no shuffle
+# beyond the final top-k reduction; at 100 TB this is a single scan.
+# Keys round to 9dp before ranking on BOTH engines so a last-ulp ln()
+# difference cannot flip a rank (ties then break by doc_id).
+# --------------------------------------------------------------------------
+_U48 = float(1 << 48)
+
+
+@register(
+    "q99_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+             ROUND(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                       + 0.5) / {_U48}) / length(text), 9) AS es_key
+      FROM documents
+      WHERE length(text) > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, es_key
+    FROM scored
+    ORDER BY es_key DESC, doc_id
+    LIMIT 50
+    """,
+    doc="Efraimidis-Spirakis weighted sampling w/o replacement (hash-uniform, "
+    "exact-value oracle)",
+)
+def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = F.length("text")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / _U48
+    return (
+        docs.filter(w > 0)
+        .select(
+            "doc_id",
+            "lang",
+            w.cast("long").alias("n_chars"),
+            F.round(F.log(u) / w, 9).alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(50)
+    )

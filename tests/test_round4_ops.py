@@ -190,3 +190,30 @@ def test_window_order_is_well_formed():
     assert len(order) >= 50, "window list must fill the driver's 50 slots"
     # the registry serves the window names first, in order
     assert list(qs)[: len(order)] == order
+
+
+def test_weighted_sample_overrepresents_heavy_weights(spark):
+    """Efraimidis-Spirakis property on the q99 scoring rule: with weight
+    ratio 10:1 between two equal-sized classes, the top-100 of 2000 must
+    be dominated by the heavy class (expected inclusion ~10x; the hash
+    draw is deterministic so this is a fixed, replayable outcome)."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, "heavy" if i % 2 == 0 else "light") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id: long, cls: string")
+    w = F.when(F.col("cls") == "heavy", 10.0).otherwise(1.0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("double")
+        + 0.5
+    ) / float(1 << 48)
+    top = (
+        df.select("cls", (F.log(u) / w).alias("key"))
+        .orderBy(F.desc("key"))
+        .limit(100)
+        .groupBy("cls")
+        .count()
+        .collect()
+    )
+    counts = {r["cls"]: r["count"] for r in top}
+    assert counts.get("heavy", 0) >= 80, counts
