@@ -52,33 +52,53 @@ from reddit_big_data_spark.sources.io import read_table
     "q16), error-bound booleans vs exact",
 )
 def q22_approx_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shape note (measured 16s -> 1.9s at sf0.1): two countDistincts in
+    # ONE agg force a 3-way Expand that also triples the percentile
+    # buffering, so the exact distinct counts run as separate narrow
+    # pre-distinct aggregations (partial-aggregated, 8-byte rows) joined
+    # back, and all six exact percentiles share a single array-percentile
+    # buffer (ditto the two approx ones).
     li = read_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
+    main = li.groupBy("l_returnflag").agg(
+        F.expr("percentile_approx(l_extendedprice, array(0.5, 0.9), 10000)").alias(
+            "__apx"
+        ),
+        F.expr(
+            "percentile(l_extendedprice, array(0.45, 0.5, 0.55, 0.85, 0.9, 0.95))"
+        ).alias("__pcts"),
         F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_nd_p"),
         F.approx_count_distinct("l_suppkey", rsd=0.02).alias("a_nd_s"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("a_med"),
-        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("a_p90"),
-        F.countDistinct("l_partkey").alias("exact_nd_parts"),
-        F.countDistinct("l_suppkey").alias("exact_nd_supps"),
-        F.expr("percentile(l_extendedprice, 0.5)").alias("__med"),
-        F.expr("percentile(l_extendedprice, 0.9)").alias("__p90"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("__p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("__p55"),
-        F.expr("percentile(l_extendedprice, 0.85)").alias("__p85"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("__p95"),
+    )
+    nd_p = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_nd_parts"))
+    )
+    nd_s = (
+        li.select("l_returnflag", "l_suppkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("exact_nd_supps"))
     )
     rel = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.08 * F.col(e)  # noqa: E731
-    return agg.select(
-        "l_returnflag",
-        "exact_nd_parts",
-        "exact_nd_supps",
-        F.round("__med", 2).alias("exact_median"),
-        F.round("__p90", 2).alias("exact_p90"),
-        rel("a_nd_p", "exact_nd_parts").alias("nd_parts_ok"),
-        rel("a_nd_s", "exact_nd_supps").alias("nd_supps_ok"),
-        F.col("a_med").between(F.col("__p45"), F.col("__p55")).alias("median_in_band"),
-        F.col("a_p90").between(F.col("__p85"), F.col("__p95")).alias("p90_in_band"),
-    ).orderBy("l_returnflag")
+    p = lambda i: F.element_at("__pcts", i)  # noqa: E731  (1-based)
+    return (
+        main.join(nd_p, "l_returnflag")
+        .join(nd_s, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_nd_parts",
+            "exact_nd_supps",
+            F.round(p(2), 2).alias("exact_median"),
+            F.round(p(5), 2).alias("exact_p90"),
+            rel("a_nd_p", "exact_nd_parts").alias("nd_parts_ok"),
+            rel("a_nd_s", "exact_nd_supps").alias("nd_supps_ok"),
+            F.element_at("__apx", 1).between(p(1), p(3)).alias("median_in_band"),
+            F.element_at("__apx", 2).between(p(4), p(6)).alias("p90_in_band"),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 # --------------------------------------------------------------------------
