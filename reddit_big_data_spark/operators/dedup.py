@@ -400,6 +400,11 @@ def simhash_hamming_pairs(
     if bits % bands:
         raise ValueError(f"signature width {bits} not divisible by {bands} bands")
     width = bits // bands
+    # Materialize signatures ONCE: both self-join sides would otherwise
+    # re-run the (64-aggregate) signature computation from the source scan
+    # (same trap as simjoin's prefix table). One row of (id, 64-char
+    # string) per doc — tiny next to the corpus.
+    sig = sig.localCheckpoint()
 
     def banded(role: str) -> DataFrame:
         # Rename FIRST and slice chunks as PLAIN literal-indexed exprs
