@@ -91,6 +91,10 @@ def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: int) -> DataFrame
     result against the exact top-k computed in the SAME query; recall_ok
     asserts >= `floor` of the exact top-k were found. The q31 pattern:
     the driver row then checks ANN RECALL, not just arithmetic."""
+    # Materialize the exact top-k once (k x probes rows): it feeds BOTH
+    # the hit semi-join and the top-1 projection, and each would
+    # otherwise re-run the corpus-scan scoring pass.
+    exact = exact.localCheckpoint()
     hits = (
         ann.select("query_id", "neighbor_id")
         .join(

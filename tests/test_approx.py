@@ -20,7 +20,13 @@ def test_approx_within_tolerance_of_exact(spark):
     assert exact.keys() == approx.keys()
     for k, e in exact.items():
         a = approx[k]
-        assert abs(a["nd_parts_approx"] - e["nd_parts"]) / e["nd_parts"] < 0.05
-        assert abs(a["nd_supps_approx"] - e["nd_supps"]) / e["nd_supps"] < 0.05
-        assert abs(a["median_approx"] - e["median_price"]) / e["median_price"] < 0.02
-        assert abs(a["p90_approx"] - e["p90_price"]) / e["p90_price"] < 0.02
+        # q22 now carries its estimator-vs-exact comparison in-query
+        # (error-bound booleans, the driver-checkable contract); this
+        # test asserts those bounds held AND that q22's exact columns
+        # agree with q16's independently computed exact values.
+        assert a["nd_parts_ok"] and a["nd_supps_ok"], (k, a)
+        assert a["median_in_band"] and a["p90_in_band"], (k, a)
+        assert a["exact_nd_parts"] == e["nd_parts"]
+        assert a["exact_nd_supps"] == e["nd_supps"]
+        assert abs(a["exact_median"] - e["median_price"]) <= 0.01
+        assert abs(a["exact_p90"] - e["p90_price"]) <= 0.01
