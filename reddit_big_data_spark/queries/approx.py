@@ -138,18 +138,55 @@ def q23_epoch_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q24 — A12 summary()/describe(): Spark's built-in profile (count/mean/
-# stddev/min/quartiles/max as strings). Rows-only: the quartiles inside
-# summary() are approximate by design.
+# q24 — A12 summary()/describe(): Spark's built-in profile. The operator
+# under demonstration is df.summary() itself; the query requests its five
+# EXACT statistics (count/mean/stddev/min/max — the quartile rows are
+# approximate by design and are what kept q24 rows-only until round 5)
+# and casts the string cells back to rounded doubles, which a DuckDB
+# oracle reproduces with plain aggregates. stddev is the sample form on
+# both engines.
 # --------------------------------------------------------------------------
 @register(
     "q24_summary_stats",
-    oracle=None,
-    doc="df.summary() profile over numeric columns (A12)",
+    oracle="""
+    SELECT 'count' AS summary,
+           ROUND(COUNT(l_quantity), 4) AS l_quantity,
+           ROUND(COUNT(l_extendedprice), 4) AS l_extendedprice,
+           ROUND(COUNT(l_discount), 4) AS l_discount
+    FROM lineitem
+    UNION ALL
+    SELECT 'mean', ROUND(AVG(l_quantity), 4), ROUND(AVG(l_extendedprice), 4),
+           ROUND(AVG(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'stddev', ROUND(stddev_samp(l_quantity), 4),
+           ROUND(stddev_samp(l_extendedprice), 4), ROUND(stddev_samp(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'min', ROUND(MIN(l_quantity), 4), ROUND(MIN(l_extendedprice), 4),
+           ROUND(MIN(l_discount), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'max', ROUND(MAX(l_quantity), 4), ROUND(MAX(l_extendedprice), 4),
+           ROUND(MAX(l_discount), 4)
+    FROM lineitem
+    ORDER BY summary
+    """,
+    doc="df.summary() profile over numeric columns (A12), exact-statistic "
+    "rows with a plain-aggregate oracle",
 )
 def q24_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
-    return li.select("l_quantity", "l_extendedprice", "l_discount").summary()
+    prof = li.select("l_quantity", "l_extendedprice", "l_discount").summary(
+        "count", "mean", "stddev", "min", "max"
+    )
+    return prof.select(
+        "summary",
+        *[
+            F.round(F.col(c).cast("double"), 4).alias(c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+        ],
+    ).orderBy("summary")
 
 
 # --------------------------------------------------------------------------
