@@ -182,3 +182,44 @@ def word_counts(df: DataFrame, token_col: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 200,
+    stride: int = 150,
+) -> DataFrame:
+    """Context-window chunking: split each document into `size`-char
+    chunks every `stride` chars (overlap = size - stride), the unit-of-
+    work transform feeding a pretraining tokenizer or a RAG embedder.
+
+    Chunk i covers [1 + i*stride, 1 + i*stride + size); the final chunk
+    truncates at the text end; every doc yields >= 1 chunk (n = 1 +
+    ceil(max(len - size, 0) / stride)). All native: one sequence +
+    posexplode per doc — no shuffle at all until a consumer aggregates,
+    and the explode factor is bounded by len/stride.
+
+    Returns (id, chunk_idx int, chunk_start int, chunk_len int, chunk
+    string) — one row per chunk.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    n = 1 + F.ceil(
+        F.greatest(F.length(text_col) - size, F.lit(0)) / float(stride)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), n - 1)
+    out = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__t"),
+        F.posexplode(starts).alias("chunk_idx", "__i"),
+    ).select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        (F.col("__i") * stride + 1).cast("int").alias("chunk_start"),
+        F.col("__t").substr(F.col("__i") * stride + 1, F.lit(size)).alias("chunk"),
+    )
+    return out.withColumn("chunk_len", F.length("chunk").cast("int")).select(
+        id_col, "chunk_idx", "chunk_start", "chunk_len", "chunk"
+    )

@@ -731,3 +731,54 @@ def q19_wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — context-window chunking (operators/text.py chunk_documents): the
+# unit-of-work split feeding a pretraining tokenizer or RAG embedder —
+# 200-char windows every 150 chars (50 overlap), final chunk truncated,
+# every doc >= 1 chunk. Emitted with md5 content digests so the oracle
+# checks chunk CONTENT, not just offsets; the plan is scan -> sequence ->
+# posexplode, shuffle-free until the trailing oracle-stability sort.
+# --------------------------------------------------------------------------
+@register(
+    "q100_doc_chunking",
+    oracle="""
+    WITH n AS (
+      SELECT doc_id, text,
+             1 + CAST(CEIL(GREATEST(length(text) - 200, 0) / 150.0) AS INTEGER)
+               AS n_chunks
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST(i AS INTEGER) AS chunk_idx,
+             CAST(i * 150 + 1 AS INTEGER) AS chunk_start,
+             substr(text, CAST(i * 150 + 1 AS INTEGER), 200) AS chunk
+      FROM (
+        SELECT doc_id, text,
+               unnest([j for j in generate_series(0, n_chunks - 1)]) AS i
+        FROM n
+      )
+    )
+    SELECT doc_id, chunk_idx, chunk_start,
+           CAST(length(chunk) AS INTEGER) AS chunk_len,
+           md5(chunk) AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="context-window document chunking (size 200 / stride 150), "
+    "content-digest oracle",
+)
+def q100_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.text import chunk_documents
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    ch = chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_len",
+        F.md5("chunk").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
