@@ -153,3 +153,21 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def streaming_daily_sketches(events: DataFrame, id_col: str = "user_id") -> DataFrame:
+    """The level-1 sketch INGEST job as an actual stream: one HLL sketch
+    of `id_col` per (event_type, day), maintained incrementally across
+    micro-batches — the streaming twin of operators/sketches.py
+    daily_sketches, completing the two-level rollup story (level 2 merges
+    the materialized blobs with hll_union_agg, never re-reading raw rows).
+
+    hll_sketch_agg is a mergeable typed aggregate, so the streaming state
+    per group is one fixed-size sketch blob; with a watermark the state
+    for closed days would be evicted (left unwatermarked here so the
+    availableNow drain is deterministic for stream==batch tests)."""
+    return (
+        events.withColumn("__day", F.to_date("ts"))
+        .groupBy("event_type", "__day")
+        .agg(F.hll_sketch_agg(id_col).alias("sketch"))
+    )

@@ -535,3 +535,33 @@ def test_profile_processor_matches_legacy_fn_pure_pandas():
         new = list(proc.handleInputRows((3,), iter([pdf.copy()]), None))[0]
         old = list(_update_profile((3,), iter([pdf.copy()]), legacy_state))[0]
         pd.testing.assert_frame_equal(new, old)
+
+
+def test_streaming_sketch_ingest_merges_to_exact(spark):
+    """Two-level rollup with a REAL streaming level 1: the per-(type, day)
+    HLL sketches maintained by the stream, once merged with
+    hll_union_agg (level 2, touching only the blobs), must estimate the
+    same distinct-user counts as the batch exact computation — at this
+    scale (~150 distinct per type) the sketch is exact, so equality is
+    strict."""
+    from reddit_big_data_spark.streaming.windows import streaming_daily_sketches
+
+    stream = stream_events(spark, SF_SMOKE)
+    run_to_memory_sink(
+        streaming_daily_sketches(stream), "t_daily_sketches", mode="complete"
+    )
+    partials = spark.table("t_daily_sketches")
+    merged = {
+        r["event_type"]: r["nd"]
+        for r in partials.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("nd"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["nd"]
+        for r in read_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("nd"))
+        .collect()
+    }
+    assert merged == exact and len(exact) > 0
