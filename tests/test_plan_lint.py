@@ -24,7 +24,10 @@ _ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL_SORT": _ORACLE_SORT,
     },
     "q60_rf_pipeline": {"GLOBAL_SORT": _ORACLE_SORT},
-    "q24_summary_stats": {"PY_ARROW": "df.summary() is driver-profile tooling"},
+    "q24_summary_stats": {
+        "PY_ARROW": "df.summary() is driver-profile tooling",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q40_cosine_topk": {
         "NESTED_LOOP": "brute-force exact baseline IS corpus x probe-batch "
         "by definition (broadcast NLJ streams the corpus once); the scale "
