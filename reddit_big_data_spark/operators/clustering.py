@@ -73,10 +73,12 @@ def kmeans_centers(
     emptying the higher one immediately."""
     # Every Lloyd round re-reads the corpus (assign + centroid update),
     # plus the dim probe and seed collect below — cache it once for the
-    # DURATION OF THE LOOP only; the final action in each round is the
-    # centroid collect, so by the time we return, nothing downstream
-    # still needs the cached blocks (ADVICE r4: don't lean on callers'
-    # clearCache to mop up).
+    # DURATION OF THE LOOP only (ADVICE r4: don't lean on callers'
+    # clearCache to mop up). Callers (kmeans_assign, ivf_topk) do run one
+    # more assignment pass over the same input AFTER this returns; that
+    # pass deliberately re-reads the source — a cheap columnar scan, and
+    # the lazy consumer could otherwise never safely unpersist. At scale
+    # you would not cache a corpus for a single final pass anyway.
     df = df.persist()
     try:
         dim_row = df.select(F.size(vec_col).alias("d")).first()

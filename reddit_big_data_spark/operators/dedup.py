@@ -400,6 +400,15 @@ def simhash_hamming_pairs(
     if bits % bands:
         raise ValueError(f"signature width {bits} not divisible by {bands} bands")
     width = bits // bands
+    if width > 63:
+        # conv(chunk, 2, 10).cast(long) is signed: a 64-bit chunk with the
+        # top bit set overflows — CAST_INVALID_INPUT under ANSI, silent
+        # null (= dropped pairs) otherwise. Narrower bands are also better
+        # banding, so reject rather than sub-slice.
+        raise ValueError(
+            f"band width {width} exceeds 63 bits (signed-long hamming "
+            f"verify); use more bands"
+        )
     # Materialize signatures ONCE: both self-join sides would otherwise
     # re-run the (64-aggregate) signature computation from the source scan
     # (same trap as simjoin's prefix table). One row of (id, 64-char

@@ -206,6 +206,13 @@ def chunk_documents(
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # overlap = size - stride would be negative: characters between
+        # consecutive windows are silently never covered — data loss in a
+        # pretraining/RAG feed, never what a caller wants.
+        raise ValueError(
+            f"stride {stride} > size {size} leaves uncovered gaps"
+        )
     n = 1 + F.ceil(
         F.greatest(F.length(text_col) - size, F.lit(0)) / float(stride)
     ).cast("int")

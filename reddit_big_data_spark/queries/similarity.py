@@ -1,7 +1,9 @@
 """Similarity-search queries over `embeddings` (vec_id, embedding
 array<float>, label): exact brute-force cosine top-k with a full DuckDB
-oracle, the LSH approximate variant (rows-only: bucket membership is not
-SQL-portable), and a label-centroid similarity matrix.
+oracle, the LSH/IVF approximate variants (full oracles since round 5 via
+per-probe recall-floor booleans vs the in-query exact top-k — bucket/cell
+membership itself is not SQL-portable), and a label-centroid similarity
+matrix.
 
 Oracle alignment: both engines cast float->double per element BEFORE
 multiplying and fold sums sequentially, so cosine values match to the
@@ -85,6 +87,18 @@ _EXACT_TOP1_SQL = """
     )
 """
 
+# The full recall oracle both ANN queries share: exact top-1 per probe
+# (SQL-checkable) + the TRUE literal the in-query recall boolean must
+# match. One constant so q41/q43 cannot silently diverge.
+_RECALL_ORACLE = (
+    _EXACT_TOP1_SQL
+    + """
+    SELECT query_id, exact_top1_id, exact_top1_sim, TRUE AS recall_ok
+    FROM top1
+    ORDER BY query_id
+    """
+)
+
 
 def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: int) -> DataFrame:
     """(query_id, exact_top1_id, exact_top1_sim, recall_ok): join the ANN
@@ -136,12 +150,7 @@ def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: int) -> DataFrame
 # --------------------------------------------------------------------------
 @register(
     "q41_lsh_ann",
-    oracle=_EXACT_TOP1_SQL
-    + """
-    SELECT query_id, exact_top1_id, exact_top1_sim, TRUE AS recall_ok
-    FROM top1
-    ORDER BY query_id
-    """,
+    oracle=_RECALL_ORACLE,
     doc="random-hyperplane LSH ANN with per-probe recall-vs-exact oracle",
 )
 def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,12 +220,7 @@ def q42_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 @register(
     "q43_ivf_ann",
-    oracle=_EXACT_TOP1_SQL
-    + """
-    SELECT query_id, exact_top1_id, exact_top1_sim, TRUE AS recall_ok
-    FROM top1
-    ORDER BY query_id
-    """,
+    oracle=_RECALL_ORACLE,
     doc="IVF coarse-quantized ANN with per-probe recall-vs-exact oracle",
 )
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:

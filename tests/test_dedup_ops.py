@@ -289,3 +289,15 @@ def test_simhash_hamming_banding_equals_brute_force(spark):
     # all-bands-differ pair (0 vs 5) is out
     assert (0, 1) in want and (0, 5) not in want
     assert got == want
+
+
+def test_simhash_hamming_rejects_wide_bands(spark):
+    """Band width > 63 bits would overflow the signed-long hamming verify
+    (silent pair loss with ANSI off) — must be rejected up front."""
+    import pytest
+
+    from reddit_big_data_spark.operators.dedup import simhash_hamming_pairs
+
+    df = spark.createDataFrame([(1, "0" * 128)], "doc_id: int, simhash: string")
+    with pytest.raises(ValueError, match="63"):
+        simhash_hamming_pairs(df, "doc_id", bits=128, bands=2, max_hamming=1)

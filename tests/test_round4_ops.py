@@ -187,7 +187,10 @@ def test_window_order_is_well_formed():
     assert len(order) == len(set(order)), "duplicate names in WINDOW_ORDER"
     unknown = [n for n in order if n not in qs]
     assert not unknown, f"WINDOW_ORDER names not registered: {unknown}"
-    assert len(order) >= 50, "window list must fill the driver's 50 slots"
+    # EXACTLY 50: more would silently evict tail entries from the driver
+    # window (the composition drift WINDOW_ORDER exists to prevent);
+    # fewer would fill slots by import-order accident.
+    assert len(order) == 50, f"window list must be exactly 50, got {len(order)}"
     # the registry serves the window names first, in order
     assert list(qs)[: len(order)] == order
 

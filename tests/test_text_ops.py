@@ -110,3 +110,38 @@ def test_q70_survives_single_token_documents(spark, tmp_path):
     assert ("big", "data") in got and ("data", "big") in got
     # single-token docs contribute unigrams (PMI denominators) but no pairs
     assert not any("hello" in p or "a" in p for p in got)
+
+
+def test_chunk_documents_rejects_gap_leaving_stride(spark):
+    """stride > size silently skips characters between windows — must be
+    rejected up front (data loss in a training feed)."""
+    import pytest
+
+    from reddit_big_data_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "abcdef")], "doc_id: int, text: string")
+    with pytest.raises(ValueError, match="gap"):
+        chunk_documents(df, "doc_id", "text", size=2, stride=10)
+
+
+def test_chunk_documents_covers_every_char(spark):
+    """Union of emitted chunks must cover the full text with the promised
+    overlap, including the truncated final chunk and the one-chunk case."""
+    from reddit_big_data_spark.operators.text import chunk_documents
+
+    rows = [(1, "x" * 450), (2, "short"), (3, "y" * 200), (4, "z" * 201)]
+    df = spark.createDataFrame(rows, "doc_id: int, text: string")
+    got = chunk_documents(df, "doc_id", "text", size=200, stride=150).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, text in rows:
+        chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+        covered = set()
+        for r in chunks:
+            assert r["chunk"] == text[r["chunk_start"] - 1 : r["chunk_start"] - 1 + 200]
+            assert r["chunk_len"] == len(r["chunk"])
+            covered.update(range(r["chunk_start"] - 1, r["chunk_start"] - 1 + r["chunk_len"]))
+        assert covered == set(range(len(text))), doc_id
+    assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1  # len <= size -> 1 chunk
+    assert len(by_doc[4]) == 2  # 201 chars -> second (truncated) chunk
