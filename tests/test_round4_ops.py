@@ -193,6 +193,10 @@ def test_window_order_is_well_formed():
     assert len(order) == 50, f"window list must be exactly 50, got {len(order)}"
     # the registry serves the window names first, in order
     assert list(qs)[: len(order)] == order
+    # every window slot must be a REAL green candidate: a rows-only query
+    # in the window wastes a driver-checkable slot (VERDICT r4 #1 on q88)
+    no_oracle = [n for n in order if qs[n].oracle is None]
+    assert not no_oracle, f"oracle-less queries occupy window slots: {no_oracle}"
 
 
 def test_weighted_sample_overrepresents_heavy_weights(spark):
