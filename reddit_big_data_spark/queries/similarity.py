@@ -141,12 +141,13 @@ def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: int) -> DataFrame
 # the pair space; exact cosine reranks). Oracle contract (VERDICT r4 #5):
 # bucket membership is implementation-defined, so the query emits per-probe
 # recall-vs-exact booleans plus the SQL-checkable exact top-1 — the oracle
-# asserts recall_ok = TRUE for every probe. 4 planes x 16 tables puts the
+# asserts recall_ok = TRUE for every probe. 4 planes x 12 tables puts the
 # collision S-curve where the testdata's weak neighbors (cosine 0.25-0.49)
-# still collide: observed per-probe hits at sf0.01 are 3-5 of 5; the floor
-# of 2 leaves 1 hit of margin. Deterministic: hyperplanes are splitmix64
-# constants, no RNG state. tests/test_similarity_ops.py separately pins
-# recall >= 0.8 on planted clusters.
+# still collide: observed per-probe hits at sf0.01 are 3-5 of 5 (identical
+# min to 16 tables at 25% less work); the floor of 2 leaves 1 hit of
+# margin. Deterministic: hyperplanes are splitmix64 constants, no RNG
+# state. tests/test_similarity_ops.py separately pins recall >= 0.8 on
+# planted clusters.
 # --------------------------------------------------------------------------
 @register(
     "q41_lsh_ann",
@@ -157,7 +158,7 @@ def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
-    ann = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16)
+    ann = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=12)
     return _ann_recall_frame(ann, exact, floor=2)
 
 
