@@ -30,28 +30,55 @@ def _assign(
     emptied clusters are dropped between rounds, so position != id)."""
     if cids is None:
         cids = list(range(len(centers)))
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    # Centroids travel as a broadcast ONE-ROW frame, not an F.lit tree: at
+    # k=16 x dim=64 the literal encoding put 1024 Literal nodes in the
+    # plan, re-walked by Catalyst for every analysis pass of every Lloyd
+    # round (same blowup the LSH planes hit; see similarity._planes_frame).
+    # The probe-side key derives from a real column (hash % 1 == 0) so
+    # constant folding can't collapse the equi-join into a nested loop.
+    spark = df.sparkSession
+    cframe = spark.createDataFrame(
+        [(0, [[float(x) for x in c] for c in centers], [int(c) for c in cids])],
+        "__ck: int, __cents: array<array<double>>, __cids: array<int>",
     )
-    cid_lit = F.array(*[F.lit(int(c)) for c in cids])
+    probe_key = F.pmod(F.xxhash64(F.col(df.columns[0])), F.lit(1)).cast("int")
     vec = F.col(vec_col).cast("array<double>")
     dists = F.transform(
-        cent_lit,
+        F.col("__cents"),
         lambda c: F.aggregate(
             F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, d: acc + d,
         ),
     )
+    # Bind the distance array ONCE via the one-element-transform trick —
+    # referencing a projected alias three times would let CollapseProject
+    # re-inline the k-fold computation into every consumer.
     # array_position returns the FIRST minimum (1-based); cids ascend, so
     # ties break toward the lowest cid — same as the oracle's ORDER BY d, cid.
-    return df.withColumn("__dists", dists).select(
-        "*",
-        F.element_at(
-            cid_lit, F.array_position("__dists", F.array_min("__dists")).cast("int")
-        ).alias("cluster"),
-        F.array_min("__dists").alias("sq_dist"),
-    ).drop("__dists")
+    packed = F.element_at(
+        F.transform(
+            F.array(dists),
+            lambda d: F.struct(
+                F.element_at(
+                    F.col("__cids"),
+                    F.array_position(d, F.array_min(d)).cast("int"),
+                ).alias("cluster"),
+                F.array_min(d).alias("sq_dist"),
+            ),
+        ),
+        1,
+    )
+    return (
+        df.withColumn("__ck", probe_key)
+        .join(F.broadcast(cframe), "__ck")
+        .withColumn("__packed", packed)
+        .select(
+            *df.columns,
+            F.col("__packed.cluster").alias("cluster"),
+            F.col("__packed.sq_dist").alias("sq_dist"),
+        )
+    )
 
 
 def kmeans_centers(

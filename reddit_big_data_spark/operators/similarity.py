@@ -208,7 +208,7 @@ def _banded_signatures(
     n_tables: int,
 ) -> Column:
     """(tbl, bucket) structs per row from the broadcast `__planes` column;
-    caller must have crossJoin(F.broadcast(planes))-ed `df` first. The
+    caller must have attached the planes row via `_with_planes` first. The
     sign bits are bound once via the one-element-transform trick so the
     per-table bucket slices don't re-inline the plane dots (CollapseProject
     would otherwise multiply the fold work by n_tables)."""
