@@ -125,3 +125,130 @@ def q70_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("pair_count"), "w1", "w2")
     )
+
+
+# --------------------------------------------------------------------------
+# q101 — n-gram LM perplexity scoring (the CCNet quality-filter shape,
+# Wenzek et al. 2020: score each document by the perplexity of a count-
+# based language model; high perplexity = gibberish/boilerplate candidates
+# for the filter). The LM here is an add-k-smoothed bigram model trained
+# on the corpus itself — the operator contract is the same when the
+# counts come from a reference corpus instead (train counts once, then
+# one equi-join on the bigram key; nothing here assumes self-training).
+#
+# Float discipline (both engines, exact hash match): each bigram's
+# log-probability rounds to 9dp FIRST; a document's logprobs are then
+# summed by a sequential fold over the SORTED list (sort_array +
+# aggregate vs list_sort + list_sum), so summation order is identical
+# and the sums are bit-equal; exp/div happen on bit-equal inputs and the
+# output rounds to 4dp, far above any last-ulp libm difference.
+#
+# Scale shape: bigram extraction is one transform+explode (no self-join);
+# model counts are two map-side-combined groupBys; scoring is ONE shuffle
+# equi-join of doc-bigrams against the bigram table on (w1, w2) plus a
+# broadcast-sized prefix-count join — the bigram table is corpus-sized
+# vocabulary, so it is NEVER broadcast. V (vocab size) is one scalar.
+# --------------------------------------------------------------------------
+@register(
+    "q101_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, lang, p.w1 AS w1, p.w2 AS w2
+      FROM (SELECT doc_id, lang,
+                   unnest([struct_pack(w1 := t[i], w2 := t[i+1])
+                           for i in generate_series(1, len(t) - 1)]) AS p
+            FROM toks)
+      WHERE p.w1 <> '' AND p.w2 <> ''
+    ),
+    prefix_counts AS (SELECT w1, COUNT(*) AS c_a FROM bi GROUP BY w1),
+    bi_counts AS (SELECT w1, w2, COUNT(*) AS c_ab FROM bi GROUP BY w1, w2),
+    vocab AS (
+      SELECT COUNT(DISTINCT w) AS v
+      FROM (SELECT unnest(t) AS w FROM toks) WHERE w <> ''
+    ),
+    scored AS (
+      SELECT b.doc_id, b.lang,
+             ROUND(LN((c_ab + 0.5) / (c_a + 0.5 * v)), 9) AS lp
+      FROM bi b
+      JOIN bi_counts USING (w1, w2)
+      JOIN prefix_counts USING (w1)
+      CROSS JOIN vocab
+    ),
+    agg AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS n_bigrams,
+             list_sort(list(lp)) AS lps
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, lang, n_bigrams,
+           ROUND(EXP(-list_sum(lps) / n_bigrams), 4) AS ppl
+    FROM agg
+    ORDER BY ppl DESC, doc_id
+    LIMIT 10
+    """,
+    doc="add-k bigram LM perplexity per doc (CCNet-style quality filter)",
+)
+def q101_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", "lang", F.split(normalize("text"), " ").alias("t")
+    )
+    # adjacent pairs by position (q70's extraction; same n<2 sequence guard)
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("t") - 1),
+                        lambda i: F.struct(
+                            F.element_at("t", i).alias("w1"),
+                            F.element_at("t", i + 1).alias("w2"),
+                        ),
+                    ),
+                    lambda s: (s["w1"] != "") & (s["w2"] != ""),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", "p.w1", "p.w2")
+    )
+    prefix_counts = bi.groupBy("w1").agg(F.count("*").alias("c_a"))
+    bi_counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    v = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .agg(F.countDistinct("w"))
+        .first()[0]
+    )
+    lp = F.round(
+        F.log((F.col("c_ab") + 0.5) / (F.col("c_a") + 0.5 * F.lit(float(v)))), 9
+    )
+    scored = (
+        bi.join(bi_counts, ["w1", "w2"])
+        .join(prefix_counts, "w1")
+        .select("doc_id", "lang", lp.alias("lp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.count("*").alias("n_bigrams"),
+        F.sort_array(F.collect_list("lp")).alias("lps"),
+    )
+    ppl = F.round(
+        F.exp(
+            -F.aggregate(F.col("lps"), F.lit(0.0), lambda a, x: a + x)
+            / F.col("n_bigrams")
+        ),
+        4,
+    )
+    return (
+        agg.select("doc_id", "lang", "n_bigrams", ppl.alias("ppl"))
+        .orderBy(F.desc("ppl"), "doc_id")
+        .limit(10)
+    )
