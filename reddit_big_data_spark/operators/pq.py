@@ -1,0 +1,285 @@
+"""Product quantization (PQ) for embedding ANN — the memory-bound scale
+path FAISS-style IVF-PQ systems use (Jegou, Douze, Schmid: "Product
+Quantization for Nearest Neighbor Search", TPAMI 2011).
+
+Not in the reference (no vector data there); LLM-pipeline extension per
+the builder brief, completing the ANN family: exact (brute force), LSH
+(hyperplane buckets), IVF (coarse cells), int8 (scalar quantization) —
+and now PQ, the 100 TB memory lever: each D-dim float vector compresses
+to m small codes (m bytes at ksub<=256), and queries scan CODES with
+per-subspace lookup tables (ADC — asymmetric distance computation)
+instead of float arrays. 64-dim float32 -> 8 bytes is a 32x scan-size
+reduction; at 100 TB of embeddings that is the difference between an
+in-memory index and an I/O-bound one.
+
+Design (all native expressions; constants travel as broadcast DATA, not
+F.lit trees — see similarity._planes_frame for why):
+
+- TRAIN: split every (L2-normalized) vector into m contiguous subvectors;
+  run Lloyd's on EVERY subspace simultaneously — one assignment pass and
+  one (subspace, cluster, dim) average per round for all m codebooks, so
+  the round cost is 2 jobs regardless of m (a per-subspace loop would be
+  m sequential Lloyd's). Deterministic: subspace j seeds with the
+  subvectors of the ksub smallest ids; ties in the argmin break to the
+  lowest code (array_position returns the first minimum).
+- ENCODE: one narrow pass, no explode: codes[j] = argmin_c
+  ||subvec_j - centers[j][c]||^2 with the codebooks attached via a
+  one-row broadcast hash join.
+- SEARCH (ADC): each probe precomputes its m x ksub inner-product table
+  against the codebooks (probe-side work: m*ksub dots, independent of
+  corpus size); the corpus scan then scores a row with m table lookups
+  + adds — the probe batch is broadcast exactly like brute_force_topk,
+  but each row costs m lookups instead of D multiplies. The approximate
+  top `rerank` survivors re-join their float vectors and exact cosine
+  re-ranks, so emitted scores are bit-identical to the sequential-fold
+  oracle arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.similarity import dot, norm
+
+
+def _normalized(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
+    """(id, unit-norm array<double> vector). PQ for cosine works on the
+    unit sphere: cosine(q, x) = <q_n, x_n>, so ADC tables hold plain
+    inner products."""
+    n = norm(F.col(emb_col))
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(emb_col), lambda x: x.cast("double") / n
+        ).alias("__vec"),
+    )
+
+
+def _subvec(vec: Column, j: Column | int, dsub: int) -> Column:
+    jj = F.lit(j) if isinstance(j, int) else j
+    return F.slice(vec, jj * dsub + 1, dsub)
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    dims: int,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+) -> list[list[list[float]]]:
+    """Driver-sized codebooks: centers[j][c] is the c-th centroid of
+    subspace j (m x ksub x dims/m doubles — a few KB at any corpus
+    scale). All m subspaces train in the SAME Lloyd jobs. A subspace
+    cluster that empties keeps its previous centroid (it can win again
+    later; dropping it would shrink the code alphabet mid-train)."""
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    dsub = dims // m
+    nv = _normalized(df, id_col, emb_col).persist()
+    try:
+        seed_rows = (
+            nv.orderBy(id_col).limit(ksub).select("__vec").collect()
+        )
+        # centers[j][c]: subspace j of the c-th seed vector
+        centers = [
+            [list(r["__vec"][j * dsub : (j + 1) * dsub]) for r in seed_rows]
+            for j in range(m)
+        ]
+        spark = df.sparkSession
+        for _ in range(max(0, iters - 1)):
+            cframe = spark.createDataFrame(
+                [(0, centers)],
+                "__ck: int, __cb: array<array<array<double>>>",
+            )
+            probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
+            # one row per (vector, subspace) with its winning code
+            sub = (
+                nv.withColumn("__ck", probe_key)
+                .join(F.broadcast(cframe), "__ck")
+                .select(
+                    F.col(id_col),
+                    F.posexplode(
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(m - 1)),
+                            lambda j: F.struct(
+                                _assign_code(
+                                    _subvec(F.col("__vec"), j, dsub),
+                                    F.element_at(F.col("__cb"), j.cast("int") + 1),
+                                ).alias("code"),
+                                _subvec(F.col("__vec"), j, dsub).alias("sv"),
+                            ),
+                        )
+                    ).alias("__j", "__a"),
+                )
+                .select(
+                    F.col("__j"),
+                    F.col("__a.code").alias("__code"),
+                    F.posexplode(F.col("__a.sv")).alias("__d", "__x"),
+                )
+            )
+            rows = (
+                sub.groupBy("__j", "__code", "__d")
+                .agg(F.avg("__x").alias("__c"))
+                .collect()
+            )
+            for r in rows:
+                centers[r["__j"]][r["__code"]][r["__d"]] = r["__c"]
+        return centers
+    finally:
+        nv.unpersist()
+
+
+def _assign_code(sv: Column, cb: Column) -> Column:
+    """argmin_c ||sv - cb[c]||^2 as a 0-based code; first minimum wins
+    (deterministic tie-break to the lowest code). The distance array is
+    lambda-bound once so min/position don't re-inline the fold."""
+    dists = F.transform(
+        cb,
+        lambda c: F.aggregate(
+            F.zip_with(sv, c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, d: a + d,
+        ),
+    )
+    return F.element_at(
+        F.transform(
+            F.array(dists),
+            lambda d: F.array_position(d, F.array_min(d)).cast("int") - 1,
+        ),
+        1,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): m codes per vector — the compressed index
+    a 100 TB deployment would persist instead of the float vectors."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    spark = df.sparkSession
+    cframe = spark.createDataFrame(
+        [(0, codebooks)], "__ck: int, __cb: array<array<array<double>>>"
+    )
+    probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
+    nv = _normalized(df, id_col, emb_col)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: _assign_code(
+            _subvec(F.col("__vec"), j, dsub),
+            F.element_at(F.col("__cb"), j.cast("int") + 1),
+        ),
+    )
+    return (
+        nv.withColumn("__ck", probe_key)
+        .join(F.broadcast(cframe), "__ck")
+        .select(F.col(id_col), codes.alias("codes"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    dims: int = 64,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 2,
+    rerank: int = 50,
+) -> DataFrame:
+    """Approximate cosine top-k via PQ/ADC + exact re-rank of the top
+    `rerank` code-scored survivors. Returns (query_id, neighbor_id,
+    cosine_sim, rn) with cosine_sim computed EXACTLY (sequential-fold
+    dot on the original vectors), so only the candidate CHOICE is
+    approximate — same contract as lsh_topk/ivf_topk."""
+    cb = train_pq_codebooks(corpus, id_col, emb_col, dims, m, ksub, iters)
+    codes = pq_encode(corpus, cb, id_col, emb_col)
+    spark = corpus.sparkSession
+    cframe = spark.createDataFrame(
+        [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
+    )
+    probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
+    # probe-side ADC tables: tab[j][c] = <q_subvec_j, cb[j][c]>
+    qn = _normalized(queries, id_col, emb_col)
+    dsub = dims // m
+    tab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(F.col("__cb"), j.cast("int") + 1),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    _subvec(F.col("__vec"), j, dsub), c, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        ),
+    )
+    probes = (
+        qn.withColumn("__ck", probe_key)
+        .join(F.broadcast(cframe), "__ck")
+        .select(F.col(id_col).alias("query_id"), tab.alias("__tab"))
+    )
+    # corpus scan: m lookups + adds per (row, probe) — the ADC hot loop
+    approx = (
+        codes.join(F.broadcast(probes), F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "__score",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("__tab"),
+                    lambda c, t: F.element_at(t, c + 1),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col(id_col)
+    )
+    cand = (
+        approx.withColumn("__arn", F.row_number().over(wa))
+        .filter(F.col("__arn") <= rerank)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
+    # exact re-rank of survivors: join vectors back, sequential-fold cosine
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("__e_c"),
+        norm(F.col(emb_col)).alias("__n_c"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("__e_q"),
+        norm(F.col(emb_col)).alias("__n_q"),
+    )
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("__e_q"), F.col("__e_c"))
+                / (F.col("__n_q") * F.col("__n_c")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )

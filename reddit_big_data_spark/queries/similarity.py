@@ -493,3 +493,30 @@ def q48_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "vec_id")
         .orderBy("vec_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q102 — product-quantization ANN (FAISS-style PQ/ADC, Jegou et al. TPAMI
+# 2011): the memory-bound scale path — vectors compress to m=16 codes and
+# the scan ranks by per-subspace lookup tables; the approximate top-100
+# re-rank with exact sequential-fold cosine. Same oracle contract as
+# q41/q43 (VERDICT r4 #5): code assignment is implementation-defined, so
+# the query emits per-probe recall-vs-exact booleans plus the
+# SQL-checkable exact top-1. Observed per-probe hits: 5 of 5 at sf0.01,
+# 4-5 of 5 at sf0.1; floor 3 leaves >= 1 hit of margin at both scales.
+# Deterministic: codebooks seed from the ksub smallest ids, fixed Lloyd
+# rounds, argmin ties to the lowest code.
+# --------------------------------------------------------------------------
+@register(
+    "q102_pq_ann",
+    oracle=_RECALL_ORACLE,
+    doc="product-quantization ADC ANN with per-probe recall-vs-exact oracle",
+)
+def q102_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.pq import pq_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    ann = pq_topk(emb, queries, k=5, m=16, rerank=100)
+    return _ann_recall_frame(ann, exact, floor=3)

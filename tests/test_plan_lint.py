@@ -92,6 +92,14 @@ _ALLOW: dict[str, dict[str, str]] = {
         "result against — the ANN candidate path itself is a bucket "
         "equi-join",
     },
+    "q102_pq_ann": {
+        "NESTED_LOOP": "the recall oracle computes the exact top-k IN the "
+        "query (q40's broadcast-probe NLJ baseline), and the ADC scan "
+        "broadcasts the PROBE-BATCH tables (10 rows) over the code table — "
+        "each probe costs m lookups per row, the PQ point; candidate "
+        "re-rank is an id equi-join",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q97_tdigest_rollup": {
         "PY_ARROW": "t-digest build/merge is the sanctioned grouped-map "
         "applyInPandas surface (greedy scale-function clustering is "

@@ -280,3 +280,69 @@ def test_broadcast_planes_match_literal_reference(spark):
         .collect()
     }
     assert got == ref and len(ref) == len(rows) * n_tables
+
+
+def test_pq_recall_on_planted_clusters(spark):
+    from reddit_big_data_spark.operators.pq import pq_topk
+
+    rows = _planted()
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    queries = df.filter(F.col("vec_id") % 8 == 2)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_topk(df, queries, k=5, dims=16, m=4, ksub=8, rerank=10).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"PQ recall {recall} below 0.8"
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from reddit_big_data_spark.operators.pq import pq_encode, train_pq_codebooks
+
+    rows = _planted(seed=5, n_clusters=3, per_cluster=5)
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    cb = train_pq_codebooks(df, "vec_id", "embedding", dims=16, m=4, ksub=8)
+    assert len(cb) == 4 and all(len(sub) == 8 for sub in cb)
+    assert all(len(c) == 4 for sub in cb for c in sub)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb).collect()}
+    assert a == b and len(a) == len(rows)
+    assert all(0 <= c < 8 for codes in a.values() for c in codes)
+    # identical training reruns produce identical codebooks (no RNG state)
+    cb2 = train_pq_codebooks(df, "vec_id", "embedding", dims=16, m=4, ksub=8)
+    assert cb == cb2
+
+
+def test_pq_reconstruction_fidelity(spark):
+    """Decoding a vector's codes back to centroids must land close to the
+    normalized original — the property ADC ranking actually relies on.
+    (Code AGREEMENT between cluster mates is NOT guaranteed: seeds from
+    one tight cluster give two near-identical centroids and mates split
+    across the Voronoi boundary, while both decode to ~the same point.)"""
+    from reddit_big_data_spark.operators.pq import pq_encode, train_pq_codebooks
+
+    rows = _planted(seed=11, n_clusters=4, per_cluster=6)
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    cb = train_pq_codebooks(df, "vec_id", "embedding", dims=16, m=4, ksub=8)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(df, cb).collect()}
+    sims = []
+    for vid, _, emb in rows:
+        n = math.sqrt(sum(x * x for x in emb))
+        orig = [x / n for x in emb]
+        recon = [x for j, c in enumerate(codes[vid]) for x in cb[j][c]]
+        d = sum(a * b for a, b in zip(orig, recon))
+        sims.append(
+            d
+            / (
+                math.sqrt(sum(a * a for a in orig))
+                * math.sqrt(sum(b * b for b in recon))
+            )
+        )
+    # tiny-corpus quantization is lossy for outlier vectors; a DECODE bug
+    # (wrong code indexing / subspace order) would push these toward 0
+    assert sum(sims) / len(sims) >= 0.85, sum(sims) / len(sims)
+    assert min(sims) >= 0.6, min(sims)
