@@ -252,3 +252,82 @@ def q101_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ppl"), "doc_id")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q103 — BPE merge-pair statistics (tokenizer induction): the inner-loop
+# statistic of byte-pair-encoding training (Sennrich et al., ACL 2016) —
+# count adjacent symbol pairs across the corpus, each occurrence weighted
+# by its word's corpus frequency; the top pair IS the next BPE merge.
+# A pretraining pipeline runs exactly this to fit a tokenizer to the
+# cleaned corpus before tokenizing it.
+#
+# Scale shape (the dictionary trick, same as q68's vocabulary stemming):
+# pair extraction runs over the DISTINCT vocabulary — |vocab| rows, not
+# |corpus| — after one map-side-combined word count; the per-char
+# explode multiplies vocab rows by ~word length only. Integer counts
+# end-to-end, so the oracle matches exactly with no float discipline.
+# --------------------------------------------------------------------------
+@register(
+    "q103_bpe_merge_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(t) AS w FROM toks)
+      WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT p.l AS left_sym, p.r AS right_sym, freq
+      FROM (SELECT freq,
+                   unnest([struct_pack(l := w[i], r := w[i+1])
+                           for i in generate_series(1, len(w) - 1)]) AS p
+            FROM words WHERE len(w) >= 2)
+    )
+    SELECT left_sym, right_sym,
+           CAST(SUM(freq) AS BIGINT) AS pair_count,
+           COUNT(*) AS n_word_types
+    FROM pairs
+    GROUP BY left_sym, right_sym
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+    doc="BPE merge-pair counts over the distinct vocabulary (tokenizer induction)",
+)
+def q103_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    words = (
+        docs.select(F.explode(F.split(normalize("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.struct(
+            F.substr("w", i, F.lit(1)).alias("l"),
+            F.substr("w", i + 1, F.lit(1)).alias("r"),
+        ),
+    )
+    exploded = (
+        words.filter(F.length("w") >= 2)
+        .select("freq", F.explode(pairs).alias("p"))
+        .select(
+            F.col("p.l").alias("left_sym"),
+            F.col("p.r").alias("right_sym"),
+            "freq",
+        )
+    )
+    return (
+        exploded.groupBy("left_sym", "right_sym")
+        .agg(
+            F.sum("freq").cast("long").alias("pair_count"),
+            F.count("*").alias("n_word_types"),
+        )
+        .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
+        .limit(20)
+    )
