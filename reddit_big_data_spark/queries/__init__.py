@@ -22,7 +22,10 @@ Round-5 window composition (the VERDICT r4 #1 rotation):
    sampling) — new this round; slot 50 goes to q99's first green rather
    than a discretionary repeat.
 
-Everything past the cap was driver-green in round 4.
+Everything past the cap was driver-green in round 4, except the
+queries new in round 5 (q100 doc chunking, q101 LM perplexity, q102 PQ
+ANN, q103 BPE merge pairs), which are covered by the local oracle
+mirror now and queue for a driver window slot next round.
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
