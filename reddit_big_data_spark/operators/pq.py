@@ -43,10 +43,18 @@ from pyspark.sql import functions as F
 from reddit_big_data_spark.operators.similarity import dot, norm
 
 
-def _normalized(df: DataFrame, id_col: str, emb_col: str) -> DataFrame:
-    """(id, unit-norm array<double> vector). PQ for cosine works on the
-    unit sphere: cosine(q, x) = <q_n, x_n>, so ADC tables hold plain
-    inner products."""
+def _normalized(
+    df: DataFrame, id_col: str, emb_col: str, normalize: bool = True
+) -> DataFrame:
+    """(id, array<double> vector), unit-norm by default. PQ for cosine
+    works on the unit sphere: cosine(q, x) = <q_n, x_n>, so ADC tables
+    hold plain inner products. `normalize=False` passes vectors through
+    as doubles — the RESIDUAL path (ivfpq) quantizes x_n - c, which must
+    NOT be re-normalized or the <q, c> + <q, r> decomposition breaks."""
+    if not normalize:
+        return df.select(
+            F.col(id_col), F.col(emb_col).cast("array<double>").alias("__vec")
+        )
     n = norm(F.col(emb_col))
     return df.select(
         F.col(id_col),
@@ -69,6 +77,7 @@ def train_pq_codebooks(
     m: int = 8,
     ksub: int = 16,
     iters: int = 2,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Driver-sized codebooks: centers[j][c] is the c-th centroid of
     subspace j (m x ksub x dims/m doubles — a few KB at any corpus
@@ -78,7 +87,7 @@ def train_pq_codebooks(
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     dsub = dims // m
-    nv = _normalized(df, id_col, emb_col).persist()
+    nv = _normalized(df, id_col, emb_col, normalize).persist()
     try:
         seed_rows = (
             nv.orderBy(id_col).limit(ksub).select("__vec").collect()
@@ -158,6 +167,7 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, codes array<int>): m codes per vector — the compressed index
     a 100 TB deployment would persist instead of the float vectors."""
@@ -168,7 +178,7 @@ def pq_encode(
         [(0, codebooks)], "__ck: int, __cb: array<array<array<double>>>"
     )
     probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
-    nv = _normalized(df, id_col, emb_col)
+    nv = _normalized(df, id_col, emb_col, normalize)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: _assign_code(
@@ -253,6 +263,168 @@ def pq_topk(
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
     # exact re-rank of survivors: join vectors back, sequential-fold cosine
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("__e_c"),
+        norm(F.col(emb_col)).alias("__n_c"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("__e_q"),
+        norm(F.col(emb_col)).alias("__n_q"),
+    )
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("__e_q"), F.col("__e_c"))
+                / (F.col("__n_q") * F.col("__n_c")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+    dims: int = 64,
+    n_cells: int = 16,
+    nprobe: int = 6,
+    m: int = 16,
+    ksub: int = 16,
+    iters: int = 2,
+    rerank: int = 100,
+) -> DataFrame:
+    """IVF-PQ: the canonical combined FAISS index (coarse inverted file +
+    product-quantized RESIDUALS). Coarse cells come from deterministic
+    Lloyd's over the unit-normalized vectors; each vector stores its cell
+    plus PQ codes of r = x_n - c_cell. A probe visits only its `nprobe`
+    nearest cells, and scores a candidate as
+
+        <q_n, x_n>  ~=  <q_n, c_cell>  +  sum_j tab[j][code_j]
+
+    — exact in the first term (one dot per probed CELL), quantized only
+    in the residual. Unlike flat PQ (pq_topk), the scan side is a CELL
+    EQUI-JOIN: at 100 TB only nprobe/n_cells of the code table is ever
+    read per probe, and the codes are m bytes per vector. The approximate
+    top `rerank` per probe re-join their float vectors for an exact
+    sequential-fold cosine re-rank, same contract as the other ANN ops."""
+    from reddit_big_data_spark.operators.similarity import ivf_assign, make_centroids
+
+    # Cache contract (same as ivf_topk): nx/cents/residuals persist for
+    # the life of the returned lazy plan — they feed BOTH the training
+    # collects and the returned scan — so the session's clearCache (bench/
+    # conftest run it between queries) is the mop-up point; an in-function
+    # unpersist would evict state the returned DataFrame still needs.
+    nx = _normalized(corpus, id_col, emb_col).persist()
+    cents = make_centroids(
+        nx, id_col, "__vec", k=n_cells, train_iters=iters
+    ).persist()
+    cents.count()
+    # (id, __vec, nrm, cell) — nrm is ~1 here (input pre-normalized)
+    assigned = ivf_assign(nx, cents, id_col, "__vec")
+    cvecs = cents.select(
+        F.col("cell"), F.col("__vec").alias("__cvec")
+    )
+    residuals = (
+        assigned.join(F.broadcast(cvecs), "cell")
+        .select(
+            F.col(id_col),
+            F.col("cell"),
+            F.zip_with(
+                F.col("__vec"), F.col("__cvec"), lambda x, c: x - c
+            ).alias("__res"),
+        )
+    ).persist()
+    residuals.count()
+    cb = train_pq_codebooks(
+        residuals, id_col, "__res", dims, m, ksub, iters, normalize=False
+    )
+    codes = pq_encode(residuals, cb, id_col, "__res", normalize=False).join(
+        residuals.select(id_col, "cell"), id_col
+    )
+
+    # probe routing + per-(probe, cell) exact centroid term
+    qn = _normalized(queries, id_col, emb_col)
+    spark = corpus.sparkSession
+    cbframe = spark.createDataFrame(
+        [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
+    )
+    probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
+    dsub = dims // m
+    tab = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.transform(
+            F.element_at(F.col("__cb"), j.cast("int") + 1),
+            lambda c: F.aggregate(
+                F.zip_with(
+                    _subvec(F.col("__vec"), j, dsub), c, lambda x, y: x * y
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        ),
+    )
+    qc = F.aggregate(
+        F.zip_with(F.col("__vec"), F.col("__cvec"), lambda x, c: x * c),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("__qc").desc(), "cell")
+    routed = (
+        qn.withColumn("__ck", probe_key)
+        .join(F.broadcast(cbframe), "__ck")
+        .join(F.broadcast(cvecs), F.lit(True))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("cell"),
+            qc.alias("__qc"),
+            tab.alias("__tab"),
+        )
+        .withColumn("__rn", F.row_number().over(wr))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "cell", "__qc", "__tab")
+    )
+    # scan: CELL equi-join; score = centroid term + residual lookups
+    approx = (
+        codes.join(F.broadcast(routed), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "__score",
+            F.col("__qc")
+            + F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("__tab"),
+                    lambda c, t: F.element_at(t, c + 1),
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            ),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col(id_col)
+    )
+    cand = (
+        approx.withColumn("__arn", F.row_number().over(wa))
+        .filter(F.col("__arn") <= rerank)
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
+    )
     v = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(emb_col).alias("__e_c"),

@@ -100,6 +100,16 @@ _ALLOW: dict[str, dict[str, str]] = {
         "re-rank is an id equi-join",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
+    "q104_ivfpq_ann": {
+        "NESTED_LOOP": "the recall oracle computes the exact top-k IN the "
+        "query (q40's broadcast-probe NLJ baseline), plus two constant-"
+        "size routing NLJs: corpus x 16-row broadcast centroids (the IVF "
+        "quantization step) and probe-batch x 16-row centroids; the code "
+        "SCAN itself is a cell equi-join — the IVF-PQ point",
+        "GLOBAL_WINDOW": "centroid numbering runs on the 16-row LIMITed "
+        "centroid dim only",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q97_tdigest_rollup": {
         "PY_ARROW": "t-digest build/merge is the sanctioned grouped-map "
         "applyInPandas surface (greedy scale-function clustering is "

@@ -346,3 +346,23 @@ def test_pq_reconstruction_fidelity(spark):
     # (wrong code indexing / subspace order) would push these toward 0
     assert sum(sims) / len(sims) >= 0.85, sum(sims) / len(sims)
     assert min(sims) >= 0.6, min(sims)
+
+
+def test_ivfpq_recall_on_planted_clusters(spark):
+    from reddit_big_data_spark.operators.pq import ivfpq_topk
+
+    rows = _planted()
+    df = spark.createDataFrame(rows, "vec_id: long, label: int, embedding: array<float>")
+    queries = df.filter(F.col("vec_id") % 8 == 3)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            df, queries, k=5, dims=16, n_cells=5, nprobe=2, m=4, ksub=8, rerank=10
+        ).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.8, f"IVF-PQ recall {recall} below 0.8"
