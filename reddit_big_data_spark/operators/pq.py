@@ -307,6 +307,7 @@ def ivfpq_topk(
     m: int = 16,
     ksub: int = 16,
     iters: int = 2,
+    cell_iters: int = 1,
     rerank: int = 100,
 ) -> DataFrame:
     """IVF-PQ: the canonical combined FAISS index (coarse inverted file +
@@ -330,11 +331,17 @@ def ivfpq_topk(
     # collects and the returned scan — so the session's clearCache (bench/
     # conftest run it between queries) is the mop-up point; an in-function
     # unpersist would evict state the returned DataFrame still needs.
+    # Wall-clock at bench scale is dominated by SEQUENTIAL JOB BARRIERS
+    # (each training collect is a job), not row work — so no gratuitous
+    # materializing counts here: cents is driver-built data already, and
+    # the PQ seed collect materializes `residuals` into its cache on
+    # first touch. `cell_iters` defaults to ONE Lloyd round for the
+    # coarse cells: cell balance barely moves after round one, residual
+    # PQ absorbs coarse error, and the exact re-rank guards recall.
     nx = _normalized(corpus, id_col, emb_col).persist()
     cents = make_centroids(
-        nx, id_col, "__vec", k=n_cells, train_iters=iters
+        nx, id_col, "__vec", k=n_cells, train_iters=cell_iters
     ).persist()
-    cents.count()
     # (id, __vec, nrm, cell) — nrm is ~1 here (input pre-normalized)
     assigned = ivf_assign(nx, cents, id_col, "__vec")
     cvecs = cents.select(
@@ -350,7 +357,6 @@ def ivfpq_topk(
             ).alias("__res"),
         )
     ).persist()
-    residuals.count()
     cb = train_pq_codebooks(
         residuals, id_col, "__res", dims, m, ksub, iters, normalize=False
     )
