@@ -609,3 +609,82 @@ def q98_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(
         sig, "doc_id", bits=64, bands=4, max_hamming=3
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------------------------------------------
+# q105 — INCREMENTAL near-dup: screen a new ingest batch against an
+# existing corpus index — the shape a daily-crawl pipeline actually runs
+# (the q31 self-join answers "dedup the corpus once"; this answers "which
+# NEW docs duplicate something we already keep"). source='src0' plays the
+# existing index; every other source is the incoming batch. The banded
+# join is CROSS-SET only (batch bands probe index bands) — at 100 TB the
+# index side's band table is the precomputed, bucketed artifact a real
+# deployment stores, and each ingest touches only colliding buckets,
+# never re-pairing the index against itself. Same recall contract as
+# q31: the oracle is the brute-force cross-set Jaccard, so the driver
+# row checks LSH RECALL (corpus-gap assumption, module docstring).
+# --------------------------------------------------------------------------
+@register(
+    "q105_incremental_neardup",
+    oracle=_ORACLE_NORM
+    + ","
+    + _SHINGLES_CTE
+    + """,
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+           ROUND(CAST(len(list_intersect(n_sh.shingles, i_sh.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(n_sh.shingles, i_sh.shingles))), 6)
+             AS jaccard
+    FROM src n JOIN sh n_sh ON n.doc_id = n_sh.doc_id
+    JOIN src i ON i.source = 'src0' AND n.source <> 'src0'
+    JOIN sh i_sh ON i.doc_id = i_sh.doc_id
+    WHERE CAST(len(list_intersect(n_sh.shingles, i_sh.shingles)) AS DOUBLE)
+          / len(list_distinct(list_concat(n_sh.shingles, i_sh.shingles))) >= 0.6
+    ORDER BY new_id, index_id
+    """,
+    doc="incremental ingest-vs-index near-dup screen (cross-set banded join)",
+)
+def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.dedup import (
+        jaccard,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id",
+        "source",
+        word_shingles(F.split(normalize("text"), " "), 2).alias("shingles"),
+    ).persist()  # consumed by signatures + both verify joins
+    sigs = minhash_signatures(sh, "doc_id", "shingles", 64).join(
+        sh.select("doc_id", "source"), "doc_id"
+    )
+    banded = sigs.select(
+        "doc_id",
+        "source",
+        F.posexplode(lsh_band_keys(F.col("signature"), 8, 8)).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    new_b = banded.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    idx_b = banded.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("index_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        new_b.join(idx_b, ["band_idx", "band_hash"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    n_side = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("__sh_n"))
+    i_side = sh.select(F.col("doc_id").alias("index_id"), F.col("shingles").alias("__sh_i"))
+    return (
+        cand.join(n_side, "new_id")
+        .join(i_side, "index_id")
+        .withColumn("jaccard", F.round(jaccard(F.col("__sh_n"), F.col("__sh_i")), 6))
+        .filter(F.col("jaccard") >= 0.6)
+        .select("new_id", "index_id", "jaccard")
+        .orderBy("new_id", "index_id")
+    )

@@ -194,3 +194,84 @@ def q99_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), "doc_id")
         .limit(50)
     )
+
+
+# --------------------------------------------------------------------------
+# q106 — group-aware train/val/test split with a leakage proof: every
+# SOURCE (site/domain) lands wholly in one split, so near-duplicate
+# documents from the same origin can never straddle train and eval — the
+# leakage failure mode a row-wise randomSplit (M13) cannot prevent.
+# Assignment is a pure hash of the group key (md5, no RNG state): 10
+# buckets -> 0-7 train, 8 val, 9 test. The leaked_groups column COMPUTES
+# (not assumes) the guarantee: groups appearing in more than one split —
+# structurally zero here, and the driver row pins it.
+#
+# Scale shape: one narrow scan; the split is a per-row expression (no
+# shuffle to assign), one map-side-combined rollup per (split, source),
+# one tiny re-aggregate. At 100 TB this is the cheapest possible split:
+# no sampling pass, no global sort, rerun-stable across engines.
+# --------------------------------------------------------------------------
+@register(
+    "q106_group_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source, doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             CASE WHEN ('0x' || substr(md5(source), 1, 7))::BIGINT % 10 <= 7
+                  THEN 'train'
+                  WHEN ('0x' || substr(md5(source), 1, 7))::BIGINT % 10 = 8
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    ),
+    per_group AS (
+      SELECT source, split, COUNT(*) AS n_docs, SUM(n_tok) AS n_tok
+      FROM assigned GROUP BY 1, 2
+    ),
+    straddlers AS (
+      SELECT COUNT(*) AS leaked FROM (
+        SELECT source FROM per_group GROUP BY source
+        HAVING COUNT(DISTINCT split) > 1
+      )
+    )
+    SELECT split, COUNT(*) AS n_groups,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           (SELECT leaked FROM straddlers) AS leaked_groups
+    FROM per_group
+    GROUP BY split ORDER BY split
+    """,
+    doc="hash-of-group train/val/test split with computed leakage proof",
+)
+def q106_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5("source"), 1, 7), 16, 10).cast("long") % 10
+    )
+    assigned = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per_group = assigned.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tok")
+    )
+    leaked = (
+        per_group.groupBy("source")
+        .agg(F.countDistinct("split").alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .count()
+    )
+    return (
+        per_group.groupBy("split")
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .withColumn("leaked_groups", F.lit(leaked).cast("long"))
+        .orderBy("split")
+    )
