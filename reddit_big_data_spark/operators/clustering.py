@@ -2,7 +2,7 @@
 
 The shape Spark MLlib's KMeans itself uses: centroids live on the DRIVER
 (k x dim doubles — a few KB at any corpus scale) and are shipped into the
-assignment expression each round as literal arrays; the per-round work on
+assignment pass each round as a broadcast one-row frame; the per-round work on
 the cluster is one narrow pass (argmin over k fold-distances, native HOFs,
 no UDF) plus one posexplode + groupBy(cid, dim) average whose result — at
 most k*dim rows — is collected back. Nothing data-sized ever reaches the
@@ -24,6 +24,7 @@ def _assign(
     vec_col: str,
     centers: list[list[float]],
     cids: list[int] | None = None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Add `cluster` (int, argmin of squared L2) and `sq_dist` columns.
     `cids` maps center positions back to stable cluster ids (centers of
@@ -34,14 +35,13 @@ def _assign(
     # k=16 x dim=64 the literal encoding put 1024 Literal nodes in the
     # plan, re-walked by Catalyst for every analysis pass of every Lloyd
     # round (same blowup the LSH planes hit; see similarity._planes_frame).
-    # The probe-side key derives from a real column (hash % 1 == 0) so
-    # constant folding can't collapse the equi-join into a nested loop.
+    from reddit_big_data_spark.operators.attach import attach_constant_row
+
     spark = df.sparkSession
     cframe = spark.createDataFrame(
         [(0, [[float(x) for x in c] for c in centers], [int(c) for c in cids])],
         "__ck: int, __cents: array<array<double>>, __cids: array<int>",
     )
-    probe_key = F.pmod(F.xxhash64(F.col(df.columns[0])), F.lit(1)).cast("int")
     vec = F.col(vec_col).cast("array<double>")
     dists = F.transform(
         F.col("__cents"),
@@ -70,8 +70,7 @@ def _assign(
         1,
     )
     return (
-        df.withColumn("__ck", probe_key)
-        .join(F.broadcast(cframe), "__ck")
+        attach_constant_row(df, cframe, key_col or df.columns[0])
         .withColumn("__packed", packed)
         .select(
             *df.columns,
@@ -119,7 +118,7 @@ def kmeans_centers(
         centers = [list(r["e"]) for r in init]
         cids = list(range(len(centers)))  # < k rows: every point its own centroid
         for _ in range(iters - 1):
-            assigned = _assign(df, vec_col, centers, cids)
+            assigned = _assign(df, vec_col, centers, cids, key_col=id_col)
             flat = assigned.select(
                 "cluster", F.posexplode(F.col(vec_col).cast("array<double>"))
             )
@@ -150,4 +149,6 @@ def kmeans_assign(
     between); return df + (cluster, sq_dist) under the final centroids.
     See kmeans_centers for the empty-cluster contract."""
     pairs = kmeans_centers(df, id_col, vec_col, k, iters)
-    return _assign(df, vec_col, [c for _, c in pairs], [cid for cid, _ in pairs])
+    return _assign(
+        df, vec_col, [c for _, c in pairs], [cid for cid, _ in pairs], key_col=id_col
+    )

@@ -40,7 +40,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from reddit_big_data_spark.operators.similarity import dot, norm
+from reddit_big_data_spark.operators.attach import attach_constant_row
+from reddit_big_data_spark.operators.similarity import exact_rerank, norm
 
 
 def _normalized(
@@ -55,13 +56,21 @@ def _normalized(
         return df.select(
             F.col(id_col), F.col(emb_col).cast("array<double>").alias("__vec")
         )
+    # Bind the norm ONCE per row (one-element-transform trick): referencing
+    # the norm fold inside the per-element division lambda would re-inline
+    # the O(d) fold into each of the d elements — O(d^2) per row on the
+    # corpus-wide hot path.
     n = norm(F.col(emb_col))
-    return df.select(
-        F.col(id_col),
+    unit = F.element_at(
         F.transform(
-            F.col(emb_col), lambda x: x.cast("double") / n
-        ).alias("__vec"),
+            F.array(n),
+            lambda nn: F.transform(
+                F.col(emb_col), lambda x: x.cast("double") / nn
+            ),
+        ),
+        1,
     )
+    return df.select(F.col(id_col), unit.alias("__vec"))
 
 
 def _subvec(vec: Column, j: Column | int, dsub: int) -> Column:
@@ -103,11 +112,9 @@ def train_pq_codebooks(
                 [(0, centers)],
                 "__ck: int, __cb: array<array<array<double>>>",
             )
-            probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
             # one row per (vector, subspace) with its winning code
             sub = (
-                nv.withColumn("__ck", probe_key)
-                .join(F.broadcast(cframe), "__ck")
+                attach_constant_row(nv, cframe, id_col)
                 .select(
                     F.col(id_col),
                     F.posexplode(
@@ -177,7 +184,6 @@ def pq_encode(
     cframe = spark.createDataFrame(
         [(0, codebooks)], "__ck: int, __cb: array<array<array<double>>>"
     )
-    probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
     nv = _normalized(df, id_col, emb_col, normalize)
     codes = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -186,10 +192,8 @@ def pq_encode(
             F.element_at(F.col("__cb"), j.cast("int") + 1),
         ),
     )
-    return (
-        nv.withColumn("__ck", probe_key)
-        .join(F.broadcast(cframe), "__ck")
-        .select(F.col(id_col), codes.alias("codes"))
+    return attach_constant_row(nv, cframe, id_col).select(
+        F.col(id_col), codes.alias("codes")
     )
 
 
@@ -216,7 +220,6 @@ def pq_topk(
     cframe = spark.createDataFrame(
         [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
     )
-    probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
     # probe-side ADC tables: tab[j][c] = <q_subvec_j, cb[j][c]>
     qn = _normalized(queries, id_col, emb_col)
     dsub = dims // m
@@ -233,10 +236,8 @@ def pq_topk(
             ),
         ),
     )
-    probes = (
-        qn.withColumn("__ck", probe_key)
-        .join(F.broadcast(cframe), "__ck")
-        .select(F.col(id_col).alias("query_id"), tab.alias("__tab"))
+    probes = attach_constant_row(qn, cframe, id_col).select(
+        F.col(id_col).alias("query_id"), tab.alias("__tab")
     )
     # corpus scan: m lookups + adds per (row, probe) — the ADC hot loop
     approx = (
@@ -262,37 +263,7 @@ def pq_topk(
         .filter(F.col("__arn") <= rerank)
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
-    # exact re-rank of survivors: join vectors back, sequential-fold cosine
-    v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("__e_c"),
-        norm(F.col(emb_col)).alias("__n_c"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("__e_q"),
-        norm(F.col(emb_col)).alias("__n_q"),
-    )
-    scored = (
-        cand.join(v, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                dot(F.col("__e_q"), F.col("__e_c"))
-                / (F.col("__n_q") * F.col("__n_c")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rn")
-    )
+    return exact_rerank(cand, corpus, queries, id_col, emb_col, k)
 
 
 def ivfpq_topk(
@@ -370,7 +341,6 @@ def ivfpq_topk(
     cbframe = spark.createDataFrame(
         [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
     )
-    probe_key = F.pmod(F.xxhash64(F.col(id_col)), F.lit(1)).cast("int")
     dsub = dims // m
     tab = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
@@ -390,15 +360,20 @@ def ivfpq_topk(
         F.lit(0.0),
         lambda a, v: a + v,
     )
-    wr = Window.partitionBy("query_id").orderBy(F.col("__qc").desc(), "cell")
+    # Rank cells by COSINE to the centroid — the same metric ivf_assign
+    # used to place corpus vectors — not by the raw inner product __qc:
+    # Lloyd means have unequal norms, and raw-IP ranking would route
+    # probes toward large-norm cells their neighbors were never assigned
+    # to. __qc itself stays raw: the score decomposition needs <q, c>.
+    wr = Window.partitionBy("query_id").orderBy(F.col("__croute").desc(), "cell")
     routed = (
-        qn.withColumn("__ck", probe_key)
-        .join(F.broadcast(cbframe), "__ck")
+        attach_constant_row(qn, cbframe, id_col)
         .join(F.broadcast(cvecs), F.lit(True))
         .select(
             F.col(id_col).alias("query_id"),
             F.col("cell"),
             qc.alias("__qc"),
+            (qc / norm(F.col("__cvec"))).alias("__croute"),
             tab.alias("__tab"),
         )
         .withColumn("__rn", F.row_number().over(wr))
@@ -431,33 +406,4 @@ def ivfpq_topk(
         .filter(F.col("__arn") <= rerank)
         .select("query_id", F.col(id_col).alias("neighbor_id"))
     )
-    v = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(emb_col).alias("__e_c"),
-        norm(F.col(emb_col)).alias("__n_c"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(emb_col).alias("__e_q"),
-        norm(F.col(emb_col)).alias("__n_q"),
-    )
-    scored = (
-        cand.join(v, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
-        .withColumn(
-            "cosine_sim",
-            F.round(
-                dot(F.col("__e_q"), F.col("__e_c"))
-                / (F.col("__n_q") * F.col("__n_c")),
-                6,
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rn")
-    )
+    return exact_rerank(cand, corpus, queries, id_col, emb_col, k)

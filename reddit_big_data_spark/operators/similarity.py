@@ -80,6 +80,52 @@ def brute_force_topk(
     )
 
 
+def exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Re-rank approximate candidates (query_id, neighbor_id) with EXACT
+    sequential-fold cosine on the original float vectors: join vectors
+    back by id, score, keep the top k per probe. The shared tail of the
+    quantized ANN operators (pq_topk, ivfpq_topk) — one definition so the
+    re-rank contract (6dp rounding, id tie-break, output columns) cannot
+    silently diverge between them."""
+    v = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(emb_col).alias("__e_c"),
+        norm(F.col(emb_col)).alias("__n_c"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(emb_col).alias("__e_q"),
+        norm(F.col(emb_col)).alias("__n_q"),
+    )
+    scored = (
+        cand.join(v, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                dot(F.col("__e_q"), F.col("__e_c"))
+                / (F.col("__n_q") * F.col("__n_c")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rn")
+    )
+
+
 _M64 = (1 << 64) - 1
 
 
@@ -189,20 +235,14 @@ def _planes_frame(
 
 
 def _with_planes(df: DataFrame, planes: DataFrame, key_col: str) -> DataFrame:
-    """Attach the broadcast planes row via a constant-key BROADCAST HASH
-    join (not crossJoin: a BroadcastNestedLoopJoin node would be
-    indistinguishable from an accidental all-pairs join in the plan lint,
-    and the strict `no BNLJ` assertions guard the candidate generators).
-    The probe-side key derives from a real column (hash % 1 == 0 always)
-    so constant folding cannot collapse the equi-condition to `true` and
-    re-degrade the join to a nested loop."""
-    probe_key = F.pmod(F.xxhash64(F.col(key_col)), F.lit(1)).cast("int")
-    return df.withColumn("__pk", probe_key).join(F.broadcast(planes), "__pk")
+    """Attach the broadcast planes row (see attach.attach_constant_row
+    for the constant-key hash-join rationale)."""
+    from reddit_big_data_spark.operators.attach import attach_constant_row
+
+    return attach_constant_row(df, planes, key_col)
 
 
 def _banded_signatures(
-    df: DataFrame,
-    planes: DataFrame,
     emb_col: str,
     n_planes: int,
     n_tables: int,
@@ -263,7 +303,7 @@ def lsh_topk(
     planes = _planes_frame(corpus.sparkSession, n_planes, n_tables, dims)
 
     def banded(df: DataFrame, role: str) -> DataFrame:
-        tables = _banded_signatures(df, planes, emb_col, n_planes, n_tables)
+        tables = _banded_signatures(emb_col, n_planes, n_tables)
         return _with_planes(df, planes, id_col).select(
             F.col(id_col).alias(f"{role}_id"),
             F.col(emb_col).alias(f"__e_{role}"),
@@ -476,7 +516,7 @@ def _lsh_candidate_pairs(
     planes = _planes_frame(corpus.sparkSession, n_planes, n_tables, dims)
 
     def banded(role: str) -> DataFrame:
-        tables = _banded_signatures(corpus, planes, emb_col, n_planes, n_tables)
+        tables = _banded_signatures(emb_col, n_planes, n_tables)
         return _with_planes(corpus, planes, id_col).select(
             F.col(id_col).alias(f"id_{role}"),
             F.explode(tables).alias("__tb"),

@@ -282,15 +282,15 @@ def q101_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE w <> '' GROUP BY w
     ),
     pairs AS (
-      SELECT p.l AS left_sym, p.r AS right_sym, freq
-      FROM (SELECT freq,
+      SELECT w, p.l AS left_sym, p.r AS right_sym, freq
+      FROM (SELECT w, freq,
                    unnest([struct_pack(l := w[i], r := w[i+1])
                            for i in generate_series(1, len(w) - 1)]) AS p
             FROM words WHERE len(w) >= 2)
     )
     SELECT left_sym, right_sym,
            CAST(SUM(freq) AS BIGINT) AS pair_count,
-           COUNT(*) AS n_word_types
+           COUNT(DISTINCT w) AS n_word_types
     FROM pairs
     GROUP BY left_sym, right_sym
     ORDER BY pair_count DESC, left_sym, right_sym
@@ -315,18 +315,22 @@ def q103_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exploded = (
         words.filter(F.length("w") >= 2)
-        .select("freq", F.explode(pairs).alias("p"))
+        .select("w", "freq", F.explode(pairs).alias("p"))
         .select(
+            "w",
             F.col("p.l").alias("left_sym"),
             F.col("p.r").alias("right_sym"),
             "freq",
         )
     )
+    # n_word_types = DISTINCT word types containing the pair ('aaa' counts
+    # once for (a,a) despite two occurrences); pair_count keeps every
+    # occurrence, weighted by word frequency — the true BPE merge count.
     return (
         exploded.groupBy("left_sym", "right_sym")
         .agg(
             F.sum("freq").cast("long").alias("pair_count"),
-            F.count("*").alias("n_word_types"),
+            F.countDistinct("w").alias("n_word_types"),
         )
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(20)

@@ -683,8 +683,11 @@ def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(n_side, "new_id")
         .join(i_side, "index_id")
-        .withColumn("jaccard", F.round(jaccard(F.col("__sh_n"), F.col("__sh_i")), 6))
-        .filter(F.col("jaccard") >= 0.6)
-        .select("new_id", "index_id", "jaccard")
+        # filter on the UNROUNDED value, round only for display — rounding
+        # first would admit jaccard in [0.5999995, 0.6) that the oracle's
+        # unrounded >= 0.6 predicate rejects (the q31/near_duplicates order)
+        .withColumn("__j", jaccard(F.col("__sh_n"), F.col("__sh_i")))
+        .filter(F.col("__j") >= 0.6)
+        .select("new_id", "index_id", F.round("__j", 6).alias("jaccard"))
         .orderBy("new_id", "index_id")
     )

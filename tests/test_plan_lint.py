@@ -106,8 +106,6 @@ _ALLOW: dict[str, dict[str, str]] = {
         "size routing NLJs: corpus x 16-row broadcast centroids (the IVF "
         "quantization step) and probe-batch x 16-row centroids; the code "
         "SCAN itself is a cell equi-join — the IVF-PQ point",
-        "GLOBAL_WINDOW": "centroid numbering runs on the 16-row LIMITed "
-        "centroid dim only",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
     "q97_tdigest_rollup": {

@@ -274,7 +274,7 @@ def test_broadcast_planes_match_literal_reference(spark):
         .select(
             "vec_id",
             F.explode(
-                _banded_signatures(df, planes, "embedding", n_planes, n_tables)
+                _banded_signatures("embedding", n_planes, n_tables)
             ).alias("tb"),
         )
         .collect()
