@@ -652,21 +652,31 @@ def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread(read_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id",
-        "source",
-        word_shingles(F.split(normalize("text"), " "), 2).alias("shingles"),
+    # Two-step projection (toks THEN shingles, the q31 shape): passing the
+    # raw split(normalize(text)) expression into word_shingles would let
+    # CollapseProject inline the regex-normalize into every per-position
+    # reference inside the shingle transform — measured 0.8s -> 15s for
+    # this frame's materialization at sf0.1.
+    toks = docs.select(
+        "doc_id", "source", F.split(normalize("text"), " ").alias("toks")
+    )
+    sh = toks.select(
+        "doc_id", "source", word_shingles(F.col("toks"), 2).alias("shingles")
     ).persist()  # consumed by signatures + both verify joins
     sigs = minhash_signatures(sh, "doc_id", "shingles", 64).join(
         sh.select("doc_id", "source"), "doc_id"
     )
+    # Persist BEFORE the two side-filters below: each is a separate plan
+    # branch, and without the cache both would re-run the whole
+    # explode -> 64-min-agg signature computation (the repeated-subtree
+    # trap lsh_candidate_pairs documents; measured 16s -> ~4s at sf0.1).
     banded = sigs.select(
         "doc_id",
         "source",
         F.posexplode(lsh_band_keys(F.col("signature"), 8, 8)).alias(
             "band_idx", "band_hash"
         ),
-    )
+    ).persist()
     new_b = banded.filter(F.col("source") != "src0").select(
         F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
     )
