@@ -257,8 +257,11 @@ def q76_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q77_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
     total = docs.count()  # scalar metadata-size count, not a driver loop
-    sh = docs.select(
-        F.explode(word_shingles(F.split("text", " "), k=5)).alias("gram")
+    # bind the token array BEFORE shingling: word_shingles references its
+    # argument per position, and a raw split(text) argument re-inlines the
+    # split into every one (the q105 trap; see memory / queries/dedup.py)
+    sh = docs.select(F.split("text", " ").alias("toks")).select(
+        F.explode(word_shingles(F.col("toks"), k=5)).alias("gram")
     )
     return (
         sh.groupBy("gram")

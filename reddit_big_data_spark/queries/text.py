@@ -629,13 +629,20 @@ def q26_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q20_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(normalize("text"), " ")
-    per_doc = docs.select(
+    # bind the token array in its own projection: four references to the
+    # raw split(normalize(text)) expression would re-inline the regex
+    # normalize four times per row (the q105/q77 trap)
+    bound = docs.select(
         "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
         F.length("text").alias("n_chars_raw"),
+        F.split(normalize("text"), " ").alias("toks"),
+    )
+    per_doc = bound.select(
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+        "n_chars_raw",
     )
     stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
     return (
