@@ -377,3 +377,120 @@ def q96_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# q110 — data-quality constraint audit (the expectations-style validation
+# pass every production pipeline runs before publishing a table): five
+# constraint classes over the warehouse tables — primary-key uniqueness,
+# foreign-key integrity, not-null, value range, accepted values — each
+# reported as (check_name, n_checked, n_violations, passed). One
+# aggregate or one anti-join per check, unioned; counts are exact
+# integers so the oracle matches with no float discipline.
+#
+# Scale shape: uniqueness is COUNT - COUNT(DISTINCT) (two map-side-
+# combined aggregates, no self-join); FK integrity is a LEFT ANTI join
+# shuffling only the key columns; the rest are single-pass conditional
+# counts. Nothing here reads a column the check doesn't need.
+# --------------------------------------------------------------------------
+@register(
+    "q110_constraint_audit",
+    oracle="""
+    WITH checks AS (
+      SELECT 'accepted_values_o_orderstatus' AS check_name,
+             COUNT(*) AS n_checked,
+             SUM(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'fk_lineitem_orderkey', COUNT(*),
+             SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'not_null_o_custkey', COUNT(*),
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      FROM orders
+      UNION ALL
+      SELECT 'range_l_quantity_1_50', COUNT(*),
+             SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                      THEN 1 ELSE 0 END)
+      FROM lineitem
+      UNION ALL
+      SELECT 'unique_o_orderkey', COUNT(*),
+             COUNT(*) - COUNT(DISTINCT o_orderkey)
+      FROM orders
+    )
+    SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM checks
+    ORDER BY check_name
+    """,
+    doc="expectations-style constraint audit: pk/fk/null/range/values checks",
+)
+def q110_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    def row(name, n_checked, n_violations):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            n_checked.cast("long").alias("n_checked"),
+            n_violations.cast("long").alias("n_violations"),
+        )
+
+    accepted = orders.agg(
+        row(
+            "accepted_values_o_orderstatus",
+            F.count("*"),
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ),
+        ).alias("r")
+    )
+    fk = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .agg(
+            row(
+                "fk_lineitem_orderkey",
+                F.count("*"),
+                F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)),
+            ).alias("r")
+        )
+    )
+    not_null = orders.agg(
+        row(
+            "not_null_o_custkey",
+            F.count("*"),
+            F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)),
+        ).alias("r")
+    )
+    rng = lineitem.agg(
+        row(
+            "range_l_quantity_1_50",
+            F.count("*"),
+            F.sum(
+                F.when(
+                    (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1
+                ).otherwise(0)
+            ),
+        ).alias("r")
+    )
+    unique = orders.agg(
+        row(
+            "unique_o_orderkey",
+            F.count("*"),
+            F.count("*") - F.countDistinct("o_orderkey"),
+        ).alias("r")
+    )
+    out = accepted.unionAll(fk).unionAll(not_null).unionAll(rng).unionAll(unique)
+    return (
+        out.select("r.check_name", "r.n_checked", "r.n_violations")
+        .withColumn("passed", F.col("n_violations") == 0)
+        .orderBy("check_name")
+    )
