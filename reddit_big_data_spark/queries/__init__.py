@@ -25,9 +25,9 @@ Round-5 window composition (the VERDICT r4 #1 rotation):
 Everything past the cap was driver-green in round 4, except the
 queries new in round 5 (q100 doc chunking, q101 LM perplexity,
 q102/q104 PQ and IVF-PQ ANN, q103 BPE merge pairs, q105 incremental
-dedup, q106 group split, q107-q109 TPC-H Q12/Q13/Q14 shapes), which
-are covered by the local oracle mirror now and queue for driver window
-slots next round.
+dedup, q106 group split, q107-q109 TPC-H Q12/Q13/Q14 shapes, q110
+constraint audit), which are covered by the local oracle mirror now
+and queue for driver window slots next round.
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
