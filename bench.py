@@ -89,6 +89,10 @@ def main() -> int:
         "sf": sf,
         "cpus": cpus,
         "n_queries": len(timings),
+        # Box context for cross-round comparisons: per-round VMs have
+        # measured 1.5x apart with 2-10x per-query swings (SURVEY §6) —
+        # the load average lets a reader judge how noisy this run was.
+        "load_1m": round(os.getloadavg()[0], 2),
     }
     if failures:
         result["failures"] = {
