@@ -789,3 +789,111 @@ def q100_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_len",
         F.md5("chunk").alias("chunk_md5"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# q111 — char-n-gram language ID (the Cavnar-Trenkle shape, simplified to
+# deterministic integer overlap): build a top-50 char-trigram profile per
+# language from the labeled corpus, classify every document by the size
+# of its distinct-trigram intersection with each profile (ties to the
+# alphabetically first language), and report the confusion matrix. This
+# is the n-gram language-ID heuristic itself — q20's stopword ratio is
+# the cheap single-language proxy; this is the multi-class classifier a
+# cleaning pipeline actually routes on.
+#
+# All counts and scores are integers, so the oracle matches exactly; the
+# per-doc argmax replays identically (ROW_NUMBER over score DESC, lang).
+#
+# Scale shape: trigram extraction is one transform+explode; profiles are
+# a map-side-combined (lang, gram) count cut to 50 rows/lang (broadcast
+# size by construction); scoring joins each doc's DISTINCT trigrams
+# against the broadcast profile set and counts matches per (doc, lang) —
+# no corpus-side shuffle except the per-doc aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q111_langid_ngram",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest([substr(t, CAST(i AS INTEGER), 3)
+                     for i in generate_series(1, length(t) - 2)]) AS g
+      FROM norm WHERE length(t) >= 3
+    ),
+    profile AS (
+      SELECT lang, g FROM (
+        SELECT lang, g, ROW_NUMBER() OVER (
+          PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS rn
+        FROM grams GROUP BY lang, g
+      ) WHERE rn <= 50
+    ),
+    doc_grams AS (SELECT DISTINCT doc_id, lang AS true_lang, g FROM grams),
+    scores AS (
+      SELECT d.doc_id, d.true_lang, p.lang AS cand_lang, COUNT(*) AS score
+      FROM doc_grams d JOIN profile p ON d.g = p.g
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand_lang AS pred_lang FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+        FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, COUNT(*) AS n_docs
+    FROM pred
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="char-trigram language-ID profiles + overlap classify + confusion matrix",
+)
+def q111_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    nrm = docs.select("doc_id", "lang", normalize("text").alias("t"))
+    grams = (
+        nrm.filter(F.length("t") >= 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - 2),
+                    lambda i: F.substr("t", i, F.lit(3)),
+                )
+            ).alias("g"),
+        )
+    )
+    wp = Window.partitionBy("lang").orderBy(F.desc("__c"), "g")
+    profile = (
+        grams.groupBy("lang", "g")
+        .agg(F.count("*").alias("__c"))
+        .withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") <= 50)
+        .select(F.col("lang").alias("cand_lang"), "g")
+    )
+    doc_grams = grams.select(
+        "doc_id", F.col("lang").alias("true_lang"), "g"
+    ).distinct()
+    scores = (
+        doc_grams.join(F.broadcast(profile), "g")
+        .groupBy("doc_id", "true_lang", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand_lang")
+    pred = (
+        scores.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
