@@ -156,8 +156,13 @@ def q09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q37_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents"))
-    toks = normalize("text")
-    toks = F.split(toks, " ")
+    # bind the token array first: the gram expression references it five
+    # times (two slices, two sizes, the filter), and an inline
+    # split(normalize(text)) would re-run the regex chain per reference
+    bound = docs.select(
+        "doc_id", "lang", F.split(normalize("text"), " ").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     grams = F.zip_with(
         F.slice(toks, 1, n - 1),
@@ -165,7 +170,7 @@ def q37_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     gc = (
-        docs.filter(n >= 2)
+        bound.filter(n >= 2)
         .select("doc_id", "lang", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "lang", "gram")
         .agg(F.count("*").alias("cnt"))
