@@ -502,8 +502,6 @@ _RRF_POOL = 50
     doc="hybrid retrieval: BM25 + dense cosine fused by reciprocal rank fusion",
 )
 def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import math
-
     from pyspark.sql import Window
 
     from reddit_big_data_spark.operators.similarity import dot
