@@ -471,3 +471,77 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def duplicated_token_spans(
+    toks: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): find every maximal token
+    span that appears at least `min_count` times across the corpus, as
+    (doc, span) rows.
+
+    The Spark plan is gram-banded, never all-pairs:
+
+    1. positional k-token grams — one row per (doc, start_pos), keyed by
+       the md5 of the gram text (32-byte shuffle key regardless of gram
+       length; at 100 TB swap md5 for xxhash64 to quarter the shuffle
+       bytes at a documented ~2^-64 per-pair collision risk — md5 is kept
+       here because DuckDB computes the identical digest, making the
+       whole pipeline oracle-checkable);
+    2. corpus-frequency filter via a count window PARTITIONed on the
+       digest — ONE shuffle on the gram key (vs two for groupBy+semi-join)
+       marks each occurrence whose gram appears >= min_count times
+       anywhere in the corpus (including twice in the same doc, which is
+       exactly Lee et al.'s self-repetition case);
+    3. run coalescing per doc (gaps-and-islands, the q53 sessionization
+       shape): surviving start positions p cover tokens [p, p+k-1];
+       positions within k of the previous start overlap-or-touch, so a
+       new island starts only when pos > lag(pos) + k. min/max per island
+       yield the maximal duplicated spans.
+
+    Returns (id_col, span_start, span_end, span_len) — token positions
+    are 1-based inclusive. Docs shorter than k tokens contribute nothing.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(F.col(tokens_col))
+    grams = (
+        toks.filter(n >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col(tokens_col), i, k))
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select(id_col, "pg.pos", "pg.g")
+    )
+    hits = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("g")))
+        .filter(F.col("c") >= min_count)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") <= F.lag("pos").over(w) + k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("isl", F.sum("brk").over(w))
+    return islands.groupBy(id_col, "isl").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+        (F.max("pos") + (k - 1) - F.min("pos") + 1).alias("span_len"),
+    ).drop("isl")

@@ -10,24 +10,20 @@ every query stays covered every round by tests/test_queries_oracle.py,
 the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
-Round-5 window composition (the VERDICT r4 #1 rotation):
-1. The 46 queries whose last driver-green row is r2/r3 (q03, q19, the
-   whole dedup/similarity/approx/sentiment/sessions/nested/cooc/cms/
-   maintenance/udtf/multimodal/ml families) — the events.ts parquet
-   encoding changed once between rounds, so a fresh driver pass is the
-   only proof against testdata drift.
-2. q88 (KMV rollup) — re-contracted this round from rows-only to an
-   error-bound-boolean oracle; needs its first driver-green row.
-3. q97 (t-digest rollup), q98 (simhash hamming join) and q99 (weighted
-   sampling) — new this round; slot 50 goes to q99's first green rather
-   than a discretionary repeat.
+Round-6 window composition (the VERDICT r5 #1 rotation):
+1. q100-q111 (+ q112, new this round) — the queries with NO driver-green
+   row ever (local mirror only until now). They lead unconditionally.
+2. The rest of the 50 slots go to the r4-cohort queries ranked by
+   cumulative driver-green count (computed from CORRECTNESS_r01..r05):
+   first the 22 with exactly ONE green (q65, q75-q87, q89-q96), then
+   the 9 with two (q08, q21, q27, q28, q37, q38, q39, q47, q49), then
+   6 of the triple-green early-relational chain (q01, q02, q04, q05,
+   q06, q09 — flagship TF-IDF plus the join/agg backbone).
 
-Everything past the cap was driver-green in round 4, except the
-queries new in round 5 (q100 doc chunking, q101 LM perplexity,
-q102/q104 PQ and IVF-PQ ANN, q103 BPE merge pairs, q105 incremental
-dedup, q106 group split, q107-q109 TPC-H Q12/Q13/Q14 shapes, q110
-constraint audit), which are covered by the local oracle mirror now
-and queue for driver window slots next round.
+Everything past the cap was driver-green in rounds 4 AND 5 windows
+cumulatively (triple-green: q07, q10-q18, q20, q26) or green in the
+round-5 window itself; all stay covered by the local oracle mirror
+(tests/test_queries_oracle.py) every round.
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
@@ -62,64 +58,59 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
-    # -- text tail: green r2/r3, outside the r4 window
-    "q03_regex_flags",
-    "q19_wordcount_top20",
-    # -- dedup family (r2/r3)
-    "q30_exact_dedup",
-    "q31_minhash_neardup",
-    "q32_simhash",
-    "q33_ngram_jaccard",
-    "q34_winnowing",
-    "q36_prefix_simjoin",
-    "q35_dedup_clusters",
-    "q29_dedup_materialized",
-    "q66_decontamination",
-    # -- similarity family (r2/r3; q41/q43 re-contracted this round)
-    "q40_cosine_topk",
-    "q41_lsh_ann",
-    "q42_label_centroids",
-    "q43_ivf_ann",
-    "q44_cosine_neardup",
-    "q45_kmeans",
-    "q46_int8_quantization",
-    "q48_embedding_dedup_clusters",
-    # -- approx / temporal-adjacent (r2/r3)
-    "q22_approx_distinct_percentiles",
-    "q23_epoch_concat",
-    "q24_summary_stats",
-    "q57_pivot",
-    "q58_cube",
-    "q25_sentiment",
-    # -- sessions / temporal joins (r2/r3)
-    "q53_sessionization",
-    "q54_asof_join",
-    "q56_range_join",
-    # -- nested / events (r2/r3)
-    "q50_json_props",
-    "q51_tumbling_windows",
-    "q55_time_rollup",
-    "q59_sketch_rollup",
-    "q64_salted_agg",
-    "q67_nested_struct",
-    # -- text ops / cooc / cms (r2/r3)
-    "q68_porter_stems",
-    "q70_pmi_bigrams",
-    "q69_cms_heavy_hitters",
-    # -- maintenance / udtf / multimodal (r2/r3)
-    "q71_salted_join",
-    "q72_snapshot_diff",
-    "q73_rollup_merge",
-    "q74_udtf_tokens",
-    "q52_binary_payloads",
-    # -- ml family (r2/r3; q60 gains its snapshot oracle this round)
-    "q61_string_indexer",
-    "q62_class_weights",
-    "q63_corr_matrix",
-    "q60_rf_pipeline",
-    # -- re-contracted + new this round
-    "q88_kmv_rollup",
-    "q97_tdigest_rollup",
-    "q98_simhash_hamming",
-    "q99_weighted_sample",
+    # -- never driver-green: the round-5 additions (mirror-green only)
+    "q100_doc_chunking",
+    "q101_lm_perplexity",
+    "q102_pq_ann",
+    "q103_bpe_merge_pairs",
+    "q104_ivfpq_ann",
+    "q105_incremental_neardup",
+    "q106_group_split",
+    "q107_priority_class_counts",
+    "q108_order_count_distribution",
+    "q109_promo_revenue_share",
+    "q110_constraint_audit",
+    "q111_langid_ngram",
+    # -- never driver-green: new this round (exact substring dedup)
+    "q112_substring_dedup",
+    # -- one cumulative green (r4 only)
+    "q65_grouped_ols",
+    "q75_pii_redaction",
+    "q76_quality_funnel",
+    "q77_boilerplate_shingles",
+    "q78_exists_late_orders",
+    "q79_below_avg_quantity",
+    "q80_dormant_high_balance",
+    "q81_winsorized_stats",
+    "q82_pagerank",
+    "q83_zorder_layout",
+    "q84_bloom_semi_join",
+    "q85_mixture_sample",
+    "q86_local_supplier_volume",
+    "q87_rank_family",
+    "q89_variant_props",
+    "q90_mad_outliers",
+    "q91_k_per_group_sample",
+    "q92_gap_fill",
+    "q93_volume_shipping",
+    "q94_market_share",
+    "q95_scd2_history",
+    "q96_fuzzy_name_match",
+    # -- two cumulative greens (last r4)
+    "q08_histogram_cumulative",
+    "q21_shipping_priority",
+    "q27_pricing_summary",
+    "q28_grouping_sets",
+    "q37_repetition_signals",
+    "q38_bm25_topk",
+    "q39_sequence_packing",
+    "q47_stratified_sample",
+    "q49_hybrid_rrf",
+    # -- triple-green early-relational backbone (last r4)
+    "q01_top_groups_by_count",
+    "q02_time_slot_histogram",
+    "q04_missing_report",
+    "q05_broadcast_join_chain",
+    "q06_groupby_multi_agg",
+    "q09_tfidf_topk",
 ]

@@ -701,3 +701,68 @@ def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("new_id", "index_id", F.round("__j", 6).alias("jaccard"))
         .orderBy("new_id", "index_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q112 — exact substring-level dedup (Lee et al. 2022): maximal duplicated
+# token spans per doc. The canonical LLM-dedup flavor the suite lacked:
+# q30 removes whole-doc duplicates, q31/q98 near-duplicates; this finds
+# the verbatim REPEATED PASSAGES inside otherwise-distinct docs.
+# Plan shape: positional 8-gram md5 -> ONE count-window shuffle on the
+# digest -> per-doc gaps-and-islands coalescing. Never all-pairs.
+# --------------------------------------------------------------------------
+@register(
+    "q112_substring_dedup",
+    oracle=_ORACLE_NORM
+    + """,
+    grams AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+7], ' ')) AS g
+      FROM norm, unnest(generate_series(1, greatest(len(toks)-7, 0))) AS t(i)
+    ),
+    hits AS (
+      SELECT doc_id, pos
+      FROM (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY g) AS c FROM grams)
+      WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= lag(pos) OVER w + 8 THEN 0 ELSE 1 END AS brk
+      FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS s, MAX(pos) + 7 AS e
+      FROM grp GROUP BY doc_id, isl_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+           CAST(MAX(e - s + 1) AS BIGINT) AS longest_span
+    FROM spans
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="exact substring dedup (Lee et al. 2022): duplicated 8-token spans, "
+    "gram-banded + gaps-and-islands, per-doc span stats",
+)
+def q112_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.dedup import duplicated_token_spans
+
+    toks = _tokens(spark, sf_dir)
+    spans = duplicated_token_spans(toks, "doc_id", "toks", k=8, min_count=2)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("span_len").alias("dup_tokens"),
+            # span_len is int arithmetic over sequence positions — cast to
+            # long: the driver compare is dtype-exact vs DuckDB's BIGINT
+            F.max("span_len").cast("long").alias("longest_span"),
+        )
+        .orderBy("doc_id")
+    )

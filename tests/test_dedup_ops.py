@@ -301,3 +301,33 @@ def test_simhash_hamming_rejects_wide_bands(spark):
     df = spark.createDataFrame([(1, "0" * 128)], "doc_id: int, simhash: string")
     with pytest.raises(ValueError, match="63"):
         simhash_hamming_pairs(df, "doc_id", bits=128, bands=2, max_hamming=1)
+
+
+def test_duplicated_token_spans_coalesces_and_catches_self_repeats(spark):
+    """q112 operator semantics on a hand-built corpus: a 10-token passage
+    shared by two docs yields one maximal span in EACH doc (adjacent gram
+    starts coalesce); a doc repeating its own 8-gram twice is flagged even
+    with no cross-doc partner (Lee et al.'s self-repetition case); unique
+    docs and docs shorter than k contribute nothing."""
+    from reddit_big_data_spark.operators.dedup import duplicated_token_spans
+
+    passage = [f"p{i}" for i in range(10)]
+    rows = [
+        (1, ["a1", "a2"] + passage + ["a3"]),          # shared at pos 3..12
+        (2, passage + ["b1", "b2", "b3"]),             # shared at pos 1..10
+        (3, [f"u{i}" for i in range(12)]),             # all unique
+        (4, [f"s{i % 8}" for i in range(16)]),         # self-repeating 8-cycle
+        (5, ["t1", "t2", "t3"]),                       # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id: int, toks: array<string>")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.span_len)
+        for r in duplicated_token_spans(df, "doc_id", "toks", k=8).collect()
+    }
+    # doc 4: gram at pos i equals gram at pos i+8 for i=1..8 (wrap of the
+    # 8-cycle), plus pos 9; all starts 1..9 coalesce into one full span.
+    assert got == {
+        (1, 3, 12, 10),
+        (2, 1, 10, 10),
+        (4, 1, 16, 16),
+    }
