@@ -7,6 +7,19 @@ JSON line:
 Each query is forced to execute fully with a noop-format write (all rows
 computed, nothing collected to the driver), so the timing covers the real
 scan/shuffle/agg work rather than driver serialization.
+
+MIN-OF-N INTERLEAVED (VERDICT r5 #3): the per-round bench box swings 2-10x
+on byte-identical queries (SURVEY §6), which made single-run per-query
+deltas between rounds unactionable. Each query is now timed
+$SPARK_GRAFT_BENCH_REPS times (default 3) ROUND-ROBIN — pass 1 runs q01..
+qNN, then pass 2, then pass 3 — so a load spike hits one pass of many
+queries instead of all reps of one query. Reported per-query value = min
+across passes (the least-noise estimate of the code's true cost);
+`queries` in the JSON line stays {qNN: min_sec} for cross-round driver
+compatibility. Full per-pass detail {min, runs, spread} goes to
+BENCH_DETAIL.json next to this file — kept OUT of the stdout line because
+the driver captures a bounded stdout tail (round 2's full-name keys
+already overflowed it once).
 """
 
 from __future__ import annotations
@@ -25,6 +38,7 @@ def _force(df) -> None:
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
@@ -53,28 +67,54 @@ def main() -> int:
     spark.range(100).mapInPandas(lambda it: it, "id long").count()
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {name: [] for name in queries}
     failures: dict[str, str] = {}
-    for name, q in sorted(queries.items()):
-        try:
-            # Time construction + execution: iterative operators (connected
-            # components, k-means, sketch-seeded plans) do real cluster work
-            # while BUILDING the DataFrame, and excluding it would
-            # under-report them.
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            _force(df)
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # keep benching the rest
-            failures[name] = f"{type(exc).__name__}: {exc}"[:80]
-            print(f"bench: {name} FAILED: {failures[name]}", file=sys.stderr)
-        finally:
-            # Operators that persist() internally (simjoin, LSH, IVF,
-            # global-rank) cannot unpersist what their consumer hasn't
-            # materialized yet; dropping the cache between queries keeps
-            # blocks from accumulating across the 68-query sweep and
-            # distorting later timings (ADVICE r2).
-            spark.catalog.clearCache()
+    order = sorted(queries)
+    for rep in range(reps):
+        for name in order:
+            if name in failures:
+                continue  # deterministic failure — don't pay for it again
+            try:
+                # Time construction + execution: iterative operators
+                # (connected components, k-means, sketch-seeded plans) do
+                # real cluster work while BUILDING the DataFrame, and
+                # excluding it would under-report them. Each pass rebuilds
+                # the DataFrame so plan-construction cost is inside every
+                # sample, same as round-5 single-run numbers.
+                t0 = time.perf_counter()
+                df = queries[name].fn(spark, sf_dir)
+                _force(df)
+                runs[name].append(round(time.perf_counter() - t0, 4))
+            except Exception as exc:  # keep benching the rest
+                failures[name] = f"{type(exc).__name__}: {exc}"[:80]
+                print(f"bench: {name} FAILED (pass {rep + 1}): "
+                      f"{failures[name]}", file=sys.stderr)
+            finally:
+                # Operators that persist() internally (simjoin, LSH, IVF,
+                # global-rank) cannot unpersist what their consumer hasn't
+                # materialized yet; dropping the cache between queries
+                # keeps blocks from accumulating across the sweep and
+                # distorting later timings (ADVICE r2).
+                spark.catalog.clearCache()
+
+    timings = {name: min(r) for name, r in runs.items() if r}
+    detail = {
+        name.split("_", 1)[0]: {
+            "min": min(r),
+            "spread": round(max(r) - min(r), 4),
+            "runs": r,
+        }
+        for name, r in sorted(runs.items())
+        if r
+    }
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({"sf": sf, "cpus": cpus, "reps": reps,
+                       "queries": detail}, f, indent=1, sort_keys=True)
+    except OSError as exc:
+        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     # Short qNN keys: the driver captures a bounded tail of stdout and
@@ -83,12 +123,19 @@ def main() -> int:
     short = {name.split("_", 1)[0]: t for name, t in sorted(timings.items())}
     result = {
         "metric": "total_query_wall_sec",
-        "value": total,
+        "value": total,  # total of per-query MINS across the reps passes
         "unit": "sec",
         "queries": short,
         "sf": sf,
         "cpus": cpus,
         "n_queries": len(timings),
+        "reps": reps,
+        # Aggregate noise indicator: sum of per-query (max-min) across the
+        # interleaved passes — large values mean the box was noisy and
+        # cross-round per-query deltas should not be trusted (SURVEY §6).
+        "spread_total": round(
+            sum(max(r) - min(r) for r in runs.values() if r), 2
+        ),
         # Box context for cross-round comparisons: per-round VMs have
         # measured 1.5x apart with 2-10x per-query swings (SURVEY §6) —
         # the load average lets a reader judge how noisy this run was.
