@@ -138,10 +138,17 @@ def q70_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Float discipline (both engines, exact hash match): each bigram's
 # log-probability rounds to 9dp FIRST; a document's logprobs are then
-# summed by a sequential fold over the SORTED list (sort_array +
-# aggregate vs list_sort + list_sum), so summation order is identical
-# and the sums are bit-equal; exp/div happen on bit-equal inputs and the
-# output rounds to 4dp, far above any last-ulp libm difference.
+# summed in a canonical TWO-LEVEL order both engines replicate exactly —
+# bucket by floor(lp), sort within the bucket and fold sequentially,
+# then fold the bucket sums in bucket order. Identical partition +
+# identical fold order => bit-equal sums; exp/div happen on bit-equal
+# inputs and the output rounds to 4dp, far above any last-ulp libm
+# difference. The two-level shape exists for SCALE, not correctness
+# (VERDICT r5 #7): a single sort_array(collect_list) held every bigram
+# logprob of a document in one aggregation row (memory ∝ document
+# length); bucketing caps the big per-row array at the bucket's share
+# and the second level at the ~25 distinct floor(lp) buckets a corpus
+# produces.
 #
 # Scale shape: bigram extraction is one transform+explode (no self-join);
 # model counts are two map-side-combined groupBys; scoring is ONE shuffle
@@ -180,13 +187,19 @@ def q70_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN prefix_counts USING (w1)
       CROSS JOIN vocab
     ),
+    bagg AS (
+      SELECT doc_id, ANY_VALUE(lang) AS lang, FLOOR(lp) AS b,
+             COUNT(*) AS nb, list_sum(list_sort(list(lp))) AS bsum
+      FROM scored GROUP BY doc_id, FLOOR(lp)
+    ),
     agg AS (
-      SELECT doc_id, ANY_VALUE(lang) AS lang, COUNT(*) AS n_bigrams,
-             list_sort(list(lp)) AS lps
-      FROM scored GROUP BY doc_id
+      SELECT doc_id, ANY_VALUE(lang) AS lang,
+             CAST(SUM(nb) AS BIGINT) AS n_bigrams,
+             list_sum(list(bsum ORDER BY b)) AS total_lp
+      FROM bagg GROUP BY doc_id
     )
     SELECT doc_id, lang, n_bigrams,
-           ROUND(EXP(-list_sum(lps) / n_bigrams), 4) AS ppl
+           ROUND(EXP(-total_lp / n_bigrams), 4) AS ppl
     FROM agg
     ORDER BY ppl DESC, doc_id
     LIMIT 10
@@ -235,18 +248,28 @@ def q101_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(prefix_counts, "w1")
         .select("doc_id", "lang", lp.alias("lp"))
     )
-    agg = scored.groupBy("doc_id").agg(
+    # two-level canonical sum (header comment): per-(doc, floor(lp))
+    # sorted folds, then bucket sums folded in bucket order — bounded
+    # per-row aggregation state, bit-equal to the oracle's replica
+    bagg = scored.groupBy("doc_id", F.floor("lp").alias("b")).agg(
         F.first("lang").alias("lang"),
-        F.count("*").alias("n_bigrams"),
-        F.sort_array(F.collect_list("lp")).alias("lps"),
+        F.count("*").alias("nb"),
+        F.aggregate(
+            F.sort_array(F.collect_list("lp")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("bsum"),
     )
-    ppl = F.round(
-        F.exp(
-            -F.aggregate(F.col("lps"), F.lit(0.0), lambda a, x: a + x)
-            / F.col("n_bigrams")
-        ),
-        4,
+    agg = bagg.groupBy("doc_id").agg(
+        F.first("lang").alias("lang"),
+        F.sum("nb").alias("n_bigrams"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("b", "bsum"))),
+            F.lit(0.0),
+            lambda a, s: a + s["bsum"],
+        ).alias("total_lp"),
     )
+    ppl = F.round(F.exp(-F.col("total_lp") / F.col("n_bigrams")), 4)
     return (
         agg.select("doc_id", "lang", "n_bigrams", ppl.alias("ppl"))
         .orderBy(F.desc("ppl"), "doc_id")
