@@ -391,7 +391,15 @@ def cosine_candidate_pairs(
         n_rows = corpus.select(id_col).count()
         mode = "broadcast" if n_rows <= broadcast_threshold_rows else "blocked"
     if mode == "broadcast":
-        return _broadcast_candidate_pairs(corpus, threshold, id_col, emb_col, slack)
+        return _broadcast_candidate_pairs(
+            corpus,
+            threshold,
+            id_col,
+            emb_col,
+            slack,
+            broadcast_threshold_rows,
+            n_rows,
+        )
     if mode == "blocked":
         return _blocked_candidate_pairs(
             corpus, threshold, id_col, emb_col, slack, block_rows, n_rows
@@ -404,12 +412,31 @@ def cosine_candidate_pairs(
 
 
 def _broadcast_candidate_pairs(
-    corpus: DataFrame, threshold: float, id_col: str, emb_col: str, slack: float
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str,
+    emb_col: str,
+    slack: float,
+    max_rows: int = 2_000_000,
+    n_rows: int | None = None,
 ) -> DataFrame:
     import numpy as np
     import pandas as pd
 
     spark = corpus.sparkSession
+    # Fail LOUDLY before the toPandas (VERDICT r5): this is the one call
+    # path that collects a corpus to the driver, and an explicit
+    # mode="broadcast" (or a mis-set threshold) must not turn it into a
+    # silent driver OOM. The count is a cheap column-pruned scan next to
+    # the collect it guards.
+    if n_rows is None:
+        n_rows = corpus.select(id_col).count()
+    if n_rows > max_rows:
+        raise RuntimeError(
+            f"broadcast candidate generation asked to collect {n_rows} rows "
+            f"(> {max_rows}); use mode='blocked' (exact) or 'lsh' (recall "
+            f"contract) for corpora past driver scale"
+        )
     side = corpus.select(id_col, emb_col).toPandas()
     b_ids = side[id_col].to_numpy()
     b_mat = np.stack(side[emb_col].to_numpy()).astype(np.float64)

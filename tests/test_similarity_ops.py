@@ -366,3 +366,20 @@ def test_ivfpq_recall_on_planted_clusters(spark):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.8, f"IVF-PQ recall {recall} below 0.8"
+
+
+def test_broadcast_mode_guards_driver_collect(spark):
+    """mode='broadcast' must refuse (loudly, pre-collect) a corpus larger
+    than the driver-scale bound instead of silently toPandas-ing it."""
+    import pytest
+
+    from reddit_big_data_spark.operators.similarity import cosine_candidate_pairs
+
+    df = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(RuntimeError, match="broadcast candidate"):
+        cosine_candidate_pairs(
+            df, 0.5, mode="broadcast", broadcast_threshold_rows=5
+        )
