@@ -620,18 +620,44 @@ def make_centroids(
 
     ``train_iters=0``: the first k vectors by id — cheapest, and exactly
     reproducible in a SQL oracle. ``train_iters>0``: refine those seeds
-    with that many Lloyd's rounds via `operators/clustering.kmeans_assign`
-    (the real IVF index build — balanced cells mean balanced probe work;
-    first-k seeds from one dense region would funnel most of the corpus
-    into a handful of cells). Still deterministic: seeded init, fixed
-    rounds, ties to the lowest cid."""
+    with that many Lloyd's rounds, FAISS-style on a bounded
+    hash-deterministic sample collected to the driver once (the same
+    train-on-subset contract as pq.train_pq_codebooks: one takeOrdered
+    collect replaces per-round distributed assign/average barrier jobs;
+    a coarse quantizer never needs more training points than a few
+    hundred per cell). Balanced cells mean balanced probe work; first-k
+    seeds from one dense region would funnel most of the corpus into a
+    handful of cells. Still deterministic: pinned sample seed, seeds from
+    the k smallest sampled ids, numpy argmin ties to the lowest cell, an
+    emptied cell keeps its previous centroid. Consumers (ivf_topk,
+    ivfpq_topk) verify recall against exact top-k, not centroid values —
+    the exact-replay kmeans contract lives in operators/clustering for
+    q45."""
     if train_iters > 0:
-        from reddit_big_data_spark.operators.clustering import kmeans_centers
+        import numpy as np
 
-        centers = kmeans_centers(corpus, id_col, emb_col, k=k, iters=train_iters + 1)
+        sample = (
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                F.col(emb_col).cast("array<double>").alias("__v"),
+            )
+            .orderBy(F.xxhash64(F.col("__id"), F.lit(41)), F.col("__id"))
+            .limit(4096)
+            .collect()
+        )
+        sample.sort(key=lambda r: r["__id"])
+        x = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+        cents = x[: min(k, len(x))].copy()
+        for _ in range(train_iters):
+            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            code = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mask = code == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
         spark = corpus.sparkSession
         return spark.createDataFrame(
-            [(cid + 1, [float(x) for x in c]) for cid, c in centers],
+            [(i + 1, [float(v) for v in c]) for i, c in enumerate(cents)],
             f"cell int, {emb_col} array<double>",
         )
     return (
