@@ -24,6 +24,11 @@ _ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL_SORT": _ORACLE_SORT,
     },
     "q60_rf_pipeline": {"GLOBAL_SORT": _ORACLE_SORT},
+    "q114_mixture_weights": {
+        "NESTED_LOOP": "|languages|-row aggregate x ONE-row broadcast "
+        "normalizer frame — constant-size join attaching the cross-"
+        "language sum, same shape as attach_constant_row",
+    },
     "q24_summary_stats": {
         "PY_ARROW": "df.summary() is driver-profile tooling",
         "GLOBAL_SORT": _ORACLE_SORT,
@@ -147,7 +152,8 @@ for _q in (
     "q61_string_indexer q62_class_weights q63_corr_matrix "
     "q67_nested_struct q68_porter_stems q69_cms_heavy_hitters "
     "q70_pmi_bigrams q71_salted_join q72_snapshot_diff q73_rollup_merge q100_doc_chunking "
-    "q101_lm_perplexity q103_bpe_merge_pairs q105_incremental_neardup q106_group_split q107_priority_class_counts q108_order_count_distribution q110_constraint_audit q111_langid_ngram q112_substring_dedup"
+    "q101_lm_perplexity q103_bpe_merge_pairs q105_incremental_neardup q106_group_split q107_priority_class_counts q108_order_count_distribution q110_constraint_audit q111_langid_ngram q112_substring_dedup "
+    "q113_shard_manifest q114_mixture_weights"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
 
