@@ -68,12 +68,10 @@ def main() -> int:
     spark.catalog.clearCache()
 
     runs: dict[str, list[float]] = {name: [] for name in queries}
-    failures: dict[str, str] = {}
+    errors: dict[str, str] = {}
     order = sorted(queries)
     for rep in range(reps):
         for name in order:
-            if name in failures:
-                continue  # deterministic failure — don't pay for it again
             try:
                 # Time construction + execution: iterative operators
                 # (connected components, k-means, sketch-seeded plans) do
@@ -86,9 +84,15 @@ def main() -> int:
                 _force(df)
                 runs[name].append(round(time.perf_counter() - t0, 4))
             except Exception as exc:  # keep benching the rest
-                failures[name] = f"{type(exc).__name__}: {exc}"[:80]
+                # Retry on every remaining pass: a load spike must not
+                # permanently exclude a query (that would defeat the
+                # min-of-N noise defense). A query is a FAILURE only if
+                # every pass failed — a later success supersedes earlier
+                # transient errors, an earlier success means the failed
+                # pass just contributes no sample.
+                errors[name] = f"{type(exc).__name__}: {exc}"[:80]
                 print(f"bench: {name} FAILED (pass {rep + 1}): "
-                      f"{failures[name]}", file=sys.stderr)
+                      f"{errors[name]}", file=sys.stderr)
             finally:
                 # Operators that persist() internally (simjoin, LSH, IVF,
                 # global-rank) cannot unpersist what their consumer hasn't
@@ -141,6 +145,10 @@ def main() -> int:
         # the load average lets a reader judge how noisy this run was.
         "load_1m": round(os.getloadavg()[0], 2),
     }
+    # failed = zero successful passes; transient per-pass errors on a
+    # query that has at least one sample are not failures (its min just
+    # rests on fewer samples).
+    failures = {name: errors[name] for name in errors if not runs[name]}
     if failures:
         result["failures"] = {
             name.split("_", 1)[0]: msg for name, msg in failures.items()

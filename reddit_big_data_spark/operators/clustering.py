@@ -152,3 +152,60 @@ def kmeans_assign(
     return _assign(
         df, vec_col, [c for _, c in pairs], [cid for cid, _ in pairs], key_col=id_col
     )
+
+
+# --------------------------------------------------------------------------
+# Shared FAISS-style sample training (one definition for the PQ codebook
+# and IVF coarse-quantizer builds — pq.train_pq_codebooks and
+# similarity.make_centroids — so the determinism contract cannot drift
+# between the two call sites).
+# --------------------------------------------------------------------------
+def sample_train_matrix(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    train_rows: int = 4096,
+    seed: int = 41,
+):
+    """Hash-deterministic <= `train_rows` training sample as an id-sorted
+    float64 numpy matrix: the rows with the smallest (xxhash64(id, seed),
+    id) keys — one takeOrdered collect, never a corpus scan to the driver.
+    Raises ValueError (instead of an opaque numpy IndexError downstream)
+    when the sample is empty: an empty corpus, or every vector dropped
+    upstream (e.g. all-zero embeddings removed by pq._normalized)."""
+    import numpy as np
+
+    rows = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__v"),
+        )
+        .orderBy(F.xxhash64(F.col("__id"), F.lit(seed)), F.col("__id"))
+        .limit(int(train_rows))
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "no training vectors: corpus is empty or every vector was "
+            "dropped upstream (e.g. all-zero embeddings)"
+        )
+    rows.sort(key=lambda r: r["__id"])
+    return np.asarray([r["__v"] for r in rows], dtype=np.float64)
+
+
+def lloyd_rounds(x, centers, iters: int):
+    """Driver-side numpy Lloyd's under the shared determinism contract:
+    argmin ties break to the lowest code (numpy returns the first
+    minimum), an emptied cluster keeps its previous centroid (it can win
+    again later; dropping it would shrink the code alphabet mid-train),
+    and numpy reductions are order-stable. `x` is (n, d); `centers` is
+    the (k, d) seed matrix, returned updated after `iters` rounds."""
+    centers = centers.copy()
+    for _ in range(max(0, int(iters))):
+        d2 = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        code = d2.argmin(axis=1)
+        for c in range(len(centers)):
+            mask = code == c
+            if mask.any():
+                centers[c] = x[mask].mean(axis=0)
+    return centers

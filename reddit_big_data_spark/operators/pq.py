@@ -108,41 +108,30 @@ def train_pq_codebooks(
     """Driver-sized codebooks: centers[j][c] is the c-th centroid of
     subspace j (m x ksub x dims/m doubles — a few KB at any corpus
     scale). Fit FAISS-style on a bounded deterministic sample (module
-    docstring): ONE takeOrdered collect of the `train_rows` smallest
-    (xxhash64(id, seed), id) keys, then numpy Lloyd's driver-side over
-    all m subspaces — no per-round distributed jobs. A subspace cluster
-    that empties keeps its previous centroid (it can win again later;
-    dropping it would shrink the code alphabet mid-train)."""
-    import numpy as np
+    docstring): ONE takeOrdered collect via
+    clustering.sample_train_matrix, then clustering.lloyd_rounds
+    driver-side per subspace — no per-round distributed jobs, and the
+    sample/tie-break/empty-cluster contract is shared with the IVF
+    coarse-quantizer build (similarity.make_centroids). Seeds: the
+    subvectors of the ksub smallest sampled ids."""
+    from reddit_big_data_spark.operators.clustering import (
+        lloyd_rounds,
+        sample_train_matrix,
+    )
 
     if dims % m:
         raise ValueError(f"dims={dims} not divisible by m={m}")
     dsub = dims // m
     nv = _normalized(df, id_col, emb_col, normalize)
-    sample = (
-        nv.orderBy(F.xxhash64(F.col(id_col), F.lit(train_seed)), F.col(id_col))
-        .limit(int(train_rows))
-        .collect()
-    )
-    # seeds: the ksub smallest SAMPLED ids (deterministic; sample order is
-    # hash order, so re-sort by id for the seed choice)
-    sample.sort(key=lambda r: r[id_col])
-    x = np.asarray([r["__vec"] for r in sample], dtype=np.float64)
+    x = sample_train_matrix(nv, id_col, "__vec", train_rows, train_seed)
     centers = [
-        x[: min(ksub, len(x)), j * dsub : (j + 1) * dsub].copy()
+        lloyd_rounds(
+            x[:, j * dsub : (j + 1) * dsub],
+            x[: min(ksub, len(x)), j * dsub : (j + 1) * dsub],
+            iters - 1,
+        )
         for j in range(m)
     ]
-    for _ in range(max(0, iters - 1)):
-        for j in range(m):
-            sub = x[:, j * dsub : (j + 1) * dsub]
-            cb = centers[j]
-            # (n, k) squared distances; argmin ties to the lowest code
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
-            code = d2.argmin(axis=1)
-            for c in range(len(cb)):
-                mask = code == c
-                if mask.any():
-                    cb[c] = sub[mask].mean(axis=0)
     return [[[float(v) for v in c] for c in cb] for cb in centers]
 
 

@@ -634,27 +634,13 @@ def make_centroids(
     the exact-replay kmeans contract lives in operators/clustering for
     q45."""
     if train_iters > 0:
-        import numpy as np
-
-        sample = (
-            corpus.select(
-                F.col(id_col).alias("__id"),
-                F.col(emb_col).cast("array<double>").alias("__v"),
-            )
-            .orderBy(F.xxhash64(F.col("__id"), F.lit(41)), F.col("__id"))
-            .limit(4096)
-            .collect()
+        from reddit_big_data_spark.operators.clustering import (
+            lloyd_rounds,
+            sample_train_matrix,
         )
-        sample.sort(key=lambda r: r["__id"])
-        x = np.asarray([r["__v"] for r in sample], dtype=np.float64)
-        cents = x[: min(k, len(x))].copy()
-        for _ in range(train_iters):
-            d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-            code = d2.argmin(axis=1)
-            for c in range(len(cents)):
-                mask = code == c
-                if mask.any():
-                    cents[c] = x[mask].mean(axis=0)
+
+        x = sample_train_matrix(corpus, id_col, emb_col)
+        cents = lloyd_rounds(x, x[: min(k, len(x))], train_iters)
         spark = corpus.sparkSession
         return spark.createDataFrame(
             [(i + 1, [float(v) for v in c]) for i, c in enumerate(cents)],

@@ -122,16 +122,27 @@ def q114_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pa", F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(_ALPHA)), 9)
     )
     # normalizer folded in language order (|languages| rows — driver-sized
-    # agg state), replicated exactly by the oracle's list(... ORDER BY lang)
+    # agg state), replicated exactly by the oracle's list(... ORDER BY
+    # lang); attached via the shared constant-row broadcast-HASH join
+    # (operators/attach.py) — a bare crossJoin would be a BNLJ the plan
+    # lint rightly rejects
+    from reddit_big_data_spark.operators.attach import attach_constant_row
+
     z = scaled.agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("lang", "pa"))),
             F.lit(0.0),
             lambda a, s: a + s["pa"],
-        ).alias("z")
+        ).alias("z"),
+    ).select(
+        # key derives non-foldably from the aggregate (always 0): a plain
+        # lit(0) would constant-fold and degrade the hash join to a BNLJ
+        # (see attach_constant_row's probe-side note)
+        F.pmod(F.xxhash64(F.col("z")), F.lit(1)).cast("int").alias("__ck"),
+        "z",
     )
     return (
-        scaled.join(F.broadcast(z))
+        attach_constant_row(scaled, z, "lang")
         .select(
             "lang",
             "n_docs",

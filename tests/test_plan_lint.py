@@ -24,11 +24,6 @@ _ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL_SORT": _ORACLE_SORT,
     },
     "q60_rf_pipeline": {"GLOBAL_SORT": _ORACLE_SORT},
-    "q114_mixture_weights": {
-        "NESTED_LOOP": "|languages|-row aggregate x ONE-row broadcast "
-        "normalizer frame — constant-size join attaching the cross-"
-        "language sum, same shape as attach_constant_row",
-    },
     "q24_summary_stats": {
         "PY_ARROW": "df.summary() is driver-profile tooling",
         "GLOBAL_SORT": _ORACLE_SORT,
