@@ -383,3 +383,35 @@ def test_broadcast_mode_guards_driver_collect(spark):
         cosine_candidate_pairs(
             df, 0.5, mode="broadcast", broadcast_threshold_rows=5
         )
+
+
+def test_sample_train_matrix_guards_and_determinism(spark):
+    """The shared FAISS-style sample trainer: empty input raises a clear
+    ValueError (not a numpy IndexError downstream), repeat calls return
+    the identical matrix, and lloyd_rounds keeps emptied clusters."""
+    import numpy as np
+    import pytest
+
+    from reddit_big_data_spark.operators.clustering import (
+        lloyd_rounds,
+        sample_train_matrix,
+    )
+
+    empty = spark.createDataFrame([], "vec_id: long, embedding: array<double>")
+    with pytest.raises(ValueError, match="no training vectors"):
+        sample_train_matrix(empty, "vec_id", "embedding")
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(20)],
+        "vec_id: long, embedding: array<double>",
+    )
+    a = sample_train_matrix(df, "vec_id", "embedding", train_rows=8)
+    b = sample_train_matrix(df, "vec_id", "embedding", train_rows=8)
+    assert a.shape == (8, 2) and (a == b).all()
+
+    # a far-away seed no point wins keeps its coordinates verbatim
+    x = np.array([[0.0, 0.0], [0.1, 0.0], [0.2, 0.0]])
+    seeds = np.array([[0.1, 0.0], [99.0, 99.0]])
+    out = lloyd_rounds(x, seeds, iters=2)
+    assert (out[1] == seeds[1]).all()
+    assert abs(out[0][0] - 0.1) < 1e-12  # mean of all three points
