@@ -230,3 +230,94 @@ def chunk_documents(
     return out.withColumn("chunk_len", F.length("chunk").cast("int")).select(
         id_col, "chunk_idx", "chunk_start", "chunk_len", "chunk"
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 8,
+    boundary_mod: int = 64,
+) -> DataFrame:
+    """Content-defined chunking (the rsync/FastCDC family; Muthitacharoen
+    et al., "A Low-bandwidth Network File System", SOSP 2001): cut each
+    text at positions where a rolling content hash satisfies a boundary
+    condition, so chunk boundaries move WITH the content — an insertion
+    shifts every fixed-stride chunk after it (chunk_documents), but CDC
+    boundaries realign immediately, which is what makes chunk-hash dedup
+    robust to edits. Expected chunk length = `boundary_mod` chars.
+
+    Boundary rule (engine-portable, no custom rolling state): position i
+    starts a chunk iff i == 1 or the first hex byte of
+    md5(substr(text, i, window)) is < 256/boundary_mod. Positions within
+    `window` of the end never cut (the tail merges into the last chunk).
+
+    Plan shape: one position explode (O(chars)) for boundary detection,
+    boundary positions re-aggregate to a per-doc SORTED ARRAY (sparse:
+    ~len/boundary_mod ints), spans derive by array index pairing, and
+    chunks explode with their substrings sliced from the carried text —
+    the chunk STRING is never assembled char-by-char. Per-row state is
+    bounded by the document string itself (already one row value).
+
+    Returns (id, chunk_idx int, chunk_start int, chunk_len int,
+    chunk_md5 string) — one row per chunk; dedup consumers join/group on
+    chunk_md5 and never need the chunk text itself.
+    """
+    if window < 1 or boundary_mod < 2 or 256 % boundary_mod:
+        raise ValueError(
+            f"need window >= 1 and boundary_mod a divisor of 256 in "
+            f"[2, 256], got window={window} boundary_mod={boundary_mod}"
+        )
+    cut = 256 // boundary_mod
+    base = df.select(
+        F.col(id_col), F.col(text_col).alias("__t"), F.length(text_col).alias("__n")
+    ).filter(F.col("__n") >= 1)
+    pos = base.select(
+        id_col,
+        "__t",
+        "__n",
+        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__i"),
+    )
+    is_boundary = (F.col("__i") == 1) | (
+        (F.col("__i") <= F.col("__n") - (window - 1))
+        & (
+            F.conv(
+                F.substring(F.md5(F.substring("__t", F.col("__i"), F.lit(window))), 1, 2),
+                16,
+                10,
+            ).cast("int")
+            < cut
+        )
+    )
+    bounds = (
+        pos.filter(is_boundary)
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("__i")).alias("__bs"),
+            F.first("__t").alias("__t"),
+            F.first("__n").alias("__n"),
+        )
+    )
+    # span k: [bs[k], next_boundary - 1] (or text end for the last chunk).
+    # F.get is 0-based and null-safe past the end (unlike element_at under
+    # ANSI mode), so the last span's end coalesces to the text length.
+    spans = F.transform(
+        F.col("__bs"),
+        lambda b, k: F.struct(
+            b.alias("s"),
+            F.coalesce(F.get(F.col("__bs"), k + 1) - 1, F.col("__n")).alias("e"),
+        ),
+    )
+    out = bounds.select(
+        id_col,
+        "__t",
+        F.posexplode(spans).alias("chunk_idx", "__sp"),
+    )
+    clen = (F.col("__sp.e") - F.col("__sp.s") + 1).cast("int")
+    return out.select(
+        id_col,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("__sp.s").cast("int").alias("chunk_start"),
+        clen.alias("chunk_len"),
+        F.md5(F.substring("__t", F.col("__sp.s"), clen)).alias("chunk_md5"),
+    )

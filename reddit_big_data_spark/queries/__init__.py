@@ -11,14 +11,14 @@ the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
 Round-6 window composition (the VERDICT r5 #1 rotation):
-1. q100-q111 (+ q112/q113/q114, new this round) — the queries with NO
+1. q100-q111 (+ q112-q115, new this round) — the queries with NO
    driver-green row ever (local mirror only until now). They lead
    unconditionally.
 2. The rest of the 50 slots go to the r4-cohort queries ranked by
    cumulative driver-green count (computed from CORRECTNESS_r01..r05):
    first the 22 with exactly ONE green (q65, q75-q87, q89-q96), then
    the 9 with two (q08, q21, q27, q28, q37, q38, q39, q47, q49), then
-   4 of the triple-green early-relational chain (q01, q02, q04, q09 —
+   3 of the triple-green early-relational chain (q01, q02, q09 —
    flagship TF-IDF plus the agg backbone).
 
 Everything past the cap was driver-green in rounds 4 AND 5 windows
@@ -74,10 +74,11 @@ WINDOW_ORDER: list[str] = [
     "q110_constraint_audit",
     "q111_langid_ngram",
     # -- never driver-green: new this round (exact substring dedup,
-    #    shard manifest, temperature mixture weights)
+    #    shard manifest, temperature mixture weights, CDC chunk dedup)
     "q112_substring_dedup",
     "q113_shard_manifest",
     "q114_mixture_weights",
+    "q115_cdc_chunks",
     # -- one cumulative green (r4 only)
     "q65_grouped_ols",
     "q75_pii_redaction",
@@ -111,11 +112,10 @@ WINDOW_ORDER: list[str] = [
     "q39_sequence_packing",
     "q47_stratified_sample",
     "q49_hybrid_rrf",
-    # -- triple-green early-relational backbone (last r4). q05/q06
-    #    rotated back out when q113/q114 took their slots: a first green
+    # -- triple-green early-relational backbone (last r4). q04/q05/q06
+    #    rotated back out when q113-q115 took their slots: a first green
     #    for a new query outranks a fourth green for a thrice-proven one.
     "q01_top_groups_by_count",
     "q02_time_slot_histogram",
-    "q04_missing_report",
     "q09_tfidf_topk",
 ]

@@ -766,3 +766,90 @@ def q112_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q115 — content-defined chunking dedup report (rsync/FastCDC family):
+# boundaries from a rolling content-hash condition, so an edit shifts
+# every FIXED-stride chunk after it (q100) but CDC boundaries realign
+# immediately — the robust unit for chunk-hash dedup across crawl
+# snapshots. Per-language report: chunk counts, average chunk length
+# (expected = boundary_mod chars), and how many chunks recur in >= 2
+# docs. The oracle replays boundary detection, span pairing, and chunk
+# hashing exactly in SQL.
+# --------------------------------------------------------------------------
+@register(
+    "q115_cdc_chunks",
+    oracle="""
+    WITH nrm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, lang, t, length(t) AS n FROM nrm WHERE length(t) >= 1
+    ),
+    bpos AS (
+      SELECT doc_id, i
+      FROM base, unnest(generate_series(1, n)) AS g(i)
+      WHERE i = 1 OR (i <= n - 7 AND
+            ('0x' || substr(md5(substr(t, CAST(i AS INTEGER), 8)), 1, 2))::BIGINT < 4)
+    ),
+    blist AS (
+      SELECT doc_id, list(i ORDER BY i) AS bs FROM bpos GROUP BY doc_id
+    ),
+    spans AS (
+      SELECT b.doc_id, base.lang, base.t,
+             unnest([struct_pack(s := bs[k],
+                                 e := CASE WHEN k = len(bs) THEN base.n
+                                      ELSE bs[k+1] - 1 END)
+                     for k in generate_series(1, len(bs))]) AS sp
+      FROM blist b JOIN base USING (doc_id)
+    ),
+    chunks AS (
+      SELECT doc_id, lang, (sp.e - sp.s + 1) AS clen,
+             md5(substr(t, CAST(sp.s AS INTEGER),
+                        CAST(sp.e - sp.s + 1 AS INTEGER))) AS h
+      FROM spans
+    ),
+    hashes AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM chunks GROUP BY h)
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           ROUND(AVG(clen), 2) AS avg_chunk_len,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+             AS dup_ratio
+    FROM chunks JOIN hashes USING (h)
+    GROUP BY lang ORDER BY lang
+    """,
+    doc="content-defined chunking (FastCDC shape): per-lang chunk stats + "
+    "cross-doc duplicate-chunk rate",
+)
+def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.text import cdc_chunks
+
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", normalize("text").alias("t")
+    )
+    ch = cdc_chunks(docs, "doc_id", "t", window=8, boundary_mod=64).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    nd = ch.groupBy("chunk_md5").agg(
+        F.countDistinct("doc_id").alias("__nd")
+    )
+    dup = (F.col("__nd") >= 2).cast("long")
+    return (
+        ch.join(nd, "chunk_md5")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_chunks"),
+            F.round(F.avg("chunk_len"), 2).alias("avg_chunk_len"),
+            F.sum(dup).alias("dup_chunks"),
+            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
+        )
+        .orderBy("lang")
+    )

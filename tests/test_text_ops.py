@@ -145,3 +145,49 @@ def test_chunk_documents_covers_every_char(spark):
         assert covered == set(range(len(text))), doc_id
     assert len(by_doc[2]) == 1 and len(by_doc[3]) == 1  # len <= size -> 1 chunk
     assert len(by_doc[4]) == 2  # 201 chars -> second (truncated) chunk
+
+
+def test_cdc_chunks_tile_and_realign(spark):
+    """CDC contract: chunks tile [1, len] exactly (no gaps/overlaps), and
+    a PREFIX INSERTION leaves the suffix's chunk hashes intact from the
+    first content-defined boundary onward — the edit-robustness property
+    fixed-stride chunking (chunk_documents) lacks, and the reason CDC is
+    the dedup-stable unit."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.text import cdc_chunks
+
+    text = "the quick brown fox jumps over the lazy dog " * 8
+    edited = "inserted new preamble words here " + text
+    df = spark.createDataFrame(
+        [(1, text.strip()), (2, edited.strip())], "doc_id: long, t: string"
+    )
+    rows = cdc_chunks(df, "doc_id", "t", window=8, boundary_mod=16).collect()
+    by_doc = {1: [], 2: []}
+    for r in rows:
+        by_doc[r["doc_id"]].append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        n = len(text.strip()) if doc_id == 1 else len(edited.strip())
+        assert chunks[0]["chunk_start"] == 1
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur["chunk_start"] == prev["chunk_start"] + prev["chunk_len"]
+        assert chunks[-1]["chunk_start"] + chunks[-1]["chunk_len"] - 1 == n
+    # suffix chunk hashes realign after the insertion: the edited doc
+    # shares most of the original's chunk hashes (fixed-stride would
+    # share none — every boundary shifts by the insertion length)
+    h1 = {r["chunk_md5"] for r in by_doc[1]}
+    h2 = {r["chunk_md5"] for r in by_doc[2]}
+    assert len(h1 & h2) >= max(1, len(h1) - 2), (sorted(h1), sorted(h2))
+
+
+def test_cdc_chunks_validates_params(spark):
+    import pytest
+
+    from reddit_big_data_spark.operators.text import cdc_chunks
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id: long, t: string")
+    with pytest.raises(ValueError, match="boundary_mod"):
+        cdc_chunks(df, "doc_id", "t", window=0)
+    with pytest.raises(ValueError, match="boundary_mod"):
+        cdc_chunks(df, "doc_id", "t", boundary_mod=7)
