@@ -11,15 +11,15 @@ the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
 Round-6 window composition (the VERDICT r5 #1 rotation):
-1. q100-q111 (+ q112-q115, new this round) — the queries with NO
+1. q100-q111 (+ q112-q116, new this round) — the queries with NO
    driver-green row ever (local mirror only until now). They lead
    unconditionally.
 2. The rest of the 50 slots go to the r4-cohort queries ranked by
    cumulative driver-green count (computed from CORRECTNESS_r01..r05):
    first the 22 with exactly ONE green (q65, q75-q87, q89-q96), then
    the 9 with two (q08, q21, q27, q28, q37, q38, q39, q47, q49), then
-   3 of the triple-green early-relational chain (q01, q02, q09 —
-   flagship TF-IDF plus the agg backbone).
+   2 of the triple-green early-relational chain (q02, q09 — flagship
+   TF-IDF plus the temporal backbone).
 
 Everything past the cap was driver-green in rounds 4 AND 5 windows
 cumulatively (triple-green: q07, q10-q18, q20, q26) or green in the
@@ -79,6 +79,7 @@ WINDOW_ORDER: list[str] = [
     "q113_shard_manifest",
     "q114_mixture_weights",
     "q115_cdc_chunks",
+    "q116_semdedup",
     # -- one cumulative green (r4 only)
     "q65_grouped_ols",
     "q75_pii_redaction",
@@ -112,10 +113,9 @@ WINDOW_ORDER: list[str] = [
     "q39_sequence_packing",
     "q47_stratified_sample",
     "q49_hybrid_rrf",
-    # -- triple-green early-relational backbone (last r4). q04/q05/q06
-    #    rotated back out when q113-q115 took their slots: a first green
-    #    for a new query outranks a fourth green for a thrice-proven one.
-    "q01_top_groups_by_count",
+    # -- triple-green early-relational backbone (last r4). q01/q04/q05/
+    #    q06 rotated back out when q113-q116 took their slots: a first
+    #    green for a new query outranks a fourth for a thrice-proven one.
     "q02_time_slot_histogram",
     "q09_tfidf_topk",
 ]

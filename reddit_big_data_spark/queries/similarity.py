@@ -305,9 +305,11 @@ def q44_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the lowest cid, so the DuckDB oracle can replay both rounds exactly as
 # unrolled CTEs. Output: per-cluster size + mean squared distance.
 # --------------------------------------------------------------------------
-@register(
-    "q45_kmeans",
-    oracle="""
+# Exact SQL replay of kmeans_assign(k=10, iters=2): seeds = the vectors
+# of the 10 smallest vec_ids, one centroid update, final assignment in
+# `a2` (vec_id, cid, d). Shared by q45 (cluster report) and q116
+# (SemDeDup) so the Lloyd replay cannot drift between the two oracles.
+_KMEANS_A2_CTE = """
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     flat AS (
       SELECT vec_id, i AS dim, e[i] AS x
@@ -340,6 +342,13 @@ def q44_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM d2) WHERE rn = 1
     )
+"""
+
+
+@register(
+    "q45_kmeans",
+    oracle=_KMEANS_A2_CTE
+    + """
     SELECT CAST(cid AS INTEGER) AS cluster_id,
            COUNT(*) AS n_vecs,
            ROUND(AVG(d), 4) AS avg_sq_dist
@@ -545,3 +554,111 @@ def q104_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries, k=5)
     ann = ivfpq_topk(emb, queries, k=5, m=16, rerank=100)
     return _ann_recall_frame(ann, exact, floor=3)
+
+
+# --------------------------------------------------------------------------
+# q116 — semantic dedup (SemDeDup, Abbas et al. 2023): the embedding-space
+# dedup that catches near-identical MEANING where q30-q36's lexical
+# flavors need shared tokens. The published recipe: k-means the corpus
+# embeddings, then look for high-cosine pairs only WITHIN each cluster —
+# the cluster scoping is what makes it tractable (pair work is bounded by
+# the largest cluster, ~n/k in expectation, instead of n^2), and recall
+# loss is confined to cross-cluster pairs the coarse clustering already
+# judged dissimilar. Removal rule (deterministic variant): a vector is
+# removed iff some same-cluster vector with a SMALLER id pairs with it at
+# cosine >= threshold — engine-replayable, no RNG, no iteration order.
+# Clustering = exactly q45's seeded 2-round Lloyd, so the oracle reuses
+# the same replay CTE; pair cosines are sequential list folds (q44's
+# float discipline).
+# --------------------------------------------------------------------------
+@register(
+    "q116_semdedup",
+    oracle=_KMEANS_A2_CTE
+    + """,
+    ve AS (
+      SELECT vec_id, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM v
+    ),
+    members AS (
+      SELECT a2.vec_id, a2.cid, ve.e, ve.nrm FROM a2 JOIN ve USING (vec_id)
+    ),
+    pairs AS (
+      SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b
+      FROM members a JOIN members b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(generate_series(1, len(a.e)),
+                                    i -> a.e[i] * b.e[i]))
+            / (a.nrm * b.nrm) >= 0.35
+    ),
+    removed AS (SELECT cid, COUNT(DISTINCT id_b) AS n_removed FROM pairs GROUP BY cid),
+    pcount AS (SELECT cid, COUNT(*) AS dup_pairs FROM pairs GROUP BY cid),
+    sizes AS (SELECT cid, COUNT(*) AS n_vecs FROM a2 GROUP BY cid)
+    SELECT CAST(s.cid AS INTEGER) AS cluster_id,
+           s.n_vecs,
+           COALESCE(pcount.dup_pairs, 0) AS dup_pairs,
+           COALESCE(removed.n_removed, 0) AS n_removed,
+           s.n_vecs - COALESCE(removed.n_removed, 0) AS n_kept
+    FROM sizes s
+    LEFT JOIN pcount USING (cid)
+    LEFT JOIN removed USING (cid)
+    ORDER BY cluster_id
+    """,
+    doc="SemDeDup: k-means-scoped semantic near-dup removal report per cluster",
+)
+def q116_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.clustering import kmeans_assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=10, iters=2)
+    # Materialize the assignment ONCE: both pair-join branches and the
+    # sizes aggregate read it, and each would otherwise re-execute the
+    # full Lloyd assignment pass (the simjoin prefix-table trap). One row
+    # of (id, cid, vector, norm) per vec — corpus-slim.
+    v = (
+        assigned.select(
+            "vec_id",
+            F.col("cluster").alias("cid"),
+            F.col("embedding").cast("array<double>").alias("e"),
+        )
+        .withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+        .localCheckpoint()
+    )
+    a = v.select(
+        F.col("cid"), F.col("vec_id").alias("id_a"),
+        F.col("e").alias("e_a"), F.col("nrm").alias("n_a"),
+    )
+    b = v.select(
+        F.col("cid"), F.col("vec_id").alias("id_b"),
+        F.col("e").alias("e_b"), F.col("nrm").alias("n_b"),
+    )
+    # cluster equi-join: pair work bounded by the largest cluster — the
+    # SemDeDup scoping (never a corpus-wide all-pairs)
+    sim = dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b"))
+    # Materialize the (small) qualifying-pair set once: the dup_pairs and
+    # n_removed aggregates both read it, and each would otherwise re-run
+    # the cluster-scoped pair join.
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(sim >= 0.35)
+        .select("cid", "id_a", "id_b")
+        .localCheckpoint()
+    )
+    sizes = v.groupBy("cid").agg(F.count("*").alias("n_vecs"))
+    pcount = pairs.groupBy("cid").agg(F.count("*").alias("dup_pairs"))
+    removed = pairs.groupBy("cid").agg(
+        F.countDistinct("id_b").alias("n_removed")
+    )
+    return (
+        sizes.join(pcount, "cid", "left")
+        .join(removed, "cid", "left")
+        .select(
+            F.col("cid").cast("int").alias("cluster_id"),
+            "n_vecs",
+            F.coalesce("dup_pairs", F.lit(0)).alias("dup_pairs"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
