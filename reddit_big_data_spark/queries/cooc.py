@@ -93,13 +93,23 @@ def q70_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p.w1", "p.w2")
     )
+    # Materialize both count tables ONCE (vocab-sized, tiny next to the
+    # corpus): each feeds THREE consumers — the scalar total action, the
+    # top-20 sort, and the two broadcast join branches — and every one
+    # would otherwise re-run the whole tokenize+explode+groupBy from the
+    # parquet scan (~5 corpus scans total; the q116 multi-consumer trap).
     uni = (
         toks.select(F.explode("t").alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").alias("n_w"))
+        .localCheckpoint()
     )
-    bi_counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    bi_counts = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_ab"))
+        .localCheckpoint()
+    )
     nu = uni.agg(F.sum("n_w")).first()[0]
     nb = bi_counts.agg(F.sum("n_ab")).first()[0]
     top = bi_counts.orderBy(F.desc("n_ab"), "w1", "w2").limit(20)
