@@ -242,8 +242,15 @@ def q101_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "p.w1", "p.w2")
     )
-    prefix_counts = bi.groupBy("w1").agg(F.count("*").alias("c_a"))
-    bi_counts = bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab"))
+    # ONE counting pass over the bigram stream: bi_counts materializes
+    # (distinct-bigram-sized, tiny next to the corpus) and prefix_counts
+    # derives from it (COUNT per w1 == SUM of c_ab — exact integers), so
+    # the model-count side costs one corpus scan instead of two and the
+    # scoring join's build sides read the checkpoint, not the scan.
+    bi_counts = (
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("c_ab")).localCheckpoint()
+    )
+    prefix_counts = bi_counts.groupBy("w1").agg(F.sum("c_ab").alias("c_a"))
     v = (
         toks.select(F.explode("t").alias("w"))
         .filter(F.col("w") != "")
