@@ -328,18 +328,29 @@ def q77_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q96_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part").select("p_brand", "p_name")
-    ng = part.groupBy("p_brand", "p_name").agg(F.count("*").alias("cnt"))
+    # Materialize the name dictionary once (distinct names — dictionary-
+    # sized): it feeds both levenshtein-join branches and the per-brand
+    # probe, each of which would otherwise re-run the scan+groupBy.
+    ng = (
+        part.groupBy("p_brand", "p_name")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
     a = ng.select(
         "p_brand", F.col("p_name").alias("na"), F.col("cnt").alias("cnt_a")
     )
     b = ng.select(
         "p_brand", F.col("p_name").alias("nb"), F.col("cnt").alias("cnt_b")
     )
+    # ... and the near-pair result once (tiny): both arms of the paired-
+    # names union plus the per-brand rollup read it, and each would
+    # otherwise re-run the blocked levenshtein join — the expensive stage.
     np_ = (
         a.join(b, "p_brand")
         .filter(F.col("na") < F.col("nb"))
         .filter(F.levenshtein("na", "nb").between(1, 2))
         .select("p_brand", "na", "nb", (F.col("cnt_a") * F.col("cnt_b")).alias("cross_cnt"))
+        .localCheckpoint()
     )
     paired = (
         np_.select("p_brand", F.col("na").alias("p_name"))
