@@ -148,7 +148,8 @@ for _q in (
     "q67_nested_struct q68_porter_stems q69_cms_heavy_hitters "
     "q70_pmi_bigrams q71_salted_join q72_snapshot_diff q73_rollup_merge q100_doc_chunking "
     "q101_lm_perplexity q103_bpe_merge_pairs q105_incremental_neardup q106_group_split q107_priority_class_counts q108_order_count_distribution q110_constraint_audit q111_langid_ngram q112_substring_dedup "
-    "q113_shard_manifest q114_mixture_weights q115_cdc_chunks q116_semdedup"
+    "q113_shard_manifest q114_mixture_weights q115_cdc_chunks q116_semdedup "
+    "q117_returned_revenue q118_large_volume_orders q119_disjunctive_revenue"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
 
