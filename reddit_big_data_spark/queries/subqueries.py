@@ -165,3 +165,160 @@ def q80_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — NOT-IN subquery + distinct-count rollup (TPC-H Q16 shape,
+# adapted: the testdata has no partsupp, so lineitem's (l_partkey,
+# l_suppkey) plays the part-supplier relationship, and the blacklist
+# excludes one nation's suppliers instead of comment-matched ones). The
+# shapes under test: NOT IN -> broadcast LEFT ANTI join (never a filter
+# against a collected list) and COUNT(DISTINCT) over the joined relation.
+# --------------------------------------------------------------------------
+@register(
+    "q120_supplier_diversity",
+    oracle="""
+    WITH blacklist AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_0'
+    ),
+    rel AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey
+      FROM lineitem
+      WHERE l_suppkey NOT IN (SELECT s_suppkey FROM blacklist)
+    )
+    SELECT p_brand, p_size,
+           CAST(COUNT(DISTINCT suppkey) AS BIGINT) AS supplier_cnt
+    FROM rel JOIN part ON p_partkey = partkey
+    WHERE p_size <= 25
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    LIMIT 20
+    """,
+    doc="NOT IN -> anti join + distinct suppliers per part group (TPC-H Q16 shape)",
+)
+def q120_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_0"
+    )
+    blacklist = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    rel = (
+        read_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .join(
+            F.broadcast(blacklist),
+            F.col("suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .distinct()
+    )
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    return (
+        rel.join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q121 — correlated EXISTS + NOT-EXISTS pair (TPC-H Q21 shape): suppliers
+# who were the SOLE late supplier in a multi-supplier order. Decorrelated
+# Spark-first: the per-order supplier/late-supplier profiles come from
+# ONE aggregation over the fact (count distinct suppliers, count distinct
+# LATE suppliers), and the EXISTS/NOT-EXISTS pair becomes a filter on
+# that profile joined back to the late rows — the fact table is scanned
+# once and shuffled once, vs the naive twice-correlated rewrite's two
+# extra self-joins.
+# --------------------------------------------------------------------------
+@register(
+    "q121_sole_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F'
+    ),
+    prof AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+      FROM li GROUP BY l_orderkey
+    ),
+    sole AS (
+      SELECT DISTINCT li.l_orderkey, li.l_suppkey
+      FROM li JOIN prof USING (l_orderkey)
+      WHERE li.late = 1 AND prof.n_supp > 1 AND prof.n_late = 1
+    )
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM sole JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="sole-late-supplier waits: EXISTS/NOT-EXISTS pair as one fact "
+    "profile (TPC-H Q21 shape)",
+)
+def q121_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 45 DAYS")
+            )
+            .cast("int")
+            .alias("late"),
+        )
+    )
+    prof = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late") == 1, F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    sole = (
+        li.filter(F.col("late") == 1)
+        .join(
+            prof.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        sole.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
