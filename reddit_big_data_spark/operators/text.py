@@ -252,12 +252,15 @@ def cdc_chunks(
     md5(substr(text, i, window)) is < 256/boundary_mod. Positions within
     `window` of the end never cut (the tail merges into the last chunk).
 
-    Plan shape: one position explode (O(chars)) for boundary detection,
-    boundary positions re-aggregate to a per-doc SORTED ARRAY (sparse:
-    ~len/boundary_mod ints), spans derive by array index pairing, and
-    chunks explode with their substrings sliced from the carried text —
-    the chunk STRING is never assembled char-by-char. Per-row state is
-    bounded by the document string itself (already one row value).
+    Plan shape: ENTIRELY ROW-LOCAL until the chunk explode — the boundary
+    array is a higher-order filter over the position sequence (ascending
+    by construction, ~len/boundary_mod ints), spans derive by array index
+    pairing, and chunks explode with their substrings sliced from the
+    carried text. No shuffle at all until a consumer aggregates, and the
+    chunk STRING is never assembled char-by-char. (The first cut computed
+    boundaries via a per-character explode + groupBy — n rows each
+    carrying the whole document through a shuffle; the row-local filter
+    produces the identical array with zero exchanges.)
 
     Returns (id, chunk_idx int, chunk_start int, chunk_len int,
     chunk_md5 string) — one row per chunk; dedup consumers join/group on
@@ -272,32 +275,24 @@ def cdc_chunks(
     base = df.select(
         F.col(id_col), F.col(text_col).alias("__t"), F.length(text_col).alias("__n")
     ).filter(F.col("__n") >= 1)
-    pos = base.select(
-        id_col,
-        "__t",
-        "__n",
-        F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("__i"),
+    bs = F.filter(
+        F.sequence(F.lit(1), F.col("__n")),
+        lambda i: (i == 1)
+        | (
+            (i <= F.col("__n") - (window - 1))
+            & (
+                F.conv(
+                    F.substring(
+                        F.md5(F.substring("__t", i, F.lit(window))), 1, 2
+                    ),
+                    16,
+                    10,
+                ).cast("int")
+                < cut
+            )
+        ),
     )
-    is_boundary = (F.col("__i") == 1) | (
-        (F.col("__i") <= F.col("__n") - (window - 1))
-        & (
-            F.conv(
-                F.substring(F.md5(F.substring("__t", F.col("__i"), F.lit(window))), 1, 2),
-                16,
-                10,
-            ).cast("int")
-            < cut
-        )
-    )
-    bounds = (
-        pos.filter(is_boundary)
-        .groupBy(id_col)
-        .agg(
-            F.sort_array(F.collect_list("__i")).alias("__bs"),
-            F.first("__t").alias("__t"),
-            F.first("__n").alias("__n"),
-        )
-    )
+    bounds = base.select(id_col, "__t", "__n", bs.alias("__bs"))
     # span k: [bs[k], next_boundary - 1] (or text end for the last chunk).
     # F.get is 0-based and null-safe past the end (unlike element_at under
     # ANSI mode), so the last span's end coalesces to the text length.

@@ -11,15 +11,13 @@ the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
 Round-6 window composition (the VERDICT r5 #1 rotation):
-1. q100-q111 (+ q112-q116, new this round) — the queries with NO
+1. q100-q111 (+ q112-q121, new this round) — the queries with NO
    driver-green row ever (local mirror only until now). They lead
    unconditionally.
 2. The rest of the 50 slots go to the r4-cohort queries ranked by
    cumulative driver-green count (computed from CORRECTNESS_r01..r05):
-   first the 22 with exactly ONE green (q65, q75-q87, q89-q96), then
-   the 9 with two (q08, q21, q27, q28, q37, q38, q39, q47, q49), then
-   2 of the triple-green early-relational chain (q02, q09 — flagship
-   TF-IDF plus the temporal backbone).
+   the 22 with exactly ONE green (q65, q75-q87, q89-q96), then 6 of
+   the 9 with two (q08, q21, q27, q28, q37, q38).
 
 Everything past the cap was driver-green in rounds 4 AND 5 windows
 cumulatively (triple-green: q07, q10-q18, q20, q26) or green in the
@@ -80,6 +78,11 @@ WINDOW_ORDER: list[str] = [
     "q114_mixture_weights",
     "q115_cdc_chunks",
     "q116_semdedup",
+    "q117_returned_revenue",
+    "q118_large_volume_orders",
+    "q119_disjunctive_revenue",
+    "q120_supplier_diversity",
+    "q121_sole_late_supplier",
     # -- one cumulative green (r4 only)
     "q65_grouped_ols",
     "q75_pii_redaction",
@@ -103,19 +106,15 @@ WINDOW_ORDER: list[str] = [
     "q94_market_share",
     "q95_scd2_history",
     "q96_fuzzy_name_match",
-    # -- two cumulative greens (last r4)
+    # -- two cumulative greens (last r4). q39/q47/q49 and the whole
+    #    triple-green backbone (q01/q02/q04-q06/q09) rotated back out as
+    #    q113-q121 took the slots: a first green for a new query
+    #    outranks a third or fourth for an already-proven one; all stay
+    #    covered by the local oracle mirror every round.
     "q08_histogram_cumulative",
     "q21_shipping_priority",
     "q27_pricing_summary",
     "q28_grouping_sets",
     "q37_repetition_signals",
     "q38_bm25_topk",
-    "q39_sequence_packing",
-    "q47_stratified_sample",
-    "q49_hybrid_rrf",
-    # -- triple-green early-relational backbone (last r4). q01/q04/q05/
-    #    q06 rotated back out when q113-q116 took their slots: a first
-    #    green for a new query outranks a fourth for a thrice-proven one.
-    "q02_time_slot_histogram",
-    "q09_tfidf_topk",
 ]

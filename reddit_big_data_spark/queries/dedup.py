@@ -834,8 +834,14 @@ def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", normalize("text").alias("t")
     )
-    ch = cdc_chunks(docs, "doc_id", "t", window=8, boundary_mod=64).join(
-        docs.select("doc_id", "lang"), "doc_id"
+    # Materialize the chunk table once: it feeds BOTH the per-hash
+    # doc-count aggregate and the final per-lang rollup, and each would
+    # otherwise re-run the whole CDC boundary computation (the q70/q96
+    # multi-consumer trap). Rows are (ids, hash, len) — never chunk text.
+    ch = (
+        cdc_chunks(docs, "doc_id", "t", window=8, boundary_mod=64)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
     )
     nd = ch.groupBy("chunk_md5").agg(
         F.countDistinct("doc_id").alias("__nd")
