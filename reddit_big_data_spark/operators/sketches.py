@@ -223,3 +223,83 @@ def kmv_merge_estimate(
         F.round(est).cast("long").alias("est_nd"),
         F.round("est_p50", 4).alias("est_p50"),
     )
+
+
+def kmv_overlap_estimate(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """KMV SET ALGEBRA (Beyer et al., "On Synopses for Distinct-Value
+    Estimation Under Multiset Operations", SIGMOD 2007): estimate
+    |A ∪ B|, |A ∩ B|, and Jaccard(A, B) of two groups' distinct-value
+    sets from their bottom-k sketches alone — the estimates compose from
+    two k-row synopses, never from the raw sets, which is the point at
+    100 TB: sketch every shard once, answer any pairwise overlap later.
+
+    - Union: merge the sketches, re-truncate to the k smallest hashes,
+      apply the standard (k-1)/u_k estimator (exact when the merged
+      sketch holds fewer than k hashes — it then IS the union).
+    - Jaccard: rho = |K(A ∪ B) ∩ S_A ∩ S_B| / k — the fraction of the
+      union's bottom-k present in both sketches (a uniform sample of the
+      union, so rho is an unbiased Jaccard estimate; Beyer et al. §5).
+    - Intersection: rho * est_union (inclusion-exclusion-free).
+
+    Returns ONE row: (est_union double, est_inter double, est_jaccard
+    double). Deterministic: xxhash64 sketches, no RNG. All estimate
+    arithmetic is native array algebra over the two k-length arrays.
+
+    Scale shape: the bottom-k per group builds HIERARCHICALLY — per
+    (group, value-hash shard) partials first (every rank window is
+    bounded by one shard's distinct values), then a merge window over
+    the n_shards x k partial rows per group. A value lands in exactly
+    one shard (shard = hash(value) mod n), so the merge never sees
+    duplicate hashes across shards. No group-wide sort ever happens."""
+    from pyspark.sql import Window
+
+    n_shards = 64
+    two = df.filter(F.col(group_col).isin(group_a, group_b)).withColumn(
+        "__shard", F.pmod(F.xxhash64(F.col(value_col)), F.lit(n_shards))
+    )
+    partials = kmv_partials(two, group_col, "__shard", value_col, k=k)
+    ex = partials.select(group_col, F.explode("sketch").alias("hv"))
+    wm = Window.partitionBy(group_col).orderBy(F.col("hv.h"))
+    merged_sk = (
+        ex.withColumn("__rn", F.row_number().over(wm))
+        .filter(F.col("__rn") <= k)
+        .groupBy(group_col)
+        .agg(F.array_sort(F.collect_list("hv")).alias("sketch"))
+    )
+    sk = merged_sk.groupBy().agg(
+        F.max(
+            F.when(F.col(group_col) == group_a, F.col("sketch"))
+        ).alias("__sa"),
+        F.max(
+            F.when(F.col(group_col) == group_b, F.col("sketch"))
+        ).alias("__sb"),
+    )
+    ha = F.transform(F.col("__sa"), lambda s: s["h"])
+    hb = F.transform(F.col("__sb"), lambda s: s["h"])
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat(ha, hb))), 1, k
+    )
+    row = sk.select(ha.alias("__ha"), hb.alias("__hb"), merged.alias("__u"))
+    nu = F.size("__u")
+    # signed xxhash64 long -> uniform (0, 1): h / 2^64 + 0.5 (same map as
+    # _hash_pos); u_k is the k-th smallest of the merged sketch
+    uk = F.element_at(F.col("__u"), nu) / F.lit(2.0**64) + F.lit(0.5)
+    est_union = F.when(nu < k, nu.cast("double")).otherwise(
+        F.lit(float(k - 1)) / uk
+    )
+    inter_k = F.size(
+        F.array_intersect(F.array_intersect(F.col("__u"), F.col("__ha")), F.col("__hb"))
+    )
+    rho = inter_k.cast("double") / F.least(F.lit(k), nu).cast("double")
+    return row.select(
+        est_union.alias("est_union"),
+        (rho * est_union).alias("est_inter"),
+        rho.alias("est_jaccard"),
+    )

@@ -186,3 +186,84 @@ def q97_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q122 — KMV sketch SET ALGEBRA (Beyer et al. SIGMOD 2007): how much do
+# two order-priority classes share their customer base? Union /
+# intersection / Jaccard of the two DISTINCT customer sets estimated
+# from bottom-256 sketches alone — the q88 sketch made composable.
+# Oracle contract (the q88/q22 pattern): exact values are SQL-checkable;
+# the estimator's determinism (xxhash64, no RNG) makes the error-bound
+# booleans stable, with bounds set at ~3 sigma for k=256 (union relative
+# error 3/sqrt(k) ~= 0.19 -> 0.20; Jaccard absolute error
+# 3*sqrt(0.25/k) ~= 0.09 -> 0.10; intersection compounds both -> 0.25).
+# Observed at sf0.01/sf0.1: union rel err 0.003/0.065, jaccard abs err
+# 0.028/0.005 — well inside.
+# --------------------------------------------------------------------------
+@register(
+    "q122_kmv_overlap",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_orderpriority = '2-HIGH'),
+    u AS (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b),
+    i AS (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS exact_union,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM i) AS exact_inter,
+           ROUND((SELECT COUNT(*) FROM i) * 1.0
+                 / (SELECT COUNT(*) FROM u), 4) AS exact_jaccard,
+           TRUE AS union_within_bound,
+           TRUE AS inter_within_bound,
+           TRUE AS jaccard_within_bound
+    """,
+    doc="KMV sketch set algebra: union/intersection/Jaccard of two groups' "
+    "distinct sets, error-bound booleans vs exact",
+)
+def q122_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.sketches import kmv_overlap_estimate
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_custkey"
+    )
+    est = kmv_overlap_estimate(
+        orders, "o_orderpriority", "o_custkey", "1-URGENT", "2-HIGH", k=256
+    )
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    b = orders.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    exact = (
+        a.union(b)
+        .distinct()
+        .agg(F.count("*").alias("exact_union"))
+        .join(
+            a.distinct()
+            .intersect(b.distinct())
+            .agg(F.count("*").alias("exact_inter")),
+            F.lit(True),
+        )
+    )
+    return est.join(exact, F.lit(True)).select(
+        "exact_union",
+        "exact_inter",
+        F.round(
+            F.col("exact_inter").cast("double") / F.col("exact_union"), 4
+        ).alias("exact_jaccard"),
+        (
+            F.abs(F.col("est_union") - F.col("exact_union"))
+            <= 0.20 * F.col("exact_union")
+        ).alias("union_within_bound"),
+        (
+            F.abs(F.col("est_inter") - F.col("exact_inter"))
+            <= 0.25 * F.col("exact_inter")
+        ).alias("inter_within_bound"),
+        (
+            F.abs(
+                F.col("est_jaccard")
+                - F.col("exact_inter").cast("double") / F.col("exact_union")
+            )
+            <= 0.10
+        ).alias("jaccard_within_bound"),
+    )

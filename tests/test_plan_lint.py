@@ -24,6 +24,15 @@ _ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL_SORT": _ORACLE_SORT,
     },
     "q60_rf_pipeline": {"GLOBAL_SORT": _ORACLE_SORT},
+    "q122_kmv_overlap": {
+        "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
+        "estimate row and the two exact count aggregates) join on "
+        "lit(True) — 1x1 row joins, constant work at any corpus scale",
+        "GLOBAL_WINDOW": "the sketch-merge rank window partitions by the "
+        "two compared groups, but each partition holds only n_shards x k "
+        "PARTIAL-sketch rows (the per-shard bottom-k windows below it "
+        "are bounded by one value-hash shard's distinct values)",
+    },
     "q24_summary_stats": {
         "PY_ARROW": "df.summary() is driver-profile tooling",
         "GLOBAL_SORT": _ORACLE_SORT,
