@@ -375,3 +375,88 @@ def q103_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), "left_sym", "right_sym")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q123 — BPE tokenizer APPLICATION (the step after q103's merge-pair
+# statistics): tokenize the corpus with a pinned merge list and report
+# per-language token counts + chars-per-token compression. The Spark side
+# runs the real artifact path — operators/bpe.bpe_encode, sequential
+# merge application per DISTINCT word in an Arrow pandas UDF (dictionary
+# trick), reassembled in word order. The oracle replays merge application
+# exactly in SQL: each word becomes a '|'-delimited symbol string
+# ('|' cannot occur in normalized [a-z0-9] words), and one merge (a, b)
+# is one left-to-right replace('|a|b|' -> '|ab|') — the same leftmost-
+# nonoverlapping, restart-after-replacement semantics as the UDF's
+# in-order scan, so token counts match exactly.
+# --------------------------------------------------------------------------
+_Q123_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _q123_oracle() -> str:
+    expr = "concat('|', regexp_replace(w, '(.)', '\\1|', 'g'))"
+    for a, b in _Q123_MERGES:
+        expr = f"replace({expr}, '|{a}|{b}|', '|{a}{b}|')"
+    return f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE w <> ''
+    ),
+    enc AS (
+      SELECT doc_id, length(w) AS nc,
+             length({expr}) - length(replace({expr}, '|', '')) - 1 AS nt
+      FROM words
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS nt, CAST(SUM(nc) AS BIGINT) AS nc
+      FROM enc GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens,
+           ROUND(SUM(nc) * 1.0 / SUM(nt), 4) AS chars_per_token
+    FROM per_doc JOIN documents USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q123_bpe_tokenize",
+    oracle=_q123_oracle(),
+    doc="BPE tokenizer application (pinned merges): per-lang token counts "
+    "+ compression, UDF path vs SQL replay",
+)
+def q123_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.bpe import bpe_encode
+
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", normalize("text").alias("t")
+    )
+    enc = bpe_encode(docs, "doc_id", "t", _Q123_MERGES)
+    chars = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.regexp_replace("t", " ", "")).alias("nc"),
+    )
+    return (
+        enc.join(chars, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.round(
+                F.sum("nc").cast("double") / F.sum("n_tokens"), 4
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
+    )

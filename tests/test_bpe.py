@@ -1,0 +1,53 @@
+"""BPE tokenizer: driver-side greedy training on the word-count synopsis
++ dictionary-trick distributed application (operators/bpe.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_train_bpe_learns_frequent_pairs(spark):
+    # "ab" appears far more than anything else -> first merge is (a, b)
+    df = spark.createDataFrame(
+        [("ab ab ab ab cd",), ("ab ab xy",)], "text: string"
+    )
+    from reddit_big_data_spark.operators.bpe import train_bpe
+
+    merges = train_bpe(df, "text", n_merges=2)
+    assert merges[0] == ("a", "b")
+    assert train_bpe(df, "text", n_merges=2) == merges  # deterministic
+
+
+def test_bpe_encode_round_trip_and_dictionary_shape(spark):
+    """Concatenating a word's subwords reproduces the word exactly, token
+    counts are consistent, and repeated words tokenize identically."""
+    from reddit_big_data_spark.operators.bpe import bpe_encode, train_bpe
+
+    rows = [
+        (1, "the quick brown fox the quick"),
+        (2, "the lazy dog"),
+        (3, "quick quick quick"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    merges = train_bpe(df, "text", n_merges=20)
+    out = {r["doc_id"]: r for r in bpe_encode(df, "doc_id", "text", merges).collect()}
+    for doc_id, text in rows:
+        words = text.split()
+        toks = out[doc_id]["tokens"]
+        assert out[doc_id]["n_tokens"] == len(toks)
+        # round-trip: tokens concatenate back to the original words in order
+        assert "".join(toks) == "".join(words)
+        assert len(toks) <= sum(len(w) for w in words)
+    # same word -> same subwords everywhere: doc 3 is 3x 'quick'
+    t3 = out[3]["tokens"]
+    assert len(t3) % 3 == 0
+    third = len(t3) // 3
+    assert t3[:third] == t3[third : 2 * third] == t3[2 * third :]
+
+
+def test_bpe_merge_word_applies_leftmost_nonoverlapping():
+    from reddit_big_data_spark.operators.bpe import _merge_word
+
+    # aaa + (a,a) -> (aa, a): leftmost pair merges first, no overlap reuse
+    assert _merge_word(("a", "a", "a"), ("a", "a")) == ("aa", "a")
+    assert _merge_word(("x", "y"), ("a", "b")) == ("x", "y")

@@ -24,6 +24,14 @@ _ALLOW: dict[str, dict[str, str]] = {
         "GLOBAL_SORT": _ORACLE_SORT,
     },
     "q60_rf_pipeline": {"GLOBAL_SORT": _ORACLE_SORT},
+    "q123_bpe_tokenize": {
+        "PY_ARROW": "sequential BPE merge application is the sanctioned "
+        "scalar pandas-UDF surface (each merge rewrites the symbol "
+        "sequence the next one scans — genuinely non-SQL), and it runs "
+        "on the DISTINCT vocabulary only (dictionary trick), never the "
+        "corpus rows",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
         "estimate row and the two exact count aggregates) join on "
