@@ -125,7 +125,19 @@ def bpe_encode(
         F.col(id_col),
         F.posexplode(F.split(text_col, r"\s+")).alias("__pos", "__w"),
     ).filter(F.col("__w") != "")
-    vocab = toks.select("__w").distinct().withColumn("__sub", _apply("__w"))
+    # Cache the tokenized dictionary (|vocab| rows): the corpus text is
+    # necessarily read twice — once to derive the distinct vocabulary,
+    # once as the join's probe side (the dictionary trick's floor without
+    # caching corpus-sized state) — but the cache pins that at exactly
+    # two scans per ACTION SET: a consumer running several actions over
+    # the returned frame re-tokenizes the vocabulary zero more times.
+    # clearCache is the mop-up point (tests/test_cache_ledger.py).
+    vocab = (
+        toks.select("__w")
+        .distinct()
+        .withColumn("__sub", _apply("__w"))
+        .persist()
+    )
     return (
         toks.join(vocab, "__w")
         .groupBy(id_col)

@@ -288,9 +288,10 @@ def kmv_overlap_estimate(
     )
     row = sk.select(ha.alias("__ha"), hb.alias("__hb"), merged.alias("__u"))
     nu = F.size("__u")
-    # signed xxhash64 long -> uniform (0, 1): h / 2^64 + 0.5 (same map as
-    # _hash_pos); u_k is the k-th smallest of the merged sketch
-    uk = F.element_at(F.col("__u"), nu) / F.lit(2.0**64) + F.lit(0.5)
+    # u_k = the k-th smallest merged hash mapped to OPEN (0, 1) — reuse
+    # _hash_pos rather than a hand-rolled h/2^64 + 0.5, which maps
+    # Long.MIN_VALUE to exactly 0.0 and would divide by zero (review r6)
+    uk = _hash_pos(F.element_at(F.col("__u"), nu))
     est_union = F.when(nu < k, nu.cast("double")).otherwise(
         F.lit(float(k - 1)) / uk
     )

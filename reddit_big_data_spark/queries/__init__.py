@@ -108,9 +108,9 @@ WINDOW_ORDER: list[str] = [
     "q94_market_share",
     "q95_scd2_history",
     "q96_fuzzy_name_match",
-    # -- two cumulative greens (last r4). q39/q47/q49 and the whole
-    #    triple-green backbone (q01/q02/q04-q06/q09) rotated back out as
-    #    q113-q121 took the slots: a first green for a new query
+    # -- two cumulative greens (last r4). q37/q38/q39/q47/q49 and the
+    #    whole triple-green backbone (q01/q02/q04-q06/q09) rotated back
+    #    out as q113-q123 took the slots: a first green for a new query
     #    outranks a third or fourth for an already-proven one; all stay
     #    covered by the local oracle mirror every round.
     "q08_histogram_cumulative",

@@ -384,11 +384,16 @@ def q103_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runs the real artifact path — operators/bpe.bpe_encode, sequential
 # merge application per DISTINCT word in an Arrow pandas UDF (dictionary
 # trick), reassembled in word order. The oracle replays merge application
-# exactly in SQL: each word becomes a '|'-delimited symbol string
-# ('|' cannot occur in normalized [a-z0-9] words), and one merge (a, b)
-# is one left-to-right replace('|a|b|' -> '|ab|') — the same leftmost-
-# nonoverlapping, restart-after-replacement semantics as the UDF's
-# in-order scan, so token counts match exactly.
+# exactly in SQL: each symbol is wrapped INDIVIDUALLY as '<sym>' ('<'/'>'
+# cannot occur in normalized [a-z0-9] words), and one merge (a, b) is
+# one left-to-right replace('<a><b>' -> '<ab>'). Full wrapping matters:
+# a single shared delimiter ('|a|b|') would make BACK-TO-BACK occurrences
+# of the same pair share a delimiter char, so non-overlapping replace
+# could match only one of them ('training' + (i,n) -> 7 tokens vs the
+# UDF's 6 — caught by review r6); with per-symbol brackets the matches
+# are disjoint and replace's leftmost restart-after-replacement scan is
+# EXACTLY _merge_word's, so token counts match on every word
+# (tests/test_bpe.py pins the equivalence on the adversarial words).
 # --------------------------------------------------------------------------
 _Q123_MERGES = [
     ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
@@ -397,9 +402,9 @@ _Q123_MERGES = [
 
 
 def _q123_oracle() -> str:
-    expr = "concat('|', regexp_replace(w, '(.)', '\\1|', 'g'))"
+    expr = "regexp_replace(w, '(.)', '<\\1>', 'g')"
     for a, b in _Q123_MERGES:
-        expr = f"replace({expr}, '|{a}|{b}|', '|{a}{b}|')"
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
     return f"""
     WITH norm AS (
       SELECT doc_id,
@@ -414,7 +419,7 @@ def _q123_oracle() -> str:
     ),
     enc AS (
       SELECT doc_id, length(w) AS nc,
-             length({expr}) - length(replace({expr}, '|', '')) - 1 AS nt
+             length({expr}) - length(replace({expr}, '<', '')) AS nt
       FROM words
     ),
     per_doc AS (

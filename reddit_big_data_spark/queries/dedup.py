@@ -834,14 +834,19 @@ def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", normalize("text").alias("t")
     )
-    # Materialize the chunk table once: it feeds BOTH the per-hash
-    # doc-count aggregate and the final per-lang rollup, and each would
-    # otherwise re-run the whole CDC boundary computation (the q70/q96
-    # multi-consumer trap). Rows are (ids, hash, len) — never chunk text.
+    # Cache the chunk table: it feeds BOTH the per-hash doc-count
+    # aggregate and the final per-lang rollup, and each would otherwise
+    # re-run the whole CDC boundary computation (the q70/q96 multi-
+    # consumer trap). persist(), NOT localCheckpoint (review r6): the
+    # lazy cache keeps the CDC subtree visible to the plan-lint sweep
+    # (localCheckpoint truncates lineage to a Scan ExistingRDD and its
+    # eagerness would execute the job at plan-build time); clearCache is
+    # the mop-up point (tests/test_cache_ledger.py contract). Rows are
+    # (ids, hash, len) — never chunk text.
     ch = (
         cdc_chunks(docs, "doc_id", "t", window=8, boundary_mod=64)
         .join(docs.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint()
+        .persist()
     )
     nd = ch.groupBy("chunk_md5").agg(
         F.countDistinct("doc_id").alias("__nd")

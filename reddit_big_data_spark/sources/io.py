@@ -193,31 +193,3 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= par:
         return df
     return df.repartition(par)
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    n_buckets: int,
-    *keys: str,
-    sort: bool = True,
-    mode: str = "overwrite",
-) -> None:
-    """Persist `df` as a BUCKETED (and bucket-sorted) catalog table: rows
-    hash-partition into `n_buckets` files per partition by `keys` at
-    WRITE time, so every later equi-join or aggregation on those keys
-    reads co-located data and plans with ZERO Exchange — the shuffle is
-    paid once at write instead of per query. The 100 TB lever for the
-    fact tables every report joins on the same key: Spark's native
-    answer to the reference's implicit reliance on Databricks-managed
-    layout (reference: code/project_starter_script.py writes plain
-    parquet and re-shuffles in every notebook).
-
-    Ordinary parquet `save(path)` CANNOT carry bucket metadata — only
-    catalog tables can (Spark's bucketing contract), hence saveAsTable.
-    tests/test_io.py proves the join-without-Exchange property and exact
-    result parity against the unbucketed plan."""
-    writer = df.write.bucketBy(n_buckets, *keys)
-    if sort:
-        writer = writer.sortBy(*keys)
-    writer.mode(mode).format("parquet").saveAsTable(table)

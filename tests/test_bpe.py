@@ -51,3 +51,24 @@ def test_bpe_merge_word_applies_leftmost_nonoverlapping():
     # aaa + (a,a) -> (aa, a): leftmost pair merges first, no overlap reuse
     assert _merge_word(("a", "a", "a"), ("a", "a")) == ("aa", "a")
     assert _merge_word(("x", "y"), ("a", "b")) == ("x", "y")
+
+
+def test_bracket_replace_replay_matches_merge_word():
+    """The q123 oracle replays each merge as a left-to-right
+    non-overlapping replace over '<sym>'-wrapped strings (Python
+    str.replace shares those exact semantics with DuckDB's replace).
+    Pin the equivalence on adversarial words — BACK-TO-BACK occurrences
+    of the same pair ('training', 'banana', 'aaa') are where a
+    shared-delimiter encoding diverges (review r6)."""
+    from reddit_big_data_spark.operators.bpe import _merge_word
+
+    merges = [("i", "n"), ("a", "n"), ("an", "a"), ("a", "a"), ("t", "r")]
+    for w in ["training", "banana", "aaa", "aaaa", "mississippi", "nn", "x"]:
+        sym = tuple(w)
+        s = "".join(f"<{c}>" for c in w)
+        for a, b in merges:
+            sym = _merge_word(sym, (a, b))
+            s = s.replace(f"<{a}><{b}>", f"<{a}{b}>")
+        replay = tuple(t for t in s[1:-1].split("><")) if s else ()
+        assert replay == sym, (w, replay, sym)
+        assert s.count("<") == len(sym)

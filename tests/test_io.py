@@ -123,33 +123,3 @@ def test_orc_round_trip_with_partition_pruning(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(c_mktsegment" in plan
     want = src.filter(F.col("c_mktsegment") == "BUILDING").count()
     assert one.count() == want > 0
-
-
-def test_bucketed_join_is_shuffle_free(spark, tmp_path):
-    """S5 extension: joining two tables bucketed on the join key plans
-    with ZERO Exchange (the write-once-shuffle-never contract), and the
-    result matches the plain shuffled join exactly. Broadcast is disabled
-    for the assertion — a broadcast join is also exchange-light and would
-    make the test vacuous."""
-    from pyspark.sql import functions as F
-
-    from reddit_big_data_spark.sources.io import write_bucketed
-
-    a = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
-    b = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        write_bucketed(a, "bkt_a", 4, "k")
-        write_bucketed(b, "bkt_b", 4, "k")
-        j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
-        assert "Bucketed: true" in plan
-        got = sorted((r["k"], r["va"], r["vb"]) for r in j.collect())
-        want = sorted((r["k"], r["va"], r["vb"]) for r in a.join(b, "k").collect())
-        assert got == want and len(got) == 500
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
-        spark.sql("DROP TABLE IF EXISTS bkt_a")
-        spark.sql("DROP TABLE IF EXISTS bkt_b")
