@@ -11,13 +11,13 @@ the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
 Round-6 window composition (the VERDICT r5 #1 rotation):
-1. q100-q111 (+ q112-q123, new this round) — the queries with NO
+1. q100-q111 (+ q112-q125, new this round) — the queries with NO
    driver-green row ever (local mirror only until now). They lead
    unconditionally.
 2. The rest of the 50 slots go to the r4-cohort queries ranked by
    cumulative driver-green count (computed from CORRECTNESS_r01..r05):
-   the 22 with exactly ONE green (q65, q75-q87, q89-q96), then 4 of
-   the 9 with two (q08, q21, q27, q28).
+   the 22 with exactly ONE green (q65, q75-q87, q89-q96), then 2 of
+   the 9 with two (q08, q21).
 
 Everything past the cap was driver-green in rounds 4 AND 5 windows
 cumulatively (triple-green: q07, q10-q18, q20, q26) or green in the
@@ -85,6 +85,8 @@ WINDOW_ORDER: list[str] = [
     "q121_sole_late_supplier",
     "q122_kmv_overlap",
     "q123_bpe_tokenize",
+    "q124_novelty_curve",
+    "q125_label_noise",
     # -- one cumulative green (r4 only)
     "q65_grouped_ols",
     "q75_pii_redaction",
@@ -108,13 +110,11 @@ WINDOW_ORDER: list[str] = [
     "q94_market_share",
     "q95_scd2_history",
     "q96_fuzzy_name_match",
-    # -- two cumulative greens (last r4). q37/q38/q39/q47/q49 and the
+    # -- two cumulative greens (last r4). q27/q28/q37/q38/q39/q47/q49 and the
     #    whole triple-green backbone (q01/q02/q04-q06/q09) rotated back
-    #    out as q113-q123 took the slots: a first green for a new query
+    #    out as q113-q125 took the slots: a first green for a new query
     #    outranks a third or fourth for an already-proven one; all stay
     #    covered by the local oracle mirror every round.
     "q08_histogram_cumulative",
     "q21_shipping_priority",
-    "q27_pricing_summary",
-    "q28_grouping_sets",
 ]

@@ -245,3 +245,51 @@ def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------------------------
+# q124 — corpus NOVELTY CURVE: per ingest day, how many active users are
+# seen for the FIRST time — the crawl-monitoring report a continuous
+# data pipeline tracks (novelty decay tells you when a source is mined
+# out and further crawling mostly yields duplicates; the user/day grain
+# here stands in for url/snapshot). First-seen comes from one min-day
+# aggregate over the distinct (day, user) grid — never a corpus-wide
+# window — and the day rollup joins it back on the user key.
+# --------------------------------------------------------------------------
+@register(
+    "q124_novelty_curve",
+    oracle="""
+    WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    fs AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY user_id)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS active_users,
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS new_users,
+           ROUND(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS novelty
+    FROM d JOIN fs USING (user_id)
+    GROUP BY day ORDER BY day
+    """,
+    doc="per-day first-seen novelty curve (crawl-exhaustion monitoring)",
+)
+def q124_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    d = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    fs = d.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    new = (F.col("day") == F.col("first_day")).cast("long")
+    return (
+        d.join(fs, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("active_users"),
+            F.sum(new).alias("new_users"),
+            F.round(F.sum(new) / F.count("*"), 4).alias("novelty"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "new_users",
+            "novelty",
+        )
+        .orderBy("day")
+    )

@@ -199,3 +199,86 @@ def q60_rf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "prediction")
     )
+
+
+# --------------------------------------------------------------------------
+# q125 — LABEL-NOISE screening via centroid disagreement (the
+# confident-learning-lite pass an embedding-labeled dataset gets before
+# training): flag vectors whose nearest LABEL CENTROID is not their own
+# label. Centroids are per-label dimension means (q42's vector agg),
+# collected driver-side (|labels| x dim — constant) and shipped back as
+# a broadcast constants frame for one native argmin pass (the
+# kmeans_assign shape); ties break to the lowest label. Exactly
+# replayable in SQL: AVG centroids + per-vector squared-distance argmin.
+# --------------------------------------------------------------------------
+@register(
+    "q125_label_noise",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    flat AS (
+      SELECT vec_id, label, i AS dim, e[i] AS x
+      FROM v, generate_series(1, 64) AS g(i)
+    ),
+    cent AS (
+      SELECT label AS clabel, dim, AVG(x) AS c FROM flat GROUP BY 1, 2
+    ),
+    dist AS (
+      SELECT f.vec_id, f.label, c.clabel,
+             SUM((f.x - c.c) * (f.x - c.c)) AS d
+      FROM flat f JOIN cent c USING (dim)
+      GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, clabel) AS rn
+        FROM dist) WHERE rn = 1
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END)
+                AS BIGINT) AS flagged,
+           ROUND(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS flag_rate
+    FROM pred
+    GROUP BY label ORDER BY label
+    """,
+    doc="label-noise screen: vectors nearer another label's centroid "
+    "(centroid-disagreement flag rate per label)",
+)
+def q125_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.clustering import _assign
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent_rows = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .collect()
+    )
+    by_label: dict[int, dict[int, float]] = {}
+    for r in cent_rows:
+        by_label.setdefault(r["label"], {})[r["dim"]] = r["c"]
+    labels = sorted(by_label)
+    centers = [
+        [by_label[lb][d] for d in sorted(by_label[lb])] for lb in labels
+    ]
+    assigned = _assign(
+        emb.select("vec_id", "label", "embedding"),
+        "embedding",
+        centers,
+        cids=labels,
+        key_col="vec_id",
+    )
+    flagged = (F.col("cluster") != F.col("label")).cast("long")
+    return (
+        assigned.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(flagged).alias("flagged"),
+            F.round(F.sum(flagged) / F.count("*"), 4).alias("flag_rate"),
+        )
+        .orderBy("label")
+    )

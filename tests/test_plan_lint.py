@@ -167,7 +167,7 @@ for _q in (
     "q101_lm_perplexity q103_bpe_merge_pairs q105_incremental_neardup q106_group_split q107_priority_class_counts q108_order_count_distribution q110_constraint_audit q111_langid_ngram q112_substring_dedup "
     "q113_shard_manifest q114_mixture_weights q115_cdc_chunks q116_semdedup "
     "q117_returned_revenue q118_large_volume_orders q119_disjunctive_revenue "
-    "q120_supplier_diversity q121_sole_late_supplier"
+    "q120_supplier_diversity q121_sole_late_supplier q124_novelty_curve q125_label_noise"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
 
