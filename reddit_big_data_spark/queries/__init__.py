@@ -11,13 +11,12 @@ the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
 Round-6 window composition (the VERDICT r5 #1 rotation):
-1. q100-q111 (+ q112-q125, new this round) — the queries with NO
+1. q100-q111 (+ q112-q127, new this round) — the queries with NO
    driver-green row ever (local mirror only until now). They lead
-   unconditionally.
+   unconditionally (q126/q127, added last, take the final two slots).
 2. The rest of the 50 slots go to the r4-cohort queries ranked by
    cumulative driver-green count (computed from CORRECTNESS_r01..r05):
-   the 22 with exactly ONE green (q65, q75-q87, q89-q96), then 2 of
-   the 9 with two (q08, q21).
+   the 22 with exactly ONE green (q65, q75-q87, q89-q96).
 
 Everything past the cap was driver-green in rounds 4 AND 5 windows
 cumulatively (triple-green: q07, q10-q18, q20, q26) or green in the
@@ -110,11 +109,13 @@ WINDOW_ORDER: list[str] = [
     "q94_market_share",
     "q95_scd2_history",
     "q96_fuzzy_name_match",
-    # -- two cumulative greens (last r4). q27/q28/q37/q38/q39/q47/q49 and the
-    #    whole triple-green backbone (q01/q02/q04-q06/q09) rotated back
-    #    out as q113-q125 took the slots: a first green for a new query
-    #    outranks a third or fourth for an already-proven one; all stay
-    #    covered by the local oracle mirror every round.
-    "q08_histogram_cumulative",
-    "q21_shipping_priority",
+    # -- never driver-green: the final r6 additions (TPC-H Q6/Q15
+    #    shapes). They take the last two slots from the twice-green
+    #    q08/q21 — a first green for a new query outranks a third for an
+    #    already-proven one; q08/q21, the rest of the twice-green cohort
+    #    (q27/q28/q37-q39/q47/q49) and the triple-green backbone
+    #    (q01/q02/q04-q06/q09) all stay covered by the local oracle
+    #    mirror every round.
+    "q126_forecast_revenue",
+    "q127_top_supplier",
 ]

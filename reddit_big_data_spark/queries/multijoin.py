@@ -585,3 +585,49 @@ def q119_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# --------------------------------------------------------------------------
+# q126 — TPC-H Q6 shape (forecast revenue change): the canonical
+# scan-filter-aggregate — one pass over lineitem, three cheap predicates
+# (ship year, discount band, quantity cap), one global sum of
+# extendedprice * discount. The whole query is a single WholeStageCodegen
+# span over the parquet scan with every predicate pushed down; at 100 TB
+# a year-partitioned layout prunes to 1/7 of the files before the scan
+# starts, and the global sum is map-side partials + one 1-row merge — no
+# data-sized shuffle anywhere. With q126/q127 every TPC-H query buildable
+# without a partsupp table (18 of 22) has a shape here; Q2/Q9/Q11/Q20
+# stay out on the documented missing-table ground (SURVEY §"what's
+# missing").
+# --------------------------------------------------------------------------
+@register(
+    "q126_forecast_revenue",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="forecast revenue delta: single-pass filtered global sum (TPC-H Q6 shape)",
+)
+def q126_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue_delta"),
+        )
+    )

@@ -322,3 +322,74 @@ def q121_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q127 — top supplier by period revenue (TPC-H Q15 shape): the
+# view-plus-scalar-subquery classic — quarterly revenue per supplier,
+# then the supplier(s) whose revenue EQUALS the global max. Spark-first
+# decorrelation: the per-supplier aggregate is computed ONCE (|supplier|
+# rows), the global max over it is a single broadcast row (a 1-value
+# broadcast nested-loop, free at any scale), and the equality filter +
+# supplier-dim broadcast join run over the already-tiny aggregate — the
+# fact table is scanned and shuffled exactly once, for its own groupBy.
+# The max-equality compares each engine's OWN unrounded sum (TPC-H Q15
+# semantics), so cross-engine last-ulp summation noise cannot flip the
+# argmax unless two suppliers genuinely tie to ~1e-10 relative — rounding
+# happens only on output.
+# --------------------------------------------------------------------------
+@register(
+    "q127_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           ROUND(total_revenue, 2) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="top supplier by period revenue: scalar-max over a reused aggregate view (TPC-H Q15 shape)",
+)
+def q127_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    supplier = read_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_revenue")
+        )
+    )
+    # Global scalar max as a one-row broadcast; the equality filter then
+    # runs on the |supplier|-sized aggregate, never on the fact scan.
+    top = revenue.agg(F.max("total_revenue").alias("__max_rev"))
+    return (
+        revenue.join(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max_rev"))
+        .join(
+            F.broadcast(supplier),
+            F.col("s_suppkey") == F.col("supplier_no"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round("total_revenue", 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )

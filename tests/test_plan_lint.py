@@ -88,6 +88,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "(decorrelated scalar subquery) — constant-size build side at any "
         "scale",
     },
+    "q127_top_supplier": {
+        "NESTED_LOOP": "broadcast of the ONE-ROW global-max-revenue "
+        "scalar (decorrelated Q15 scalar subquery) — constant-size build "
+        "side at any scale; the equality filter runs on the "
+        "|supplier|-sized aggregate, never the fact scan",
+    },
     "q92_gap_fill": {
         "NESTED_LOOP": "broadcast of the ONE-ROW (min_hour, max_hour) "
         "bounds aggregate onto the distinct-keys dim to build the dense "
@@ -167,7 +173,8 @@ for _q in (
     "q101_lm_perplexity q103_bpe_merge_pairs q105_incremental_neardup q106_group_split q107_priority_class_counts q108_order_count_distribution q110_constraint_audit q111_langid_ngram q112_substring_dedup "
     "q113_shard_manifest q114_mixture_weights q115_cdc_chunks q116_semdedup "
     "q117_returned_revenue q118_large_volume_orders q119_disjunctive_revenue "
-    "q120_supplier_diversity q121_sole_late_supplier q124_novelty_curve q125_label_noise"
+    "q120_supplier_diversity q121_sole_late_supplier q124_novelty_curve q125_label_noise "
+    "q127_top_supplier"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
 
