@@ -305,11 +305,16 @@ def q44_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to the lowest cid, so the DuckDB oracle can replay both rounds exactly as
 # unrolled CTEs. Output: per-cluster size + mean squared distance.
 # --------------------------------------------------------------------------
-# Exact SQL replay of kmeans_assign(k=10, iters=2): seeds = the vectors
-# of the 10 smallest vec_ids, one centroid update, final assignment in
-# `a2` (vec_id, cid, d). Shared by q45 (cluster report) and q116
-# (SemDeDup) so the Lloyd replay cannot drift between the two oracles.
-_KMEANS_A2_CTE = """
+# Exact SQL replay of kmeans_assign(k, iters=2): seeds = the vectors
+# of the k smallest vec_ids, one centroid update, final assignment in
+# `a2` (vec_id, cid, d). One parameterized definition shared by q45
+# (cluster report, fixed k=10 by contract) and q116 (SemDeDup,
+# corpus-scaled k) so the Lloyd replay cannot drift between the two
+# oracles. `k_sql` is a SQL expression — a literal for q45, a
+# COUNT(*)-derived scalar subquery for q116 (DuckDB allows expressions,
+# including subqueries, in LIMIT).
+def _kmeans_a2_cte(k_sql: str = "10") -> str:
+    return f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     flat AS (
       SELECT vec_id, i AS dim, e[i] AS x
@@ -317,7 +322,7 @@ _KMEANS_A2_CTE = """
     ),
     ids AS (
       SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-      FROM v ORDER BY vec_id LIMIT 10
+      FROM v ORDER BY vec_id LIMIT {k_sql}
     ),
     c0 AS (SELECT ids.cid, f.dim, f.x AS c FROM ids JOIN flat f USING (vec_id)),
     d1 AS (
@@ -347,7 +352,7 @@ _KMEANS_A2_CTE = """
 
 @register(
     "q45_kmeans",
-    oracle=_KMEANS_A2_CTE
+    oracle=_kmeans_a2_cte("10")
     + """
     SELECT CAST(cid AS INTEGER) AS cluster_id,
            COUNT(*) AS n_vecs,
@@ -570,10 +575,45 @@ def q104_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Clustering = exactly q45's seeded 2-round Lloyd, so the oracle reuses
 # the same replay CTE; pair cosines are sequential list folds (q44's
 # float discipline).
+#
+# K SCALES WITH THE CORPUS (VERDICT r6 #2): a constant k makes expected
+# pair work O(N^2/k) — quadratic at 100x corpus. Published SemDeDup
+# practice sizes k so clusters stay constant-sized: here
+# k = clamp(ceil(N / TARGET_CLUSTER), K_MIN, K_MAX), which keeps expected
+# per-cluster pair work ~TARGET_CLUSTER^2/2 and TOTAL pair work O(N) up to
+# the K_MAX knee (4096 clusters = 2 MB of f64 centroids at dim 64 — well
+# inside driver/broadcast budget; past that knee, growth is linear-in-N
+# with slope N/K_MAX, and the next lever is per-cluster candidate capping).
+# Both engines derive k from the SAME formula — Spark from a count()
+# scalar, DuckDB from a COUNT(*) scalar subquery in the seed LIMIT — so
+# the replay stays bit-exact at every corpus size.
+# tests/test_similarity_ops.py::test_semdedup_pair_growth_subquadratic
+# pins the sub-quadratic growth empirically across corpus sizes.
 # --------------------------------------------------------------------------
+SEMDEDUP_TARGET_CLUSTER = 100
+SEMDEDUP_K_MIN = 10
+SEMDEDUP_K_MAX = 4096
+
+
+def semdedup_k(n_vectors: int) -> int:
+    """Corpus-scaled cluster count: constant expected cluster size."""
+    import math
+
+    return max(
+        SEMDEDUP_K_MIN,
+        min(SEMDEDUP_K_MAX, math.ceil(n_vectors / SEMDEDUP_TARGET_CLUSTER)),
+    )
+
+
+_SEMDEDUP_K_SQL = (
+    f"(SELECT GREATEST({SEMDEDUP_K_MIN}, LEAST({SEMDEDUP_K_MAX}, "
+    f"CAST(CEIL(COUNT(*) / {SEMDEDUP_TARGET_CLUSTER}.0) AS BIGINT))) FROM v)"
+)
+
+
 @register(
     "q116_semdedup",
-    oracle=_KMEANS_A2_CTE
+    oracle=_kmeans_a2_cte(_SEMDEDUP_K_SQL)
     + """,
     ve AS (
       SELECT vec_id, e,
@@ -610,7 +650,11 @@ def q116_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.clustering import kmeans_assign
 
     emb = read_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_assign(emb, "vec_id", "embedding", k=10, iters=2)
+    # One count() scalar sizes k (the oracle derives the same k from a
+    # COUNT(*) subquery) — a cheap metadata-adjacent scan, and the price
+    # of keeping expected cluster size constant as the corpus grows.
+    k = semdedup_k(emb.count())
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=k, iters=2)
     # Materialize the assignment ONCE: both pair-join branches and the
     # sizes aggregate read it, and each would otherwise re-execute the
     # full Lloyd assignment pass (the simjoin prefix-table trap). One row
