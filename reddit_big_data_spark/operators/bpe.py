@@ -103,7 +103,14 @@ def bpe_encode(
     the learned merges. Merge application runs once per DISTINCT word
     (dictionary trick) inside an Arrow-batched pandas UDF; the corpus
     itself only explodes, joins on the word, and re-assembles in word
-    order — all native."""
+    order — all native.
+
+    TOTAL over input ids (ADVICE r6): a document whose text has no
+    non-empty words (empty/whitespace-only) survives as
+    (id, tokens=[], n_tokens=0) rather than vanishing from the output —
+    the explode+filter+groupBy alone would drop the id entirely and
+    inner-joining consumers would silently lose those docs. The
+    completeness left-join shuffles only (id) keys, nothing text-sized."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -138,7 +145,7 @@ def bpe_encode(
         .withColumn("__sub", _apply("__w"))
         .persist()
     )
-    return (
+    encoded = (
         toks.join(vocab, "__w")
         .groupBy(id_col)
         .agg(
@@ -150,6 +157,16 @@ def bpe_encode(
                     lambda s: s["__sub"],
                 )
             ).alias("tokens")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
         )
         .withColumn("n_tokens", F.size("tokens").cast("int"))
     )

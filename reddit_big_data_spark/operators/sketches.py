@@ -288,12 +288,32 @@ def kmv_overlap_estimate(
     )
     row = sk.select(ha.alias("__ha"), hb.alias("__hb"), merged.alias("__u"))
     nu = F.size("__u")
+    # FAIL LOUDLY on an empty group (ADVICE r6): if either group has no
+    # rows its sketch aggregate is NULL, __u is NULL, size() is NULL, and
+    # the function would emit one garbage row (est_union NULL/-1) that
+    # flows silently into downstream math — the opposite of
+    # sample_train_matrix's empty-input ValueError. The guard lives INSIDE
+    # an output column (a when-branch of est_union), so Catalyst cannot
+    # prune it, and the single global-agg row always exists to evaluate it.
+    missing = F.col("__ha").isNull() | F.col("__hb").isNull()
+    empty_err = F.raise_error(
+        F.concat(
+            F.lit("kmv_overlap_estimate: empty group ("),
+            F.when(
+                F.col("__ha").isNull(), F.lit(f"{group_a!r} has no rows; ")
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("__hb").isNull(), F.lit(f"{group_b!r} has no rows; ")
+            ).otherwise(F.lit("")),
+            F.lit("an overlap estimate needs both groups non-empty)"),
+        )
+    )
     # u_k = the k-th smallest merged hash mapped to OPEN (0, 1) — reuse
     # _hash_pos rather than a hand-rolled h/2^64 + 0.5, which maps
     # Long.MIN_VALUE to exactly 0.0 and would divide by zero (review r6)
     uk = _hash_pos(F.element_at(F.col("__u"), nu))
-    est_union = F.when(nu < k, nu.cast("double")).otherwise(
-        F.lit(float(k - 1)) / uk
+    est_union = F.when(missing, empty_err.cast("double")).otherwise(
+        F.when(nu < k, nu.cast("double")).otherwise(F.lit(float(k - 1)) / uk)
     )
     inter_k = F.size(
         F.array_intersect(F.array_intersect(F.col("__u"), F.col("__ha")), F.col("__hb"))

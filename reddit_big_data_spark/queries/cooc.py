@@ -447,7 +447,13 @@ def q123_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", normalize("text").alias("t")
     )
-    enc = bpe_encode(docs, "doc_id", "t", _Q123_MERGES)
+    # bpe_encode is TOTAL over ids (tokenless docs come back as
+    # n_tokens=0, ADVICE r6); this report's contract — like the oracle's
+    # words CTE — covers tokenizABLE docs only, so filter them explicitly
+    # rather than relying on the old silent drop.
+    enc = bpe_encode(docs, "doc_id", "t", _Q123_MERGES).filter(
+        F.col("n_tokens") > 0
+    )
     chars = docs.select(
         "doc_id",
         "lang",

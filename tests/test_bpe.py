@@ -72,3 +72,20 @@ def test_bracket_replace_replay_matches_merge_word():
         replay = tuple(t for t in s[1:-1].split("><")) if s else ()
         assert replay == sym, (w, replay, sym)
         assert s.count("<") == len(sym)
+
+
+def test_bpe_encode_total_over_ids(spark):
+    """ADVICE r6: docs whose text has no non-empty words must survive as
+    (id, [], 0) instead of vanishing — inner-joining consumers would
+    otherwise silently lose them."""
+    from reddit_big_data_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [(1, "the thin"), (2, "   "), (3, "")],
+        "doc_id: int, text: string",
+    )
+    out = {r["doc_id"]: r for r in bpe_encode(df, "doc_id", "text", [("t", "h")]).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["tokens"] == ["th", "e", "th", "i", "n"]
+    assert out[2]["tokens"] == [] and out[2]["n_tokens"] == 0
+    assert out[3]["tokens"] == [] and out[3]["n_tokens"] == 0

@@ -331,3 +331,35 @@ def test_duplicated_token_spans_coalesces_and_catches_self_repeats(spark):
         (2, 1, 10, 10),
         (4, 1, 16, 16),
     }
+
+
+def test_similarity_join_tiny_threshold_no_silent_drop(spark):
+    """ADVICE r6: with a pathologically small (but valid) threshold,
+    ceil(t*|s| - eps) used to evaluate to 0, log(0) -> NULL bucket,
+    sequence(NULL, x) -> NULL, and explode SILENTLY dropped every probe
+    row — recall 0 with no error. The greatest(1, ...) clamp keeps the
+    bucket window well-defined, so every qualifying pair still surfaces."""
+    import itertools
+
+    from reddit_big_data_spark.operators.simjoin import similarity_join
+
+    sets = {
+        1: ["a", "b", "c"],
+        2: ["a", "b", "d"],
+        3: ["x", "y"],
+        4: ["x", "z"],
+    }
+    t = 1e-12  # every overlapping pair qualifies; disjoint pairs never do
+    truth = set()
+    for i, j in itertools.combinations(sorted(sets), 2):
+        a, b = set(sets[i]), set(sets[j])
+        if a & b and len(a & b) / len(a | b) >= t:
+            truth.add((i, j))
+    df = spark.createDataFrame(
+        [(k, v) for k, v in sets.items()], "id: int, s: array<string>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity_join(df, "id", "s", t).collect()
+    }
+    assert got == truth, f"{got} != {truth}"

@@ -250,3 +250,28 @@ def test_tdigest_spark_rollup_matches_exact(spark):
         assert r["p05"] <= r["est_q10"] <= r["p15"], r
         assert r["p45"] <= r["est_q50"] <= r["p55"], r
         assert r["p85"] <= r["est_q90"] <= r["p95"], r
+
+
+def test_kmv_overlap_empty_group_fails_loudly(spark):
+    """ADVICE r6: an empty group used to yield NULL sketches and one
+    GARBAGE estimate row (est_union NULL/-1) that flowed silently into
+    downstream math. The empty-group guard now raises inside the output
+    column (un-prunable), matching sample_train_matrix's loud contract."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from reddit_big_data_spark.operators.sketches import kmv_overlap_estimate
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(50)], "g: string, v: long"
+    )
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
+        kmv_overlap_estimate(df, "g", "v", "a", "nope", k=16).collect()
+    assert "empty group" in str(ei.value)
+    # sanity: both groups present still estimates fine
+    df2 = df.union(
+        spark.createDataFrame([("b", i) for i in range(25, 75)], "g: string, v: long")
+    )
+    row = kmv_overlap_estimate(df2, "g", "v", "a", "b", k=16).collect()[0]
+    assert row["est_union"] is not None and row["est_union"] > 0
