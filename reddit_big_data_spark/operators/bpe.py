@@ -58,6 +58,26 @@ def _merge_word(sym: tuple[str, ...], pair: tuple[str, str]) -> tuple[str, ...]:
     return tuple(out)
 
 
+def word_count_synopsis(
+    df: DataFrame, text_col: str, vocab_rows: int = 50_000
+) -> list:
+    """The bounded training synopsis both tokenizer trainers share
+    (train_bpe here, train_unigram in operators/unigram.py): one
+    distributed whitespace word-count aggregate, one bounded collect of
+    the top `vocab_rows` (word, freq) pairs by (freq desc, word asc) —
+    vocabulary-sized at any corpus scale."""
+    wc = (
+        df.select(F.explode(F.split(text_col, r"\s+")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "w")
+        .limit(int(vocab_rows))
+        .collect()
+    )
+    return [(r["w"], int(r["freq"])) for r in wc]
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str,
@@ -69,16 +89,10 @@ def train_bpe(
     collect (top `vocab_rows` by frequency, ties to the smaller word),
     then the greedy Sennrich loop driver-side. Returns the ordered merge
     list — the tokenizer artifact `bpe_encode` applies."""
-    wc = (
-        df.select(F.explode(F.split(text_col, r"\s+")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-        .orderBy(F.desc("freq"), "w")
-        .limit(int(vocab_rows))
-        .collect()
-    )
-    words = [(tuple(r["w"]), int(r["freq"])) for r in wc]
+    words = [
+        (tuple(w), f)
+        for w, f in word_count_synopsis(df, text_col, vocab_rows)
+    ]
     merges: list[tuple[str, str]] = []
     for _ in range(int(n_merges)):
         counts = _pair_counts(words)

@@ -282,6 +282,43 @@ def _banded_signatures(
     )
 
 
+def lsh_ann_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 10,
+    n_tables: int = 3,
+    dims: int = 64,
+) -> DataFrame:
+    """The bucket-join candidate stage of lsh_topk, exposed so the
+    scaling harness (scaling.py, VERDICT r6 #3) can measure candidate
+    growth on exactly the production code path: distinct (query_id,
+    neighbor_id) rows sharing >=1 LSH bucket, carrying both vectors +
+    norms for the rerank. lsh_topk consumes this frame unchanged."""
+    planes = _planes_frame(corpus.sparkSession, n_planes, n_tables, dims)
+
+    def banded(df: DataFrame, role: str) -> DataFrame:
+        tables = _banded_signatures(emb_col, n_planes, n_tables)
+        return _with_planes(df, planes, id_col).select(
+            F.col(id_col).alias(f"{role}_id"),
+            F.col(emb_col).alias(f"__e_{role}"),
+            norm(F.col(emb_col)).alias(f"__n_{role}"),
+            F.explode(tables).alias("__tb"),
+        ).select(
+            f"{role}_id", f"__e_{role}", f"__n_{role}",
+            F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"),
+        )
+
+    return (
+        banded(corpus, "neighbor")
+        .join(F.broadcast(banded(queries, "query")), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__e_query", "__n_query", "__e_neighbor", "__n_neighbor")
+        .distinct()
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -300,26 +337,8 @@ def lsh_topk(
     rises with n_tables and falls with n_planes (standard tradeoff);
     tests pin recall on planted clusters.
     """
-    planes = _planes_frame(corpus.sparkSession, n_planes, n_tables, dims)
-
-    def banded(df: DataFrame, role: str) -> DataFrame:
-        tables = _banded_signatures(emb_col, n_planes, n_tables)
-        return _with_planes(df, planes, id_col).select(
-            F.col(id_col).alias(f"{role}_id"),
-            F.col(emb_col).alias(f"__e_{role}"),
-            norm(F.col(emb_col)).alias(f"__n_{role}"),
-            F.explode(tables).alias("__tb"),
-        ).select(
-            f"{role}_id", f"__e_{role}", f"__n_{role}",
-            F.col("__tb.tbl").alias("tbl"), F.col("__tb.bucket").alias("bucket"),
-        )
-
-    cand = (
-        banded(corpus, "neighbor")
-        .join(F.broadcast(banded(queries, "query")), ["tbl", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__e_query", "__n_query", "__e_neighbor", "__n_neighbor")
-        .distinct()
+    cand = lsh_ann_candidates(
+        corpus, queries, id_col, emb_col, n_planes, n_tables, dims
     )
     scored = cand.withColumn(
         "cosine_sim",

@@ -10,18 +10,21 @@ every query stays covered every round by tests/test_queries_oracle.py,
 the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
-Round-6 window composition (the VERDICT r5 #1 rotation):
-1. q100-q111 (+ q112-q127, new this round) — the queries with NO
-   driver-green row ever (local mirror only until now). They lead
-   unconditionally (q126/q127, added last, take the final two slots).
-2. The rest of the 50 slots go to the r4-cohort queries ranked by
-   cumulative driver-green count (computed from CORRECTNESS_r01..r05):
-   the 22 with exactly ONE green (q65, q75-q87, q89-q96).
+Round-7 window composition (the VERDICT r6 #1 rotation, computed from
+CORRECTNESS_r01..r06 like the r6 rotation before it):
+1. q128 (new this round: unigram-LM tokenizer) — never driver-green,
+   leads unconditionally.
+2. The full r4-STALE core cohort: all 27 queries whose last driver
+   green is round 4 (q01-q02, q04-q18, q20-q21, q26-q28, q37-q39,
+   q47, q49), least-cumulative-greens first — after this round no
+   query's last driver row is older than two rounds.
+3. q126/q127's second green (their first was r6).
+4. Remaining slots: r5-last-green queries by ascending cumulative
+   green count (q22..q99 once-green, then q23.. twice-green by name).
 
-Everything past the cap was driver-green in rounds 4 AND 5 windows
-cumulatively (triple-green: q07, q10-q18, q20, q26) or green in the
-round-5 window itself; all stay covered by the local oracle mirror
-(tests/test_queries_oracle.py) every round.
+Everything past the cap was driver-green in r5 or r6 windows and stays
+covered by the local oracle mirror (tests/test_queries_oracle.py)
+every round.
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
@@ -57,65 +60,64 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
-    # -- never driver-green: the round-5 additions (mirror-green only)
-    "q100_doc_chunking",
-    "q101_lm_perplexity",
-    "q102_pq_ann",
-    "q103_bpe_merge_pairs",
-    "q104_ivfpq_ann",
-    "q105_incremental_neardup",
-    "q106_group_split",
-    "q107_priority_class_counts",
-    "q108_order_count_distribution",
-    "q109_promo_revenue_share",
-    "q110_constraint_audit",
-    "q111_langid_ngram",
-    # -- never driver-green: new this round (exact substring dedup,
-    #    shard manifest, temperature mixture weights, CDC chunk dedup)
-    "q112_substring_dedup",
-    "q113_shard_manifest",
-    "q114_mixture_weights",
-    "q115_cdc_chunks",
-    "q116_semdedup",
-    "q117_returned_revenue",
-    "q118_large_volume_orders",
-    "q119_disjunctive_revenue",
-    "q120_supplier_diversity",
-    "q121_sole_late_supplier",
-    "q122_kmv_overlap",
-    "q123_bpe_tokenize",
-    "q124_novelty_curve",
-    "q125_label_noise",
-    # -- one cumulative green (r4 only)
-    "q65_grouped_ols",
-    "q75_pii_redaction",
-    "q76_quality_funnel",
-    "q77_boilerplate_shingles",
-    "q78_exists_late_orders",
-    "q79_below_avg_quantity",
-    "q80_dormant_high_balance",
-    "q81_winsorized_stats",
-    "q82_pagerank",
-    "q83_zorder_layout",
-    "q84_bloom_semi_join",
-    "q85_mixture_sample",
-    "q86_local_supplier_volume",
-    "q87_rank_family",
-    "q89_variant_props",
-    "q90_mad_outliers",
-    "q91_k_per_group_sample",
-    "q92_gap_fill",
-    "q93_volume_shipping",
-    "q94_market_share",
-    "q95_scd2_history",
-    "q96_fuzzy_name_match",
-    # -- never driver-green: the final r6 additions (TPC-H Q6/Q15
-    #    shapes). They take the last two slots from the twice-green
-    #    q08/q21 — a first green for a new query outranks a third for an
-    #    already-proven one; q08/q21, the rest of the twice-green cohort
-    #    (q27/q28/q37-q39/q47/q49) and the triple-green backbone
-    #    (q01/q02/q04-q06/q09) all stay covered by the local oracle
-    #    mirror every round.
+    # -- never driver-green: new this round (unigram-LM tokenizer)
+    "q128_unigram_tokenize",
+    # -- the r4-stale core cohort (VERDICT r6 #1): every query whose
+    #    LAST driver-green row is round 4 — the reference's §2 heart
+    #    (scans, joins, windows, TF-IDF). Ranked by cumulative driver-
+    #    green count ascending (least-proven first), then name.
+    "q08_histogram_cumulative",
+    "q21_shipping_priority",
+    "q27_pricing_summary",
+    "q28_grouping_sets",
+    "q37_repetition_signals",
+    "q38_bm25_topk",
+    "q39_sequence_packing",
+    "q47_stratified_sample",
+    "q49_hybrid_rrf",
+    "q01_top_groups_by_count",
+    "q02_time_slot_histogram",
+    "q04_missing_report",
+    "q05_broadcast_join_chain",
+    "q06_groupby_multi_agg",
+    "q07_correlations",
+    "q09_tfidf_topk",
+    "q10_running_aggregates",
+    "q11_topk_per_group",
+    "q12_top_n_rows",
+    "q13_set_ops",
+    "q14_semi_anti_join",
+    "q15_rollup",
+    "q16_distinct_percentiles",
+    "q17_calendar_features",
+    "q18_lag_ntile",
+    "q20_text_quality",
+    "q26_token_counts",
+    # -- q126/q127's SECOND green (first was r6; VERDICT r6 #1 names
+    #    them explicitly)
     "q126_forecast_revenue",
     "q127_top_supplier",
+    # -- the remaining slots: r5-last-green queries ranked by cumulative
+    #    driver-green count ascending (the eleven once-green first),
+    #    then name
+    "q22_approx_distinct_percentiles",
+    "q24_summary_stats",
+    "q41_lsh_ann",
+    "q43_ivf_ann",
+    "q59_sketch_rollup",
+    "q60_rf_pipeline",
+    "q69_cms_heavy_hitters",
+    "q88_kmv_rollup",
+    "q97_tdigest_rollup",
+    "q98_simhash_hamming",
+    "q99_weighted_sample",
+    "q23_epoch_concat",
+    "q25_sentiment",
+    "q52_binary_payloads",
+    "q53_sessionization",
+    "q54_asof_join",
+    "q56_range_join",
+    "q57_pivot",
+    "q58_cube",
+    "q61_string_indexer",
 ]

@@ -471,3 +471,114 @@ def q123_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q128 — unigram-LM tokenizer APPLICATION (SentencePiece-style; the
+# sibling of q123's BPE — real pipelines ship both families, VERDICT r6
+# #4): tokenize the corpus with a pinned piece table and report per-lang
+# piece counts + chars-per-piece compression. The Spark side runs the
+# real artifact path — operators/unigram.unigram_encode, greedy
+# longest-match per DISTINCT word in an Arrow pandas UDF (dictionary
+# trick), reassembled in word order. Training (EM + pruning,
+# operators/unigram.train_unigram) is property-tested in
+# tests/test_unigram.py; the QUERY pins the piece table the same way
+# q123 pins its merge list, so the oracle can replay segmentation
+# exactly: a recursive CTE walks each distinct word left to right,
+# advancing by the LONGEST piece matching at the current position (a
+# precomputed per-(word, pos) step table keeps the recursive term
+# join-only — no aggregates in the recursion), one char when no piece
+# matches — exactly greedy_segment's rule.
+# --------------------------------------------------------------------------
+_Q128_PIECES = [
+    "al", "an", "and", "ar", "at", "en", "er", "es", "he", "in",
+    "ing", "nd", "on", "or", "re", "st", "th", "the", "ti", "tion",
+]
+
+
+def _q128_oracle() -> str:
+    values = ", ".join(f"('{p}')" for p in _Q128_PIECES)
+    return f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE w <> ''
+    ),
+    vocab AS (SELECT DISTINCT w FROM words),
+    pieces(p) AS (VALUES {values}),
+    positions AS (
+      -- constant series + length filter: this DuckDB build rejects
+      -- lateral column parameters to generate_series; 64 comfortably
+      -- bounds any normalized [a-z0-9] word in the testdata (max 8)
+      SELECT v.w, g.i AS pos
+      FROM vocab v, generate_series(1, 64) AS g(i)
+      WHERE g.i <= length(v.w)
+    ),
+    steps AS (
+      SELECT q.w, q.pos, COALESCE(MAX(length(p.p)), 1) AS step
+      FROM positions q LEFT JOIN pieces p
+        ON p.p = substr(q.w, CAST(q.pos AS INTEGER), length(p.p))
+      GROUP BY q.w, q.pos
+    ),
+    seg AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS nt FROM vocab
+      UNION ALL
+      SELECT s.w, s.pos + st.step, s.nt + 1
+      FROM seg s JOIN steps st ON st.w = s.w AND st.pos = s.pos
+    ),
+    wtok AS (SELECT w, nt FROM seg WHERE pos = length(w) + 1),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS nt,
+             CAST(SUM(length(w)) AS BIGINT) AS nc
+      FROM words JOIN wtok USING (w) GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_pieces,
+           ROUND(SUM(nc) * 1.0 / SUM(nt), 4) AS chars_per_piece
+    FROM per_doc JOIN documents USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q128_unigram_tokenize",
+    oracle=_q128_oracle(),
+    doc="Unigram-LM tokenizer application (pinned pieces): per-lang "
+    "piece counts + compression, greedy longest-match UDF path vs "
+    "recursive-CTE SQL replay",
+)
+def q128_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.unigram import unigram_encode
+
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", normalize("text").alias("t")
+    )
+    # unigram_encode is total over ids; this report — like the oracle's
+    # words CTE — covers tokenizable docs only (q123's contract).
+    enc = unigram_encode(docs, "doc_id", "t", _Q128_PIECES).filter(
+        F.col("n_tokens") > 0
+    )
+    chars = docs.select(
+        "doc_id",
+        "lang",
+        F.length(F.regexp_replace("t", " ", "")).alias("nc"),
+    )
+    return (
+        enc.join(chars, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_pieces"),
+            F.round(
+                F.sum("nc").cast("double") / F.sum("n_tokens"), 4
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )

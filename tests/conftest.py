@@ -26,10 +26,17 @@ def _drop_cached_blocks(request):
     assignment, global-rank offsets) cannot unpersist what their consumer
     has not materialized yet; without cleanup the cached blocks accumulate
     across the several-hundred-test session and distort memory/timings
-    (ADVICE r2). Mirror of bench.py's between-query clearCache."""
+    (ADVICE r2). Mirror of bench.py's between-query clearCache +
+    localCheckpoint release (VERDICT r6 #5)."""
     yield
     if "spark" in request.fixturenames:
-        request.getfixturevalue("spark").catalog.clearCache()
+        from reddit_big_data_spark.plans.cache import (
+            release_local_checkpoints,
+        )
+
+        s = request.getfixturevalue("spark")
+        s.catalog.clearCache()
+        release_local_checkpoints(s)
 
 
 @pytest.fixture(scope="session")

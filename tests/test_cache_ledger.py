@@ -1,5 +1,8 @@
-"""Cache-ledger guard (VERDICT r5 #6): prove `spark.catalog.clearCache()`
-is a SUFFICIENT mop-up after every registered query.
+"""Cache-ledger guard (VERDICT r5 #6, tightened by VERDICT r6 #5):
+prove the between-query mop-up — `spark.catalog.clearCache()` followed
+by `release_local_checkpoints(spark)` — reclaims EVERY block a
+registered query leaves behind. Zero tolerance: no surviving persistent
+RDD of any kind, checkpoint or not.
 
 THE CENTRAL CACHE CONTRACT. Operators may persist() internally with a
 lifetime longer than their function call, because the returned lazy plan
@@ -10,43 +13,72 @@ still reads the cached state:
   `operators/similarity.py` ivf_topk (cell assignment).
 - Candidate pipelines: `operators/simjoin.py` similarity_join (hashed
   sets), `operators/dedup.py` minhash signatures,
-  `queries/dedup.py` incremental near-dup (persisted signatures).
+  `queries/dedup.py` incremental near-dup (persisted signatures),
+  tokenizer vocabularies (`operators/bpe.py`, `operators/unigram.py`).
 - `operators/clustering.py` kmeans_centers persists ONLY for the train
   loop and unpersists before returning (no entry outlives the call).
 
 Every such persist MUST go through Dataset.persist() so it registers in
-the SQL cache manager — then the session-level clearCache that bench.py
-and tests/conftest.py run between queries reclaims it. What this sweep
-rejects is the leak class that mop-up CANNOT reach: RDD-level persists
-or any cached state that survives clearCache. localCheckpoint() blocks
-are exempt — they are lineage-truncation state owned by the
-ContextCleaner, which unpersists them as soon as the plan that holds
-them is garbage-collected (they are also small: prefix rows, edge lists,
-exact-top-k probes — never a corpus).
+the SQL cache manager (clearCache reclaims it), and every
+localCheckpoint() is ContextCleaner-owned state the explicit release
+path reclaims (plans/cache.py — JVM GC alone demonstrably does NOT free
+these promptly: py4j handles and the status store keep the plans
+reachable). A query that fails this sweep either persisted outside the
+SQL cache manager (RDD-level persist) or grew state the boundary mop-up
+cannot see.
 """
 
 from __future__ import annotations
 
 import pytest
 
+from reddit_big_data_spark.plans.cache import release_local_checkpoints
 from reddit_big_data_spark.registry import all_queries
 from tests.conftest import SF_SMOKE
 
 _QUERIES = sorted(all_queries().values(), key=lambda q: q.name)
 
 
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(rid) for rid in jmap.keySet().toArray()}
+
+
 @pytest.mark.parametrize("query", _QUERIES, ids=lambda q: q.name)
-def test_clear_cache_is_sufficient_mop_up(spark, query):
+def test_mop_up_reclaims_every_block(spark, query):
+    # Baseline-relative: only blocks ADDED by this query count — a frame
+    # another test leaked must not fail this one (and vice versa the
+    # sweep must not mask it).
+    before = _persistent_ids(spark)
     df = query.fn(spark, SF_SMOKE)
     df.write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
+    release_local_checkpoints(spark)
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     leaked = []
     for rid in list(jmap.keySet().toArray()):
-        head = jmap[rid].toDebugString().splitlines()[0]
-        if "localCheckpoint" not in head:
-            leaked.append(f"RDD {rid}: {head}")
+        if int(rid) in before:
+            continue
+        leaked.append(f"RDD {rid}: {jmap[rid].toDebugString().splitlines()[0]}")
     assert not leaked, (
-        f"{query.name} left cached RDDs that clearCache cannot reclaim "
-        f"(persist outside the SQL cache manager?):\n" + "\n".join(leaked)
+        f"{query.name} left blocks the boundary mop-up (clearCache + "
+        f"release_local_checkpoints) cannot reclaim:\n" + "\n".join(leaked)
     )
+
+
+def test_release_is_explicit_and_returns_ids(spark):
+    """release_local_checkpoints reports exactly the checkpoint blocks
+    it freed, and leaves SQL-manager state alone (clearCache's job)."""
+    df = spark.range(1000).localCheckpoint()
+    assert df.count() == 1000
+    cached = spark.range(50).persist()
+    assert cached.count() == 50
+    released = release_local_checkpoints(spark)
+    assert len(released) >= 1
+    # the persisted (non-checkpoint) frame must survive the release
+    ids_after = _persistent_ids(spark)
+    assert any(i not in released for i in ids_after)
+    assert cached.count() == 50  # still usable
+    spark.catalog.clearCache()
+    release_local_checkpoints(spark)
+    assert not _persistent_ids(spark)

@@ -363,3 +363,52 @@ def test_similarity_join_tiny_threshold_no_silent_drop(spark):
         for r in similarity_join(df, "id", "s", t).collect()
     }
     assert got == truth, f"{got} != {truth}"
+
+
+def test_duplicated_spans_detection_guarantee(spark):
+    """Adversarial pin of duplicated_token_spans' documented contract
+    (VERDICT r6 #7), k=4: (1) every duplicated span of length >= k is
+    reported with EXACT boundaries — at the doc start, doc end, and
+    mid-doc; (2) nothing shorter than k is reported; (3) two duplicated
+    spans separated by a single token stay separate, touching spans
+    merge; (4) no false extent into unique filler."""
+    from reddit_big_data_spark.operators.dedup import duplicated_token_spans
+
+    k = 4
+    A = [f"a{i}" for i in range(k)]          # length exactly k
+    B = [f"b{i}" for i in range(6)]          # length k+2
+    S = [f"s{i}" for i in range(k - 1)]      # length k-1: must be invisible
+
+    def filler(doc, start, n):
+        return [f"f{doc}_{start + i}" for i in range(n)]
+
+    docs = {
+        # A at the very START; B mid-doc
+        1: A + filler(1, 0, 3) + B + filler(1, 3, 2),
+        # A at the very END; B at start
+        2: B + filler(2, 0, 3) + A,
+        # two copies of A in ONE doc separated by one unique token ->
+        # two separate spans (self-repetition case)
+        3: filler(3, 0, 2) + A + [f"gap3"] + A + filler(3, 2, 2),
+        # S (too short) planted twice — plus A and B touching
+        # back-to-back: their islands overlap-or-touch and must merge
+        4: S + [f"u4"] + S + A + B,
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in docs.items()], "doc_id: int, toks: array<string>"
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): r["span_len"]
+        for r in duplicated_token_spans(df, "doc_id", "toks", k=k, min_count=2).collect()
+    }
+    # (1) exact boundaries, 1-based inclusive
+    assert spans[(1, 1, k)] == k                      # A at start of doc 1
+    assert spans[(1, k + 4, k + 9)] == 6              # B mid doc 1
+    assert spans[(2, 1, 6)] == 6                      # B at start of doc 2
+    assert spans[(2, 10, 13)] == k                    # A at end of doc 2
+    # (3) one-token gap -> SEPARATE spans in doc 3
+    assert spans[(3, 3, 6)] == k and spans[(3, 8, 11)] == k
+    # (4) touching A+B in doc 4 merge into one maximal span
+    assert spans[(4, 8, 17)] == 10
+    # (2) the k-1 span never appears; no other spans beyond the expected
+    assert len(spans) == 7, sorted(spans)

@@ -32,6 +32,14 @@ _ALLOW: dict[str, dict[str, str]] = {
         "corpus rows",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
+    "q128_unigram_tokenize": {
+        "PY_ARROW": "greedy longest-match segmentation is the same "
+        "sanctioned scalar pandas-UDF surface as q123's merge loop "
+        "(per-position variable-length matching over a piece set), and "
+        "it runs on the DISTINCT vocabulary only (dictionary trick), "
+        "never the corpus rows",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
         "estimate row and the two exact count aggregates) join on "

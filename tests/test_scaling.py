@@ -1,0 +1,62 @@
+"""Empirical scaling-curve pins (VERDICT r6 #3): the banded candidate
+stages must grow sub-quadratically across real scale factors, measured
+on the production code paths via scaling.py — the same functions that
+write SCALING.json. Distinct input sizes in the driver testdata:
+documents 500 (sf0.001) -> 5000 (sf0.1), embeddings 500 -> 2000."""
+
+from __future__ import annotations
+
+import scaling
+from tests.conftest import SF_SMOKE
+
+SF_BIG = "/root/testdata/sf0.1"
+
+
+def _exponent(spark, measure):
+    pts = []
+    for sf_dir in (SF_SMOKE, SF_BIG):
+        rec = measure(spark, sf_dir)
+        pts.append((rec["n_input"], rec["candidates"]))
+        spark.catalog.clearCache()
+    exp = scaling.fit_exponent(pts)
+    assert exp is not None, pts
+    return exp, pts
+
+
+def test_fit_exponent_basics():
+    # perfect quadratic and linear references; duplicate sizes collapse
+    assert abs(scaling.fit_exponent([(10, 100), (100, 10000)]) - 2) < 1e-9
+    assert abs(scaling.fit_exponent([(10, 10), (10, 10), (100, 100)]) - 1) < 1e-9
+    assert scaling.fit_exponent([(10, 5)]) is None  # one distinct size
+    assert scaling.fit_exponent([(10, 0), (100, 7)]) is None  # zero count
+
+
+def test_minhash_lsh_candidates_subquadratic(spark):
+    exp, pts = _exponent(spark, scaling.measure_q31)
+    assert exp < 2.0, f"q31 banded candidate exponent {exp:.2f} at {pts}"
+
+
+def test_lsh_ann_candidates_subquadratic(spark):
+    exp, pts = _exponent(spark, scaling.measure_q41)
+    assert exp < 2.0, f"q41 bucket candidate exponent {exp:.2f} at {pts}"
+
+
+def test_pq_scan_candidates_linear(spark):
+    # flat ADC scan: |corpus| x |queries| by construction — linear in
+    # the corpus for the fixed probe set
+    exp, pts = _exponent(spark, scaling.measure_q102)
+    assert exp < 1.2, f"q102 scan exponent {exp:.2f} at {pts}"
+
+
+def test_exact_simjoin_prunes_allpairs(spark):
+    """q36 is the EXACT join: its asymptotic on a uniform corpus is
+    intrinsically ~quadratic (SCALING.json documents the measured
+    exponent), so the honest pin is the CONSTANT-factor claim — the
+    prefix/positional/length filters keep candidates a small fraction
+    of the all-pairs join at every measured scale."""
+    for sf_dir, cap in ((SF_SMOKE, 0.01), (SF_BIG, 0.01)):
+        rec = scaling.measure_q36(spark, sf_dir)
+        n = rec["n_input"]
+        frac = rec["candidates"] / (n * (n - 1) / 2)
+        assert frac < cap, f"{sf_dir}: candidates are {frac:.2%} of all-pairs"
+        spark.catalog.clearCache()
