@@ -118,9 +118,11 @@ def train_unigram(
     total = sum(scores[p] for p in pieces)
     logp = {p: math.log(scores[p] / total) for p in pieces}
 
+    # seed counts double as the prune ranking if em_iters is 0
+    counts: dict = {p: scores[p] for p in pieces}
     for rnd in range(int(prune_rounds)):
         for _ in range(int(em_iters)):
-            counts: dict = {}
+            counts = {}
             for w, f in words:
                 for p in _viterbi(w, logp, max_piece_len):
                     counts[p] = counts.get(p, 0) + f
