@@ -112,6 +112,7 @@ def bpe_encode(
     id_col: str,
     text_col: str,
     merges: list[tuple[str, str]],
+    include_empty: bool = True,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens int): tokenize each text with
     the learned merges. Merge application runs once per DISTINCT word
@@ -119,12 +120,15 @@ def bpe_encode(
     itself only explodes, joins on the word, and re-assembles in word
     order — all native.
 
-    TOTAL over input ids (ADVICE r6): a document whose text has no
-    non-empty words (empty/whitespace-only) survives as
+    TOTAL over input ids by default (ADVICE r6): a document whose text
+    has no non-empty words (empty/whitespace-only) survives as
     (id, tokens=[], n_tokens=0) rather than vanishing from the output —
     the explode+filter+groupBy alone would drop the id entirely and
     inner-joining consumers would silently lose those docs. The
-    completeness left-join shuffles only (id) keys, nothing text-sized."""
+    completeness left-join shuffles only (id) keys, nothing text-sized;
+    consumers that only report on tokenizABLE docs anyway (q123) pass
+    ``include_empty=False`` and skip that join entirely rather than
+    paying it and filtering its rows back out (review r7)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -173,6 +177,8 @@ def bpe_encode(
             ).alias("tokens")
         )
     )
+    if not include_empty:
+        return encoded.withColumn("n_tokens", F.size("tokens").cast("int"))
     return (
         df.select(id_col)
         .join(encoded, id_col, "left")

@@ -293,8 +293,10 @@ def kmv_overlap_estimate(
     # the function would emit one garbage row (est_union NULL/-1) that
     # flows silently into downstream math — the opposite of
     # sample_train_matrix's empty-input ValueError. The guard lives INSIDE
-    # an output column (a when-branch of est_union), so Catalyst cannot
-    # prune it, and the single global-agg row always exists to evaluate it.
+    # every output column (a when-branch of est_union AND of rho, which
+    # est_inter/est_jaccard derive from) so no projection of the result
+    # can prune it, and the single global-agg row always exists to
+    # evaluate it.
     missing = F.col("__ha").isNull() | F.col("__hb").isNull()
     empty_err = F.raise_error(
         F.concat(
@@ -318,7 +320,13 @@ def kmv_overlap_estimate(
     inter_k = F.size(
         F.array_intersect(F.array_intersect(F.col("__u"), F.col("__ha")), F.col("__hb"))
     )
-    rho = inter_k.cast("double") / F.least(F.lit(k), nu).cast("double")
+    # The guard wraps EVERY output column, not just est_union: a consumer
+    # projecting only est_jaccard would otherwise let Catalyst prune the
+    # guarded est_union expression away and read a silent NULL (review
+    # r7 — reproduced live with .select("est_jaccard")).
+    rho = F.when(missing, empty_err.cast("double")).otherwise(
+        inter_k.cast("double") / F.least(F.lit(k), nu).cast("double")
+    )
     return row.select(
         est_union.alias("est_union"),
         (rho * est_union).alias("est_inter"),

@@ -99,7 +99,16 @@ def train_unigram(
     """Learn a unigram-LM piece vocabulary from the whitespace-word
     counts of `text_col`. Returns the sorted piece list — the tokenizer
     artifact `unigram_encode` applies. Single characters of the synopsis
-    are always included (coverage)."""
+    are always included (coverage). `prune_rounds` must be >= 1: the
+    final prune round is what enforces `vocab_size`, so skipping pruning
+    would silently return the whole seed vocabulary (review r7 — loud
+    failure instead, the simjoin t<=0 convention)."""
+    if int(prune_rounds) < 1:
+        raise ValueError(
+            f"prune_rounds must be >= 1 (got {prune_rounds}): the final "
+            "prune enforces vocab_size; without it the full seed "
+            "vocabulary would be returned"
+        )
     words = word_count_synopsis(df, text_col, vocab_rows)
     # seed: every substring up to max_piece_len, scored by total weighted
     # occurrences; keep all single chars + the top multi-char seeds
@@ -177,11 +186,14 @@ def unigram_encode(
     id_col: str,
     text_col: str,
     pieces: list,
+    include_empty: bool = True,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens int): greedy longest-match
     tokenization with the learned piece table. Dictionary trick + Arrow
     pandas UDF, identical plan shape (and the same TOTAL-over-ids
-    contract) as bpe_encode: tokenless docs come back as (id, [], 0)."""
+    contract) as bpe_encode: tokenless docs come back as (id, [], 0),
+    unless ``include_empty=False`` skips the completeness join for
+    consumers that only report on tokenizable docs."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -216,6 +228,8 @@ def unigram_encode(
             ).alias("tokens")
         )
     )
+    if not include_empty:
+        return encoded.withColumn("n_tokens", F.size("tokens").cast("int"))
     return (
         df.select(id_col)
         .join(encoded, id_col, "left")

@@ -447,13 +447,11 @@ def q123_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(read_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", normalize("text").alias("t")
     )
-    # bpe_encode is TOTAL over ids (tokenless docs come back as
-    # n_tokens=0, ADVICE r6); this report's contract — like the oracle's
-    # words CTE — covers tokenizABLE docs only, so filter them explicitly
-    # rather than relying on the old silent drop.
-    enc = bpe_encode(docs, "doc_id", "t", _Q123_MERGES).filter(
-        F.col("n_tokens") > 0
-    )
+    # This report's contract — like the oracle's words CTE — covers
+    # tokenizABLE docs only: include_empty=False makes bpe_encode skip
+    # its completeness left-join outright (review r7) instead of paying
+    # it and filtering the n_tokens=0 rows back out.
+    enc = bpe_encode(docs, "doc_id", "t", _Q123_MERGES, include_empty=False)
     chars = docs.select(
         "doc_id",
         "lang",
@@ -506,16 +504,23 @@ def _q128_oracle() -> str:
       FROM documents
     ),
     words AS (
+      -- length(w) <= 64 is part of the QUERY CONTRACT, enforced on both
+      -- engines (the Spark side filters the same bound): longer
+      -- normalized [a-z0-9] runs are identifier/digit noise, not
+      -- language, and the bound is what lets the positions CTE use a
+      -- constant series below. Without it a 65+-char word would lose
+      -- its steps rows past position 64 and silently vanish from wtok
+      -- while Spark still counted it (review r7).
       SELECT doc_id, w
       FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
-      WHERE w <> ''
+      WHERE w <> '' AND length(w) <= 64
     ),
     vocab AS (SELECT DISTINCT w FROM words),
     pieces(p) AS (VALUES {values}),
     positions AS (
-      -- constant series + length filter: this DuckDB build rejects
-      -- lateral column parameters to generate_series; 64 comfortably
-      -- bounds any normalized [a-z0-9] word in the testdata (max 8)
+      -- constant series + length filter (this DuckDB build rejects
+      -- lateral column parameters to generate_series); 64 is EXACT, not
+      -- an assumption — the words CTE enforces it
       SELECT v.w, g.i AS pos
       FROM vocab v, generate_series(1, 64) AS g(i)
       WHERE g.i <= length(v.w)
@@ -557,19 +562,30 @@ def _q128_oracle() -> str:
 def q128_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.unigram import unigram_encode
 
+    # Words capped at 64 chars on BOTH engines (the oracle's words CTE
+    # carries the same bound — it is what makes the recursive replay's
+    # constant position series exact): filter the word array once, then
+    # derive the tokenizer input AND the char count from that same array
+    # so the two sides can never disagree on which words count.
+    wordsarr = F.filter(
+        F.split(normalize("text"), " "),
+        lambda w: (w != "") & (F.length(w) <= 64),
+    )
     docs = spread(read_table(spark, sf_dir, "documents")).select(
-        "doc_id", "lang", normalize("text").alias("t")
-    )
-    # unigram_encode is total over ids; this report — like the oracle's
-    # words CTE — covers tokenizable docs only (q123's contract).
-    enc = unigram_encode(docs, "doc_id", "t", _Q128_PIECES).filter(
-        F.col("n_tokens") > 0
-    )
-    chars = docs.select(
         "doc_id",
         "lang",
-        F.length(F.regexp_replace("t", " ", "")).alias("nc"),
+        F.array_join(wordsarr, " ").alias("t"),
+        F.aggregate(
+            wordsarr, F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("nc"),
     )
+    # include_empty=False: this report — like the oracle's words CTE —
+    # covers tokenizable docs only (q123's contract), so skip the
+    # completeness join rather than filter its rows back out.
+    enc = unigram_encode(
+        docs, "doc_id", "t", _Q128_PIECES, include_empty=False
+    )
+    chars = docs.select("doc_id", "lang", "nc")
     return (
         enc.join(chars, "doc_id")
         .groupBy("lang")

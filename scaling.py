@@ -28,9 +28,10 @@ Families and their candidate stages:
        probe cost is nprobe/nlist of the corpus)
 
 Exponent fit: least-squares slope of log(candidates) vs log(n_input)
-over the scale factors with DISTINCT input sizes (the driver testdata
-repeats sizes between sf0.001 and sf0.01 for some tables; duplicate
-sizes carry no slope information). Sub-quadratic == exponent < 2; the
+over ALL measured points (the driver testdata repeats row counts
+between sf0.001 and sf0.01 with different content; each measurement is
+kept as evidence — least squares handles repeated sizes natively and
+needs >= 2 distinct sizes for a slope). Sub-quadratic == exponent < 2; the
 banded paths measure ~1 (see SCALING.json), because bucket/prefix
 granularity scales with the corpus. tests/test_scaling.py pins the
 exponents in CI at the two distinct documents/embeddings sizes.
@@ -171,14 +172,16 @@ NOTES = {
 
 
 def fit_exponent(points: list[tuple[int, int]]) -> float | None:
-    """Least-squares slope of log(candidates) vs log(n_input) over points
-    with DISTINCT n_input (duplicate sizes carry no slope information).
-    None when <2 distinct sizes or any count is 0."""
-    by_n: dict[int, int] = {}
-    for n, c in points:
-        by_n[n] = c  # same-size measurements are identical by determinism
-    pts = [(n, c) for n, c in sorted(by_n.items()) if n > 0 and c > 0]
-    if len(pts) < 2:
+    """Least-squares slope of log(candidates) vs log(n_input) over ALL
+    measured points. Same-size points are NOT collapsed: different sf
+    dirs can share a row count but hold different content (sf0.001 and
+    sf0.01 both ship 500 docs with different text — review r7), so each
+    measurement is evidence; least squares handles repeated x values
+    natively and is ordering-independent. None when fewer than 2
+    DISTINCT sizes (no slope information) or any count is 0 (log
+    undefined)."""
+    pts = [(n, c) for n, c in points if n > 0]
+    if any(c <= 0 for _, c in pts) or len({n for n, _ in pts}) < 2:
         return None
     xs = [math.log(n) for n, _ in pts]
     ys = [math.log(c) for _, c in pts]
@@ -206,7 +209,16 @@ def run(spark, sf_dirs: list[str], with_shuffle: bool = True) -> dict:
                 rec["shuffle_records"] = max(
                     0, shuffle_write_records(spark) - before
                 )
+            # Same boundary mop-up as bench.py: clearCache alone leaves
+            # ContextCleaner-owned localCheckpoint blocks (q36's prefix
+            # table checkpoints on every measurement) accumulating across
+            # the 12-run harness session (review r7).
             spark.catalog.clearCache()
+            from reddit_big_data_spark.plans.cache import (
+                release_local_checkpoints,
+            )
+
+            release_local_checkpoints(spark)
             rows.append(rec)
         for r in rows:
             # candidate pruning as a fraction of the all-pairs join the

@@ -24,11 +24,16 @@ def _exponent(spark, measure):
 
 
 def test_fit_exponent_basics():
-    # perfect quadratic and linear references; duplicate sizes collapse
+    # perfect quadratic and linear references
     assert abs(scaling.fit_exponent([(10, 100), (100, 10000)]) - 2) < 1e-9
     assert abs(scaling.fit_exponent([(10, 10), (10, 10), (100, 100)]) - 1) < 1e-9
     assert scaling.fit_exponent([(10, 5)]) is None  # one distinct size
     assert scaling.fit_exponent([(10, 0), (100, 7)]) is None  # zero count
+    # review r7: same-size points with DIFFERENT content are all kept as
+    # evidence, and the fit is ordering-independent
+    a = scaling.fit_exponent([(10, 8), (10, 12), (100, 100)])
+    b = scaling.fit_exponent([(10, 12), (100, 100), (10, 8)])
+    assert a == b and 0.9 < a < 1.1
 
 
 def test_minhash_lsh_candidates_subquadratic(spark):

@@ -269,6 +269,13 @@ def test_kmv_overlap_empty_group_fails_loudly(spark):
     with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei:
         kmv_overlap_estimate(df, "g", "v", "a", "nope", k=16).collect()
     assert "empty group" in str(ei.value)
+    # review r7: the guard must survive COLUMN PRUNING — projecting only
+    # est_jaccard used to bypass the est_union-only guard silently
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)) as ei2:
+        kmv_overlap_estimate(df, "g", "v", "a", "nope", k=16).select(
+            "est_jaccard"
+        ).collect()
+    assert "empty group" in str(ei2.value)
     # sanity: both groups present still estimates fine
     df2 = df.union(
         spark.createDataFrame([("b", i) for i in range(25, 75)], "g: string, v: long")

@@ -102,3 +102,36 @@ def test_unigram_encode_matches_driver_side_greedy(spark):
     for i, text in texts:
         want = [t for w in text.split() for t in greedy_segment(w, pset, mx)]
         assert got[i] == want, (i, got[i], want)
+
+
+def test_train_unigram_rejects_zero_prune_rounds(spark):
+    from reddit_big_data_spark.operators.unigram import train_unigram
+
+    df = spark.createDataFrame([("the thing",)], "text: string")
+    with pytest.raises(ValueError, match="prune_rounds"):
+        train_unigram(df, "text", vocab_size=10, prune_rounds=0)
+
+
+def test_q128_word_length_contract(spark):
+    """Review r7: words longer than 64 chars are excluded from BOTH the
+    tokenizer input and the char count on the Spark side (the oracle's
+    words CTE carries the same bound), so the two engines can never
+    disagree on which words the report covers."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.text import normalize
+
+    long_word = "x" * 70
+    df = spark.createDataFrame(
+        [(1, f"short {long_word} words")], "doc_id: int, text: string"
+    )
+    wordsarr = F.filter(
+        F.split(normalize("text"), " "),
+        lambda w: (w != "") & (F.length(w) <= 64),
+    )
+    row = df.select(
+        F.array_join(wordsarr, " ").alias("t"),
+        F.aggregate(wordsarr, F.lit(0), lambda a, w: a + F.length(w)).alias("nc"),
+    ).collect()[0]
+    assert row["t"] == "short words"
+    assert row["nc"] == len("shortwords")
