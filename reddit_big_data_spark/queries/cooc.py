@@ -598,3 +598,134 @@ def q128_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q129 — tokenizer COMPARISON (the artifact-selection step a pretraining
+# pipeline runs before committing to a tokenizer): tokenize the same
+# corpus with BOTH pinned artifacts — q123's BPE merge list and q128's
+# unigram piece table — and report, per language, total tokens under
+# each, chars-per-token compression for each, and the fertility ratio
+# (unigram pieces per BPE token). Words follow q128's 64-char contract
+# on BOTH engines so the two tokenizers score the identical word
+# multiset. The oracle composes the two existing replays — the
+# boundary-safe bracket-replace expression (q123) and the recursive
+# longest-match CTE (q128) — joined per doc, so neither replay can
+# drift from its single-tokenizer twin.
+# --------------------------------------------------------------------------
+def _q129_oracle() -> str:
+    expr = "regexp_replace(w, '(.)', '<\\1>', 'g')"
+    for a, b in _Q123_MERGES:
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    values = ", ".join(f"('{p}')" for p in _Q128_PIECES)
+    return f"""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
+      WHERE w <> '' AND length(w) <= 64
+    ),
+    bpe_doc AS (
+      SELECT doc_id,
+             CAST(SUM(length({expr}) - length(replace({expr}, '<', '')))
+                  AS BIGINT) AS bpe_tokens
+      FROM words GROUP BY doc_id
+    ),
+    vocab AS (SELECT DISTINCT w FROM words),
+    pieces(p) AS (VALUES {values}),
+    positions AS (
+      SELECT v.w, g.i AS pos
+      FROM vocab v, generate_series(1, 64) AS g(i)
+      WHERE g.i <= length(v.w)
+    ),
+    steps AS (
+      SELECT q.w, q.pos, COALESCE(MAX(length(p.p)), 1) AS step
+      FROM positions q LEFT JOIN pieces p
+        ON p.p = substr(q.w, CAST(q.pos AS INTEGER), length(p.p))
+      GROUP BY q.w, q.pos
+    ),
+    seg AS (
+      SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS nt FROM vocab
+      UNION ALL
+      SELECT s.w, s.pos + st.step, s.nt + 1
+      FROM seg s JOIN steps st ON st.w = s.w AND st.pos = s.pos
+    ),
+    wtok AS (SELECT w, nt FROM seg WHERE pos = length(w) + 1),
+    uni_doc AS (
+      SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS uni_pieces
+      FROM words JOIN wtok USING (w) GROUP BY doc_id
+    ),
+    chars_doc AS (
+      SELECT doc_id, CAST(SUM(length(w)) AS BIGINT) AS nc
+      FROM words GROUP BY doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bpe_tokens) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(uni_pieces) AS BIGINT) AS uni_pieces,
+           ROUND(SUM(nc) * 1.0 / SUM(bpe_tokens), 4) AS bpe_chars_per_token,
+           ROUND(SUM(nc) * 1.0 / SUM(uni_pieces), 4) AS uni_chars_per_piece,
+           ROUND(SUM(uni_pieces) * 1.0 / SUM(bpe_tokens), 4) AS fertility_ratio
+    FROM bpe_doc
+    JOIN uni_doc USING (doc_id)
+    JOIN chars_doc USING (doc_id)
+    JOIN documents USING (doc_id)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "q129_tokenizer_compare",
+    oracle=_q129_oracle(),
+    doc="BPE vs unigram-LM tokenizer comparison on the same corpus: "
+    "per-lang token totals, compression, fertility ratio",
+)
+def q129_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.bpe import bpe_encode
+    from reddit_big_data_spark.operators.unigram import unigram_encode
+
+    # q128's word contract, shared by both tokenizer paths: one filtered
+    # word array drives the tokenizer input AND the char count.
+    wordsarr = F.filter(
+        F.split(normalize("text"), " "),
+        lambda w: (w != "") & (F.length(w) <= 64),
+    )
+    docs = spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.array_join(wordsarr, " ").alias("t"),
+        F.aggregate(
+            wordsarr, F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("nc"),
+    )
+    bpe = bpe_encode(
+        docs, "doc_id", "t", _Q123_MERGES, include_empty=False
+    ).select("doc_id", F.col("n_tokens").alias("bpe_tokens"))
+    uni = unigram_encode(
+        docs, "doc_id", "t", _Q128_PIECES, include_empty=False
+    ).select("doc_id", F.col("n_tokens").alias("uni_pieces"))
+    return (
+        docs.join(bpe, "doc_id")
+        .join(uni, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
+            F.sum("uni_pieces").cast("long").alias("uni_pieces"),
+            F.round(
+                F.sum("nc").cast("double") / F.sum("bpe_tokens"), 4
+            ).alias("bpe_chars_per_token"),
+            F.round(
+                F.sum("nc").cast("double") / F.sum("uni_pieces"), 4
+            ).alias("uni_chars_per_piece"),
+            F.round(
+                F.sum("uni_pieces").cast("double") / F.sum("bpe_tokens"), 4
+            ).alias("fertility_ratio"),
+        )
+        .orderBy("lang")
+    )

@@ -40,6 +40,13 @@ _ALLOW: dict[str, dict[str, str]] = {
         "never the corpus rows",
         "GLOBAL_SORT": _ORACLE_SORT,
     },
+    "q129_tokenizer_compare": {
+        "PY_ARROW": "q123's merge loop and q128's longest-match "
+        "segmentation, run side by side on the same corpus — both "
+        "dictionary-trick pandas UDFs over the DISTINCT vocabulary, "
+        "never the corpus rows",
+        "GLOBAL_SORT": _ORACLE_SORT,
+    },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
         "estimate row and the two exact count aggregates) join on "
