@@ -61,9 +61,11 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
     # -- never driver-green: new this round (unigram-LM tokenizer and
-    #    the BPE-vs-unigram comparison composing both artifacts)
+    #    the BPE-vs-unigram comparison composing both artifacts,
+    #    and quality-based near-dup retention)
     "q128_unigram_tokenize",
     "q129_tokenizer_compare",
+    "q130_neardup_retention",
     # -- the r4-stale core cohort (VERDICT r6 #1): every query whose
     #    LAST driver-green row is round 4 — the reference's §2 heart
     #    (scans, joins, windows, TF-IDF). Ranked by cumulative driver-
@@ -120,5 +122,4 @@ WINDOW_ORDER: list[str] = [
     "q54_asof_join",
     "q56_range_join",
     "q57_pivot",
-    "q58_cube",
 ]

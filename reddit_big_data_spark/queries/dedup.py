@@ -864,3 +864,116 @@ def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — near-dup retention (the TERMINAL dedup decision): q35 finds the
+# near-duplicate clusters; this query decides WHO SURVIVES. Real
+# pipelines do not keep the minimum id — they keep the highest-quality
+# representative per cluster (Lee et al. 2022 keep-longest practice):
+# canonical = the cluster member with the most whitespace tokens, ties
+# to the smallest doc_id; docs in no cluster keep themselves (singleton
+# cluster = own id via the left-join coalesce). Output is q29's shrink
+# report shape — docs/tokens before and after — per language, so exact
+# dedup (q29) and near-dup retention (q130) read side by side.
+#
+# Scale shape: the cluster table is pair-derived (only docs with >= 1
+# near-dup edge — corpus-small), the left join keys on doc_id, and the
+# argmax is a window over CLUSTER partitions (bounded by the largest
+# cluster, never global). Oracle replays the closure recursively and
+# the same keep rule as a window.
+# --------------------------------------------------------------------------
+@register(
+    "q130_neardup_retention",
+    oracle="""
+    WITH RECURSIVE norm AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS toks
+      FROM documents
+    ),
+    """
+    + _SHINGLES_CTE
+    + ", edges AS ("
+    + _BRUTE_PAIRS_06
+    + """),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION ALL
+      SELECT id_b, id_a FROM edges
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM sym
+      UNION
+      SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.id
+    ),
+    comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+    meta AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    labeled AS (
+      SELECT m.doc_id, m.lang, m.n_tokens,
+             COALESCE(comp.cluster_id, m.doc_id) AS cid
+      FROM meta m LEFT JOIN comp ON comp.id = m.doc_id
+    ),
+    keep AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (PARTITION BY cid
+                                          ORDER BY n_tokens DESC, doc_id) AS rn
+        FROM labeled
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS docs_before,
+           CAST(SUM(CASE WHEN keep.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_after,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN keep.doc_id IS NOT NULL THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS tokens_after
+    FROM labeled LEFT JOIN keep USING (doc_id)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="near-dup retention: keep the longest doc per q35 cluster "
+    "(ties to smallest id); per-lang corpus shrink report",
+)
+def q130_neardup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from reddit_big_data_spark.operators.components import dedup_clusters
+    from reddit_big_data_spark.operators.simjoin import similarity_join
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.split(normalize("text"), " ").alias("toks")
+    )
+    sh = toks.select(
+        "doc_id", word_shingles(F.col("toks"), 2).alias("shingles")
+    )
+    clusters = dedup_clusters(
+        similarity_join(sh, "doc_id", "shingles", threshold=0.6)
+    ).select("doc_id", "cluster_id")
+    meta = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    labeled = meta.join(clusters, "doc_id", "left").withColumn(
+        "cid", F.coalesce("cluster_id", "doc_id")
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("n_tokens"), "doc_id")
+    flagged = labeled.withColumn(
+        "is_kept", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs_before"),
+            F.sum("is_kept").alias("docs_after"),
+            F.sum("n_tokens").alias("tokens_before"),
+            F.sum(F.col("n_tokens") * F.col("is_kept")).alias("tokens_after"),
+        )
+        .orderBy("lang")
+    )
