@@ -401,10 +401,20 @@ _Q123_MERGES = [
 ]
 
 
-def _q123_oracle() -> str:
+def _bpe_bracket_expr() -> str:
+    """The boundary-safe bracket-replace replay of _Q123_MERGES over a
+    word column `w` (per-symbol '<sym>' wrapping; see the q123 header
+    comment for why full wrapping matters). ONE definition shared by
+    _q123_oracle and _q129_oracle so the replay cannot drift between
+    the single-tokenizer query and the comparison (review r7)."""
     expr = "regexp_replace(w, '(.)', '<\\1>', 'g')"
     for a, b in _Q123_MERGES:
         expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    return expr
+
+
+def _q123_oracle() -> str:
+    expr = _bpe_bracket_expr()
     return f"""
     WITH norm AS (
       SELECT doc_id,
@@ -493,36 +503,69 @@ _Q128_PIECES = [
     "ing", "nd", "on", "or", "re", "st", "th", "the", "ti", "tion",
 ]
 
+# The q128/q129 WORD CONTRACT, one definition per engine so the two
+# queries (and the test pinning the contract) can never drift apart
+# (review r7): normalized words, empty strings dropped, length capped at
+# _MAX_WORD chars — longer [a-z0-9] runs are identifier/digit noise, not
+# language, and the cap is what makes the oracle replay's constant
+# position series EXACT rather than an assumption. A 65+-char word
+# without the cap would lose its steps rows past position _MAX_WORD and
+# silently vanish from the oracle's wtok while Spark still counted it.
+_MAX_WORD = 64
 
-def _q128_oracle() -> str:
-    values = ", ".join(f"('{p}')" for p in _Q128_PIECES)
-    return f"""
-    WITH RECURSIVE norm AS (
+# -- Spark side: one filtered array drives the tokenizer input AND the
+#    char count, so the two sides cannot disagree on which words count.
+
+
+def _capped_words_array():
+    return F.filter(
+        F.split(normalize("text"), " "),
+        lambda w: (w != "") & (F.length(w) <= _MAX_WORD),
+    )
+
+
+def _capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wordsarr = _capped_words_array()
+    return spread(read_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "lang",
+        F.array_join(wordsarr, " ").alias("t"),
+        F.aggregate(
+            wordsarr, F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("nc"),
+    )
+
+
+# -- oracle side: the same contract as CTE text, shared by _q128_oracle
+#    and _q129_oracle (must follow a WITH RECURSIVE header).
+_WORDS_CTE = f"""
+    norm AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(lower(text),
                  '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
       FROM documents
     ),
     words AS (
-      -- length(w) <= 64 is part of the QUERY CONTRACT, enforced on both
-      -- engines (the Spark side filters the same bound): longer
-      -- normalized [a-z0-9] runs are identifier/digit noise, not
-      -- language, and the bound is what lets the positions CTE use a
-      -- constant series below. Without it a 65+-char word would lose
-      -- its steps rows past position 64 and silently vanish from wtok
-      -- while Spark still counted it (review r7).
       SELECT doc_id, w
       FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
-      WHERE w <> '' AND length(w) <= 64
-    ),
+      WHERE w <> '' AND length(w) <= {_MAX_WORD}
+    )"""
+
+
+def _unigram_seg_ctes() -> str:
+    """The recursive longest-match replay of _Q128_PIECES over the words
+    CTE's distinct vocabulary, ending in wtok(w, nt). ONE definition for
+    _q128_oracle and _q129_oracle (review r7). The positions CTE uses a
+    constant series (this DuckDB build rejects lateral column parameters
+    to generate_series); _MAX_WORD is exact because the words CTE
+    enforces it."""
+    values = ", ".join(f"('{p}')" for p in _Q128_PIECES)
+    return f"""
     vocab AS (SELECT DISTINCT w FROM words),
     pieces(p) AS (VALUES {values}),
     positions AS (
-      -- constant series + length filter (this DuckDB build rejects
-      -- lateral column parameters to generate_series); 64 is EXACT, not
-      -- an assumption — the words CTE enforces it
       SELECT v.w, g.i AS pos
-      FROM vocab v, generate_series(1, 64) AS g(i)
+      FROM vocab v, generate_series(1, {_MAX_WORD}) AS g(i)
       WHERE g.i <= length(v.w)
     ),
     steps AS (
@@ -537,7 +580,16 @@ def _q128_oracle() -> str:
       SELECT s.w, s.pos + st.step, s.nt + 1
       FROM seg s JOIN steps st ON st.w = s.w AND st.pos = s.pos
     ),
-    wtok AS (SELECT w, nt FROM seg WHERE pos = length(w) + 1),
+    wtok AS (SELECT w, nt FROM seg WHERE pos = length(w) + 1)"""
+
+
+def _q128_oracle() -> str:
+    return (
+        "\n    WITH RECURSIVE "
+        + _WORDS_CTE
+        + ","
+        + _unigram_seg_ctes()
+        + """,
     per_doc AS (
       SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS nt,
              CAST(SUM(length(w)) AS BIGINT) AS nc
@@ -550,6 +602,7 @@ def _q128_oracle() -> str:
     FROM per_doc JOIN documents USING (doc_id)
     GROUP BY lang ORDER BY lang
     """
+    )
 
 
 @register(
@@ -562,23 +615,10 @@ def _q128_oracle() -> str:
 def q128_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.unigram import unigram_encode
 
-    # Words capped at 64 chars on BOTH engines (the oracle's words CTE
-    # carries the same bound — it is what makes the recursive replay's
-    # constant position series exact): filter the word array once, then
-    # derive the tokenizer input AND the char count from that same array
-    # so the two sides can never disagree on which words count.
-    wordsarr = F.filter(
-        F.split(normalize("text"), " "),
-        lambda w: (w != "") & (F.length(w) <= 64),
-    )
-    docs = spread(read_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "lang",
-        F.array_join(wordsarr, " ").alias("t"),
-        F.aggregate(
-            wordsarr, F.lit(0), lambda a, w: a + F.length(w)
-        ).alias("nc"),
-    )
+    # the shared word contract (_capped_docs): one filtered array drives
+    # the tokenizer input AND the char count, capped at _MAX_WORD on
+    # both engines
+    docs = _capped_docs(spark, sf_dir)
     # include_empty=False: this report — like the oracle's words CTE —
     # covers tokenizable docs only (q123's contract), so skip the
     # completeness join rather than filter its rows back out.
@@ -614,48 +654,19 @@ def q128_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drift from its single-tokenizer twin.
 # --------------------------------------------------------------------------
 def _q129_oracle() -> str:
-    expr = "regexp_replace(w, '(.)', '<\\1>', 'g')"
-    for a, b in _Q123_MERGES:
-        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
-    values = ", ".join(f"('{p}')" for p in _Q128_PIECES)
-    return f"""
-    WITH RECURSIVE norm AS (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(text),
-                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS t
-      FROM documents
-    ),
-    words AS (
-      SELECT doc_id, w
-      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w FROM norm)
-      WHERE w <> '' AND length(w) <= 64
-    ),
+    expr = _bpe_bracket_expr()
+    return (
+        "\n    WITH RECURSIVE "
+        + _WORDS_CTE
+        + f""",
     bpe_doc AS (
       SELECT doc_id,
              CAST(SUM(length({expr}) - length(replace({expr}, '<', '')))
                   AS BIGINT) AS bpe_tokens
       FROM words GROUP BY doc_id
-    ),
-    vocab AS (SELECT DISTINCT w FROM words),
-    pieces(p) AS (VALUES {values}),
-    positions AS (
-      SELECT v.w, g.i AS pos
-      FROM vocab v, generate_series(1, 64) AS g(i)
-      WHERE g.i <= length(v.w)
-    ),
-    steps AS (
-      SELECT q.w, q.pos, COALESCE(MAX(length(p.p)), 1) AS step
-      FROM positions q LEFT JOIN pieces p
-        ON p.p = substr(q.w, CAST(q.pos AS INTEGER), length(p.p))
-      GROUP BY q.w, q.pos
-    ),
-    seg AS (
-      SELECT w, CAST(1 AS BIGINT) AS pos, 0 AS nt FROM vocab
-      UNION ALL
-      SELECT s.w, s.pos + st.step, s.nt + 1
-      FROM seg s JOIN steps st ON st.w = s.w AND st.pos = s.pos
-    ),
-    wtok AS (SELECT w, nt FROM seg WHERE pos = length(w) + 1),
+    ),"""
+        + _unigram_seg_ctes()
+        + """,
     uni_doc AS (
       SELECT doc_id, CAST(SUM(nt) AS BIGINT) AS uni_pieces
       FROM words JOIN wtok USING (w) GROUP BY doc_id
@@ -677,6 +688,7 @@ def _q129_oracle() -> str:
     JOIN documents USING (doc_id)
     GROUP BY lang ORDER BY lang
     """
+    )
 
 
 @register(
@@ -689,20 +701,9 @@ def q129_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.bpe import bpe_encode
     from reddit_big_data_spark.operators.unigram import unigram_encode
 
-    # q128's word contract, shared by both tokenizer paths: one filtered
-    # word array drives the tokenizer input AND the char count.
-    wordsarr = F.filter(
-        F.split(normalize("text"), " "),
-        lambda w: (w != "") & (F.length(w) <= 64),
-    )
-    docs = spread(read_table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        "lang",
-        F.array_join(wordsarr, " ").alias("t"),
-        F.aggregate(
-            wordsarr, F.lit(0), lambda a, w: a + F.length(w)
-        ).alias("nc"),
-    )
+    # the same shared word contract as q128 (_capped_docs): both
+    # tokenizers score the identical word multiset
+    docs = _capped_docs(spark, sf_dir)
     bpe = bpe_encode(
         docs, "doc_id", "t", _Q123_MERGES, include_empty=False
     ).select("doc_id", F.col("n_tokens").alias("bpe_tokens"))

@@ -113,25 +113,30 @@ def test_train_unigram_rejects_zero_prune_rounds(spark):
 
 
 def test_q128_word_length_contract(spark):
-    """Review r7: words longer than 64 chars are excluded from BOTH the
-    tokenizer input and the char count on the Spark side (the oracle's
-    words CTE carries the same bound), so the two engines can never
-    disagree on which words the report covers."""
+    """Review r7 (x2): words longer than _MAX_WORD chars are excluded
+    from BOTH the tokenizer input and the char count on the Spark side
+    (the oracle's shared words CTE carries the same bound). This
+    exercises the PRODUCTION helpers q128 and q129 consume
+    (_capped_words_array / _WORDS_CTE) — not a copy of the expression —
+    so an edit to the bound or filter in queries/cooc.py fails here."""
     from pyspark.sql import functions as F
 
-    from reddit_big_data_spark.operators.text import normalize
+    from reddit_big_data_spark.queries.cooc import (
+        _MAX_WORD,
+        _WORDS_CTE,
+        _capped_words_array,
+    )
 
-    long_word = "x" * 70
+    long_word = "x" * (_MAX_WORD + 6)
     df = spark.createDataFrame(
         [(1, f"short {long_word} words")], "doc_id: int, text: string"
     )
-    wordsarr = F.filter(
-        F.split(normalize("text"), " "),
-        lambda w: (w != "") & (F.length(w) <= 64),
-    )
+    wordsarr = _capped_words_array()
     row = df.select(
         F.array_join(wordsarr, " ").alias("t"),
         F.aggregate(wordsarr, F.lit(0), lambda a, w: a + F.length(w)).alias("nc"),
     ).collect()[0]
     assert row["t"] == "short words"
     assert row["nc"] == len("shortwords")
+    # the oracle side of the contract carries the SAME bound
+    assert f"length(w) <= {_MAX_WORD}" in _WORDS_CTE
