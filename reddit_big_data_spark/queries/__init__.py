@@ -54,6 +54,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     cms,
     maintenance,
     udtfq,
+    streamingq,
     multimodal,
     mlq,
 )
@@ -62,10 +63,12 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 WINDOW_ORDER: list[str] = [
     # -- never driver-green: new this round (unigram-LM tokenizer and
     #    the BPE-vs-unigram comparison composing both artifacts,
-    #    and quality-based near-dup retention)
+    #    quality-based near-dup retention, and the first ORACLE-checked
+    #    streaming query)
     "q128_unigram_tokenize",
     "q129_tokenizer_compare",
     "q130_neardup_retention",
+    "q131_streaming_windowed_counts",
     # -- the r4-stale core cohort (VERDICT r6 #1): every query whose
     #    LAST driver-green row is round 4 — the reference's §2 heart
     #    (scans, joins, windows, TF-IDF). Ranked by cumulative driver-
@@ -121,5 +124,4 @@ WINDOW_ORDER: list[str] = [
     "q53_sessionization",
     "q54_asof_join",
     "q56_range_join",
-    "q57_pivot",
 ]

@@ -1,0 +1,73 @@
+"""Registry-facing Structured Streaming queries (§2.12).
+
+The streaming surface has been tests-only since round 2
+(tests/test_streaming*.py prove stream == batch for windows, session
+windows, dedup, joins, sinks, and TWS state). q131 promotes the
+cornerstone equivalence into the ORACLE-CHECKED registry: the query
+EXECUTES the real streaming path — file-source readStream over the
+events table, watermarked tumbling-window aggregate, availableNow drain
+into a memory sink — and returns the drained result in q51's exact
+output shape. The DuckDB oracle is therefore q51's oracle verbatim:
+the streaming execution must produce the identical rows the batch
+engine (and the oracle) computes, which is precisely Structured
+Streaming's unified-model promise.
+
+Scale posture: the same code ships to production by swapping the
+memory sink for parquet/kafka + a checkpoint location
+(streaming/sinks.py); the availableNow trigger processes the backlog
+in bounded batches (maxFilesPerTrigger), so a 100 TB catch-up run is
+a sequence of window-partial merges, never one giant batch. The
+memory sink here is the test/dev drain and holds only the aggregated
+window rows (|windows| x |event types|), never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.registry import register
+
+
+@register(
+    "q131_streaming_windowed_counts",
+    oracle="""
+    -- q51's oracle verbatim: the streaming path must equal the batch
+    -- result (window_start as epoch seconds for resolution-stable
+    -- hash-compare, see q51).
+    SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="STREAMING tumbling-window counts (readStream -> watermark -> "
+    "window agg -> availableNow memory drain) == q51's batch/oracle rows",
+)
+def q131_streaming_windowed_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+        windowed_counts,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    agg = windowed_counts(ev, window="6 hours", watermark="1 hour")
+    # complete output mode: every window is (re)emitted at the final
+    # trigger, so the drained table equals the batch aggregate exactly —
+    # the watermark only bounds state in continuous operation.
+    run_to_memory_sink(agg, "q131_sink", mode="complete")
+    return (
+        spark.table("q131_sink")
+        .select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
