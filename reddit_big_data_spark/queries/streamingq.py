@@ -71,3 +71,43 @@ def q131_streaming_windowed_counts(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q132_streaming_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="STREAMING exact dedup (dropDuplicatesWithinWatermark on "
+    "(user_id, event_type)) drained and aggregated == batch COUNT "
+    "DISTINCT per type",
+)
+def q132_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the LLM-pipeline exact-dedup path (q30), in the
+    oracle-checked registry: dropDuplicatesWithinWatermark keeps ONE
+    arrival per (user_id, event_type) with state bounded by the
+    watermark, the memory sink drains the surviving rows (append mode —
+    dedup rows emit as they arrive), and the RETURNED frame aggregates
+    the drained table batch-side. Aggregating after the drain keeps the
+    output deterministic: WHICH physical row survives a key is
+    partition-order dependent, but the surviving KEY SET is exact, so
+    per-type key counts equal the batch COUNT(DISTINCT). The streaming
+    query itself stays single-stateful-operator (dedup only) — no
+    chained stateful restrictions in play."""
+    from reddit_big_data_spark.streaming.windows import (
+        dedup_stream,
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    dd = dedup_stream(ev, keys=["user_id", "event_type"], watermark="1 hour")
+    run_to_memory_sink(dd, "q132_sink", mode="append")
+    return (
+        spark.table("q132_sink")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("distinct_users"))
+        .orderBy("event_type")
+    )
