@@ -70,6 +70,7 @@ WINDOW_ORDER: list[str] = [
     "q130_neardup_retention",
     "q131_streaming_windowed_counts",
     "q132_streaming_dedup",
+    "q133_streaming_enrich",
     # -- the r4-stale core cohort (VERDICT r6 #1): every query whose
     #    LAST driver-green row is round 4 — the reference's §2 heart
     #    (scans, joins, windows, TF-IDF). Ranked by cumulative driver-
@@ -123,5 +124,4 @@ WINDOW_ORDER: list[str] = [
     "q25_sentiment",
     "q52_binary_payloads",
     "q53_sessionization",
-    "q54_asof_join",
 ]

@@ -111,3 +111,51 @@ def q132_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("distinct_users"))
         .orderBy("event_type")
     )
+
+
+@register(
+    "q133_streaming_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="STREAMING stream-static enrich (events x broadcast customer "
+    "dim) drained and aggregated == the batch join",
+)
+def q133_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment in the oracle-checked
+    registry: the events stream inner-joins the (batch-read, broadcast)
+    customer dim on user_id = c_custkey inside the streaming query — the
+    streaming twin of the batch J1/J2 broadcast dim joins — then the
+    drained rows aggregate per market segment batch-side. The join is
+    STATELESS (static right side re-resolved per micro-batch), so every
+    matched row emits exactly once and the drained set equals the batch
+    join deterministically; only the aggregate needs the batch-side
+    float-rounding discipline (q51's ROUND convention)."""
+    from reddit_big_data_spark.sources.io import read_table
+    from reddit_big_data_spark.streaming.joins import enrich_stream
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = enrich_stream(ev, dim, "user_id", how="inner").select(
+        "event_type", "value", "c_mktsegment"
+    )
+    run_to_memory_sink(enriched, "q133_sink", mode="append")
+    return (
+        spark.table("q133_sink")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("segment")
+    )
