@@ -268,3 +268,63 @@ def test_connected_components_matches_reference(spark, edges, path):
         for r in connected_components(df, "a", "b", **kwargs).collect()
     }
     assert got == set(label.items())
+
+
+@settings(**_SETTINGS)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdex", min_size=1, max_size=10), min_size=1, max_size=12
+    ),
+    pieces=st.sets(
+        st.text(alphabet="abcdex", min_size=2, max_size=4), max_size=8
+    ),
+)
+def test_greedy_segment_partition_invariants(words, pieces):
+    """Pure-driver properties of the q128/q129 apply rule, on arbitrary
+    words and piece sets: (1) round-trip — concatenating a word's pieces
+    reproduces it exactly (segmentation partitions, never rewrites);
+    (2) every multi-char output token is a real piece; (3) greedy
+    longest-match — at each position the emitted token is the LONGEST
+    piece prefixing the remainder (single char when none matches)."""
+    from reddit_big_data_spark.operators.unigram import greedy_segment
+
+    mx = max((len(p) for p in pieces), default=1)
+    for w in words:
+        toks = greedy_segment(w, pieces, mx)
+        assert "".join(toks) == w
+        i = 0
+        for t in toks:
+            if len(t) > 1:
+                assert t in pieces
+            # longest-match: no LONGER piece also matches here
+            for L in range(len(t) + 1, min(mx, len(w) - i) + 1):
+                assert w[i : i + L] not in pieces, (w, i, t, w[i : i + L])
+            i += len(t)
+
+
+@settings(**_SETTINGS)
+@given(
+    corpus=st.lists(
+        st.text(alphabet="abcd ", min_size=1, max_size=30), min_size=1, max_size=8
+    ),
+    vocab_size=st.integers(8, 40),
+)
+def test_train_unigram_artifact_invariants(spark, corpus, vocab_size):
+    """train_unigram on arbitrary corpora: the artifact is sorted and
+    deduplicated, respects vocab_size up to the single-char coverage
+    floor, always contains every corpus character, and every piece is a
+    substring of some corpus word (nothing invented)."""
+    from reddit_big_data_spark.operators.unigram import train_unigram
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text: string")
+    all_words = [w for t in corpus for w in t.split() if w]
+    pieces = train_unigram(df, "text", vocab_size=vocab_size)
+    chars = {c for w in all_words for c in w}
+    if not all_words:
+        assert pieces == []
+        return
+    assert pieces == sorted(set(pieces))
+    assert chars <= set(pieces)
+    assert len(pieces) <= max(vocab_size, len(chars))
+    for p in pieces:
+        assert any(p in w for w in all_words), p
