@@ -159,3 +159,64 @@ def q133_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@register(
+    "q134_streaming_attribution",
+    oracle="""
+    -- timestamps compared/emitted as epoch MICROS on both engines:
+    -- Spark's reader truncates the file's encoding to micros, DuckDB's
+    -- epoch_us is the exact integer twin — no sub-micro ambiguity at
+    -- the interval boundaries.
+    SELECT a.user_id,
+           CAST(epoch_us(a.ts) AS BIGINT) AS click_us,
+           CAST(epoch_us(b.ts) AS BIGINT) AS purchase_us,
+           ROUND(b.value, 4) AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    ORDER BY 1, 2, 3
+    """,
+    doc="STREAMING stream-stream interval join (click->purchase "
+    "attribution within 30 min) drained == the batch interval join",
+)
+def q134_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth streaming pillar — the stream-STREAM interval join
+    (canonical click-attribution shape): clicks and purchases are two
+    filtered views of the events stream, joined on user_id with the
+    purchase time-bounded to [click_ts, click_ts + 30 min]. Both sides
+    carry watermarks, so each state store holds only rows inside the
+    watermark + interval horizon (streaming/joins.py — without the time
+    bound Spark rejects the plan as unbounded-state). Inner stream-
+    stream joins emit matches eagerly as both sides arrive, so the
+    availableNow drain holds exactly the batch interval-join row set;
+    the oracle is that batch join verbatim, at micro-second resolution
+    on both engines."""
+    from reddit_big_data_spark.streaming.joins import interval_join_streams
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        max_delay="30 minutes",
+        watermark="1 hour",
+    ).select(
+        "user_id",
+        F.unix_micros("ts").alias("click_us"),
+        F.unix_micros("r_ts").alias("purchase_us"),
+        F.round("r_value", 4).alias("purchase_value"),
+    )
+    run_to_memory_sink(joined, "q134_sink", mode="append")
+    return spark.table("q134_sink").orderBy(
+        "user_id", "click_us", "purchase_us"
+    )
