@@ -19,14 +19,48 @@ in bounded batches (maxFilesPerTrigger), so a 100 TB catch-up run is
 a sequence of window-partial merges, never one giant batch. The
 memory sink here is the test/dev drain and holds only the aggregated
 window rows (|windows| x |event types|), never raw events.
+
+DETERMINISM SCOPE of the watermark-STATEFUL queries (q132 dedup, q134
+stream-stream join; review r7): their stream == batch equivalence holds
+for a backlog drained in ONE micro-batch — the watermark only advances
+BETWEEN batches, so a single-batch drain can never late-drop a row.
+With the testdata's single events file and maxFilesPerTrigger=1 that is
+guaranteed, and _assert_single_backlog_file makes the precondition LOUD
+instead of silent: a multi-file events directory would drain in several
+batches, the watermark after batch 1 would advance to max(ts) - delay,
+and genuinely-late rows in later batches would be dropped — which is
+the CORRECT streaming semantics for late data, but not something a
+batch SQL oracle can replay. q131 (complete-mode agg re-emits all
+windows at the final trigger) and q133 (stateless join) are equivalent
+under any batch split.
 """
 
 from __future__ import annotations
+
+import glob as _glob
+import os as _os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_big_data_spark.registry import register
+
+
+def _assert_single_backlog_file(sf_dir: str) -> None:
+    """Precondition for the watermark-stateful oracle equivalences (see
+    module docstring): the events backlog must be ONE file so the
+    availableNow drain is one micro-batch. Raises instead of letting a
+    multi-batch drain surface as a confusing oracle value mismatch."""
+    files = _glob.glob(_os.path.join(sf_dir, "events.parquet"))
+    if len(files) != 1 or not _os.path.isfile(files[0]):
+        raise ValueError(
+            f"{sf_dir}/events.parquet must be exactly one parquet FILE "
+            f"(found {files!r}): the q132/q134 oracle equivalence is "
+            "scoped to a single-micro-batch drain (watermarks advance "
+            "between batches and would late-drop rows of a multi-file "
+            "backlog — correct streaming semantics, but not "
+            "batch-oracle-replayable)"
+        )
 
 
 @register(
@@ -76,9 +110,14 @@ def q131_streaming_windowed_counts(
 @register(
     "q132_streaming_dedup",
     oracle="""
+    -- COUNT(DISTINCT user_id) ignores NULLs; the Spark side filters
+    -- NULL keys before dedup so both engines count the same key set
+    -- (review r7 — the testdata has no NULL user_id today, but the
+    -- contract must not depend on that).
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
-    FROM events GROUP BY event_type ORDER BY event_type
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
     """,
     doc="STREAMING exact dedup (dropDuplicatesWithinWatermark on "
     "(user_id, event_type)) drained and aggregated == batch COUNT "
@@ -95,14 +134,19 @@ def q132_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-order dependent, but the surviving KEY SET is exact, so
     per-type key counts equal the batch COUNT(DISTINCT). The streaming
     query itself stays single-stateful-operator (dedup only) — no
-    chained stateful restrictions in play."""
+    chained stateful restrictions in play. NULL user_id rows are
+    filtered before dedup: the oracle's COUNT(DISTINCT) ignores NULLs
+    while dropDuplicates would keep a NULL-keyed row per type (review
+    r7). Determinism scope: single-micro-batch drain — see the module
+    docstring and _assert_single_backlog_file."""
     from reddit_big_data_spark.streaming.windows import (
         dedup_stream,
         run_to_memory_sink,
         stream_events,
     )
 
-    ev = stream_events(spark, sf_dir)
+    _assert_single_backlog_file(sf_dir)
+    ev = stream_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
     dd = dedup_stream(ev, keys=["user_id", "event_type"], watermark="1 hour")
     run_to_memory_sink(dd, "q132_sink", mode="append")
     return (
@@ -192,13 +236,17 @@ def q134_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream joins emit matches eagerly as both sides arrive, so the
     availableNow drain holds exactly the batch interval-join row set;
     the oracle is that batch join verbatim, at micro-second resolution
-    on both engines."""
+    on both engines. Determinism scope: single-micro-batch drain (both
+    sides of a multi-batch backlog could lose genuinely-late pairs to
+    the watermark — correct streaming semantics, not oracle-replayable);
+    see the module docstring and _assert_single_backlog_file."""
     from reddit_big_data_spark.streaming.joins import interval_join_streams
     from reddit_big_data_spark.streaming.windows import (
         run_to_memory_sink,
         stream_events,
     )
 
+    _assert_single_backlog_file(sf_dir)
     ev = stream_events(spark, sf_dir)
     clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
