@@ -72,6 +72,7 @@ WINDOW_ORDER: list[str] = [
     "q132_streaming_dedup",
     "q133_streaming_enrich",
     "q134_streaming_attribution",
+    "q135_streaming_sketch_rollup",
     # -- the r4-stale core cohort (VERDICT r6 #1): every query whose
     #    LAST driver-green row is round 4 — the reference's §2 heart
     #    (scans, joins, windows, TF-IDF). Ranked by cumulative driver-
@@ -123,5 +124,4 @@ WINDOW_ORDER: list[str] = [
     "q99_weighted_sample",
     "q23_epoch_concat",
     "q25_sentiment",
-    "q52_binary_payloads",
 ]

@@ -268,3 +268,74 @@ def q134_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q134_sink").orderBy(
         "user_id", "click_us", "purchase_us"
     )
+
+
+@register(
+    "q135_streaming_sketch_rollup",
+    oracle="""
+    -- q59's oracle verbatim: the estimate is checked by the
+    -- guarantee boolean, exact counts anchor the row.
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd,
+           TRUE AS nd_within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="STREAMING HLL sketch ingest (level 1) + batch-side level-2 "
+    "hll_union_agg rollup == q59's two-level distinct rollup",
+)
+def q135_streaming_sketch_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100 TB two-level rollup story with the level-1 ingest as a
+    REAL stream: hll_sketch_agg maintains one fixed-size mergeable
+    sketch blob per (event_type, day) of streaming state, the complete-
+    mode drain materializes the level-1 blobs, and level 2 merges them
+    with hll_union_agg batch-side — never re-reading raw rows (the
+    whole point: at scale level 2 runs over |days| x |types| blobs, not
+    the corpus). Deterministic under any batch split: HLL registers are
+    MAXes (order-independent) and complete mode re-emits every group at
+    the final trigger, so the drained blobs — and therefore the level-2
+    estimate — equal the batch build exactly. Oracle = q59's (exact
+    anchors + the 5%-bound guarantee boolean the estimate must pass)."""
+    from reddit_big_data_spark.sources.io import read_table
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+        streaming_daily_sketches,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    run_to_memory_sink(
+        streaming_daily_sketches(ev), "q135_sink", mode="complete"
+    )
+    lvl2 = (
+        spark.table("q135_sink")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "__approx_nd"
+            ),
+        )
+    )
+    exact = (
+        read_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_nd"))
+    )
+    return (
+        lvl2.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_nd",
+            (
+                F.abs(F.col("__approx_nd") - F.col("exact_nd"))
+                <= 0.05 * F.col("exact_nd")
+            ).alias("nd_within_bound"),
+        )
+        .orderBy("event_type")
+    )

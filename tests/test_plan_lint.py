@@ -189,7 +189,7 @@ for _q in (
     "q113_shard_manifest q114_mixture_weights q115_cdc_chunks q116_semdedup "
     "q117_returned_revenue q118_large_volume_orders q119_disjunctive_revenue "
     "q120_supplier_diversity q121_sole_late_supplier q124_novelty_curve q125_label_noise "
-    "q127_top_supplier q130_neardup_retention q131_streaming_windowed_counts q132_streaming_dedup q133_streaming_enrich q134_streaming_attribution"
+    "q127_top_supplier q130_neardup_retention q131_streaming_windowed_counts q132_streaming_dedup q133_streaming_enrich q134_streaming_attribution q135_streaming_sketch_rollup"
 ).split():
     _ALLOW.setdefault(_q, {})["GLOBAL_SORT"] = _ORACLE_SORT
 
