@@ -26,6 +26,10 @@ Families and their candidate stages:
        |corpus| x |queries| exactly (recorded from the two counts; the
        scale path for corpus growth is q104's IVF-PQ cell join, whose
        probe cost is nprobe/nlist of the corpus)
+- q112 substring dedup      : the positional k-gram anchor table (one
+       row per (doc, start) — sum(max(0, len-k+1)) over docs), the
+       shuffle-volume driver of the Lee-et-al-shaped dedup; linear in
+       corpus tokens by construction (no suffix array, no pair join)
 
 Exponent fit: least-squares slope of log(candidates) vs log(n_input)
 over ALL measured points (the driver testdata repeats row counts
@@ -125,6 +129,25 @@ def measure_q41(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_q112(spark, sf_dir: str) -> dict:
+    """Substring-level dedup (q112): the shuffle-volume driver is the
+    positional k-gram table — exactly one row per (doc, start position),
+    so sum(max(0, len - k + 1)) over docs. Linear in corpus TOKENS by
+    construction (the Lee et al. anchor trick's whole point: no suffix
+    array, no pair join — one shuffle on the gram digest)."""
+    from reddit_big_data_spark.queries.dedup import _tokens
+
+    toks = _tokens(spark, sf_dir)
+    k = 8  # q112's anchor length
+    row = toks.select(
+        F.count("*").alias("n"),
+        F.sum(
+            F.greatest(F.lit(0), F.size("toks") - (k - 1))
+        ).alias("grams"),
+    ).collect()[0]
+    return {"n_input": int(row["n"]), "candidates": int(row["grams"])}
+
+
 def measure_q102(spark, sf_dir: str) -> dict:
     from reddit_big_data_spark.sources.io import read_table
 
@@ -142,6 +165,7 @@ MEASURES = {
     "q36_prefix_simjoin": measure_q36,
     "q41_lsh_ann": measure_q41,
     "q102_pq_ann": measure_q102,
+    "q112_substring_dedup": measure_q112,
 }
 
 # Paths whose candidate growth MUST be sub-quadratic (banded/bucketed);
@@ -156,7 +180,7 @@ MEASURES = {
 # this; the banded MinHash/SimHash families are the sanctioned route
 # when the corpus outgrows the exact join). SCALING.json records q36's
 # measured exponent and all-pairs fraction rather than hiding them.
-BANDED = ("q31_minhash_neardup", "q41_lsh_ann")
+BANDED = ("q31_minhash_neardup", "q41_lsh_ann", "q112_substring_dedup")
 NOTES = {
     "q36_prefix_simjoin": (
         "exact join: candidate growth is intrinsically ~quadratic on "
@@ -167,6 +191,11 @@ NOTES = {
         "flat ADC scan: candidates = |corpus| x |queries| by "
         "construction (linear in corpus for a fixed probe set); q104 "
         "IVF-PQ is the cell-scoped variant"
+    ),
+    "q112_substring_dedup": (
+        "k-gram anchor table: one row per (doc, position) — linear in "
+        "corpus tokens, shuffled once on the gram digest (no suffix "
+        "array, no pair join)"
     ),
 }
 

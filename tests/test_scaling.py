@@ -65,3 +65,10 @@ def test_exact_simjoin_prunes_allpairs(spark):
         frac = rec["candidates"] / (n * (n - 1) / 2)
         assert frac < cap, f"{sf_dir}: candidates are {frac:.2%} of all-pairs"
         spark.catalog.clearCache()
+
+
+def test_substring_dedup_grams_linear(spark):
+    # the k-gram anchor table is one row per (doc, position): linear in
+    # corpus tokens by construction (the no-suffix-array point of q112)
+    exp, pts = _exponent(spark, scaling.measure_q112)
+    assert exp < 1.5, f"q112 anchor-table exponent {exp:.2f} at {pts}"
