@@ -66,14 +66,18 @@ def _assert_single_backlog_file(sf_dir: str) -> None:
 @register(
     "q131_streaming_windowed_counts",
     oracle="""
-    -- q51's oracle verbatim: the streaming path must equal the batch
-    -- result (window_start as epoch seconds for resolution-stable
-    -- hash-compare, see q51).
+    -- q51's oracle plus the NULL-event-time contract: a watermarked
+    -- streaming agg DROPS rows whose event time is NULL (they cannot be
+    -- compared to the watermark) while batch SQL would keep a NULL
+    -- bucket — both engines exclude them explicitly (review r7 class;
+    -- the testdata has no NULL ts, but the contract must not depend on
+    -- that). window_start as epoch seconds for resolution-stable
+    -- hash-compare, see q51.
     SELECT CAST(FLOOR(epoch(ts) / 21600) * 21600 AS BIGINT) AS window_start,
            event_type,
            COUNT(*) AS cnt,
            ROUND(SUM(value), 4) AS sum_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     ORDER BY 1, 2
     """,
@@ -89,7 +93,9 @@ def q131_streaming_windowed_counts(
         windowed_counts,
     )
 
-    ev = stream_events(spark, sf_dir)
+    # NULL event times dropped explicitly on BOTH engines (the
+    # watermarked agg would drop them implicitly; the oracle filters)
+    ev = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     agg = windowed_counts(ev, window="6 hours", watermark="1 hour")
     # complete output mode: every window is (re)emitted at the final
     # trigger, so the drained table equals the batch aggregate exactly —
@@ -116,7 +122,7 @@ def q131_streaming_windowed_counts(
     -- contract must not depend on that).
     SELECT event_type,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
-    FROM events WHERE user_id IS NOT NULL
+    FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     GROUP BY event_type ORDER BY event_type
     """,
     doc="STREAMING exact dedup (dropDuplicatesWithinWatermark on "
@@ -146,7 +152,12 @@ def q132_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _assert_single_backlog_file(sf_dir)
-    ev = stream_events(spark, sf_dir).filter(F.col("user_id").isNotNull())
+    # NULL keys: the oracle's COUNT(DISTINCT) ignores them. NULL event
+    # times: the watermarked dedup drops them implicitly — both
+    # exclusions are explicit on both engines (review r7 class).
+    ev = stream_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
     dd = dedup_stream(ev, keys=["user_id", "event_type"], watermark="1 hour")
     run_to_memory_sink(dd, "q132_sink", mode="append")
     return (
@@ -279,7 +290,7 @@ def q134_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_nd,
            TRUE AS nd_within_bound
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -307,7 +318,10 @@ def q135_streaming_sketch_rollup(
         streaming_daily_sketches,
     )
 
-    ev = stream_events(spark, sf_dir)
+    # the report is scoped to rows WITH a timestamp on both engines (a
+    # NULL day would form a group batch-side that the oracle's COUNT
+    # DISTINCT ignores — review r7 class)
+    ev = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
     run_to_memory_sink(
         streaming_daily_sketches(ev), "q135_sink", mode="complete"
     )
@@ -323,6 +337,7 @@ def q135_streaming_sketch_rollup(
     )
     exact = (
         read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy("event_type")
         .agg(F.countDistinct("user_id").alias("exact_nd"))
     )
