@@ -37,6 +37,7 @@ under any batch split.
 
 from __future__ import annotations
 
+import contextlib as _contextlib
 import glob as _glob
 import os as _os
 
@@ -44,6 +45,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_big_data_spark.registry import register
+
+
+@_contextlib.contextmanager
+def _stateful_drain_conf(spark: SparkSession):
+    """Bound spark.sql.shuffle.partitions for the availableNow DRAINS
+    (VERDICT r7 #8). A streaming stateful operator allocates one state
+    store per shuffle partition regardless of data volume — AQE never
+    re-plans streaming queries, so unlike every batch query in this
+    package the partition count is paid in full. On a bench-scale backlog
+    (hundreds of rows) 32 stores x up-to-2 stateful operators is pure
+    fixed cost (~1s/store-set of setup, measured r7 on q134); min(cpus, 8)
+    keeps the drain parallel while shedding that overhead. PRODUCTION
+    KEEPS THE SESSION DEFAULT: at real backlog sizes the state stores are
+    the parallelism, and this context restores the previous value before
+    the post-drain batch aggregation plans. Correctness is unaffected —
+    the partition count only shards state by key hash."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(min(int(prev), _os.cpu_count() or 8, 8)))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def _assert_single_backlog_file(sf_dir: str) -> None:
@@ -100,7 +124,8 @@ def q131_streaming_windowed_counts(
     # complete output mode: every window is (re)emitted at the final
     # trigger, so the drained table equals the batch aggregate exactly —
     # the watermark only bounds state in continuous operation.
-    run_to_memory_sink(agg, "q131_sink", mode="complete")
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(agg, "q131_sink", mode="complete")
     return (
         spark.table("q131_sink")
         .select(
@@ -159,7 +184,8 @@ def q132_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     )
     dd = dedup_stream(ev, keys=["user_id", "event_type"], watermark="1 hour")
-    run_to_memory_sink(dd, "q132_sink", mode="append")
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(dd, "q132_sink", mode="append")
     return (
         spark.table("q132_sink")
         .groupBy("event_type")
@@ -204,7 +230,8 @@ def q133_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     enriched = enrich_stream(ev, dim, "user_id", how="inner").select(
         "event_type", "value", "c_mktsegment"
     )
-    run_to_memory_sink(enriched, "q133_sink", mode="append")
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(enriched, "q133_sink", mode="append")
     return (
         spark.table("q133_sink")
         .groupBy(F.col("c_mktsegment").alias("segment"))
@@ -275,7 +302,8 @@ def q134_streaming_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("r_ts").alias("purchase_us"),
         F.round("r_value", 4).alias("purchase_value"),
     )
-    run_to_memory_sink(joined, "q134_sink", mode="append")
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(joined, "q134_sink", mode="append")
     return spark.table("q134_sink").orderBy(
         "user_id", "click_us", "purchase_us"
     )
@@ -322,9 +350,10 @@ def q135_streaming_sketch_rollup(
     # NULL day would form a group batch-side that the oracle's COUNT
     # DISTINCT ignores — review r7 class)
     ev = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
-    run_to_memory_sink(
-        streaming_daily_sketches(ev), "q135_sink", mode="complete"
-    )
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(
+            streaming_daily_sketches(ev), "q135_sink", mode="complete"
+        )
     lvl2 = (
         spark.table("q135_sink")
         .groupBy("event_type")
@@ -353,4 +382,180 @@ def q135_streaming_sketch_rollup(
             ).alias("nd_within_bound"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q136_streaming_sessions",
+    oracle="""
+    -- q53's gaps-and-islands oracle with the streaming NULL-event-time
+    -- contract made explicit (q131's convention; the testdata has no
+    -- NULL ts, but the contract must not depend on that). The boundary
+    -- rule is IDENTICAL on both engines: F.session_window starts a new
+    -- session only when ts > prev_ts + gap (an event exactly `gap`
+    -- after the previous one MERGES — pinned empirically by
+    -- tests/test_streaming.py::test_session_window_boundary_semantics),
+    -- which is this oracle's `ts > lag(ts) + INTERVAL 30 MINUTE` flag.
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events WHERE ts IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             SUM(value) AS sess_value,
+             date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT n_events,
+           COUNT(*) AS n_sessions,
+           ROUND(AVG(sess_value), 4) AS avg_value,
+           ROUND(AVG(dur_s), 4) AS avg_duration_s
+    FROM per_session
+    GROUP BY n_events
+    ORDER BY n_events
+    """,
+    doc="STREAMING session windows (F.session_window drain) == q53's "
+    "batch gaps-and-islands sessionization, as the session-size histogram",
+)
+def q136_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sixth streaming pillar (VERDICT r7 #2), tests-only since r2:
+    per-user SESSION windows computed by the real streaming path —
+    readStream -> watermark -> F.session_window aggregate -> availableNow
+    drain — then folded into q53's session-size histogram batch-side, so
+    the drain is pinned to the batch sessionization oracle verbatim.
+
+    Equivalence argument: complete output mode re-emits every session at
+    the final trigger (the watermark only bounds state in continuous
+    operation), and session MERGING is order-independent — a session's
+    extent is determined by the set of its event times, not arrival
+    order — so the drained (user, session) rows equal the batch
+    gaps-and-islands islands exactly, including at the exact-gap
+    boundary (see the oracle comment). Session sums stay UNROUNDED
+    through the drain (round_to=None) because this query averages them
+    afterwards; rounding happens once, at the report edge, exactly where
+    the oracle rounds.
+
+    Scale shape: session state is keyed by (user, session window) and
+    merges in the state store; the histogram fold after the drain touches
+    |sessions| rows, never raw events. Duration derives from the drained
+    window bounds: session_window's end is last_ts + gap, so
+    dur_s = unix(end) - unix(start) - gap_seconds (floor-second diffs on
+    both engines: +30min preserves sub-second digits, so
+    floor(end) - 1800 == floor(max_ts))."""
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        session_window_counts,
+        stream_events,
+    )
+
+    ev = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    sw = session_window_counts(
+        ev, gap="30 minutes", watermark="1 hour", round_to=None
+    )
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(sw, "q136_sink", mode="complete")
+    per_session = spark.table("q136_sink").select(
+        "n_events",
+        "sum_value",
+        (
+            F.unix_timestamp("session_end")
+            - F.lit(1800)
+            - F.unix_timestamp("session_start")
+        ).alias("dur_s"),
+    )
+    return (
+        per_session.groupBy("n_events")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.round(F.avg("sum_value"), 4).alias("avg_value"),
+            F.round(F.avg("dur_s"), 4).alias("avg_duration_s"),
+        )
+        .orderBy("n_events")
+    )
+
+
+@register(
+    "q137_streaming_stateful_profile",
+    oracle="""
+    -- batch twin of the applyInPandasWithState per-user profile: the
+    -- max inter-event gap is a lag-window max; gaps are FLOOR-second
+    -- diffs on both engines (the state machine truncates epochs with
+    -- int(); date_diff('second') counts second-boundary crossings —
+    -- identical for the positive epochs of this data). Rows without an
+    -- event time are excluded on both engines (the state machine sorts
+    -- by ts; q131's NULL contract).
+    WITH g AS (
+      SELECT user_id, value,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                       ts) AS gap_s
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           CAST(COALESCE(MAX(gap_s), 0) AS BIGINT) AS max_gap_s
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="STREAMING arbitrary stateful op (applyInPandasWithState per-user "
+    "profile: count / value sum / max inter-event gap) drained == the "
+    "batch groupBy + lag-window twin",
+)
+def q137_streaming_stateful_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The seventh streaming pillar (VERDICT r7 #3): ARBITRARY stateful
+    processing in the oracle-checked registry. user_profiles maintains a
+    per-user GroupState (event count, value sum, max gap between
+    consecutive events in seconds) across micro-batches via
+    applyInPandasWithState — the state-machine escape hatch for semantics
+    the built-in windowed aggregates can't express — and the availableNow
+    drain is compared against the exact batch SQL twin (groupBy + lag
+    window).
+
+    Determinism scope: single-micro-batch drain (asserted) — update mode
+    emits one profile row per user per batch it appears in, so a
+    multi-batch backlog would emit INTERMEDIATE profiles into the sink
+    alongside the final ones; within one batch the operator sorts each
+    user's rows by event time, so ties and arrival order cannot change
+    (n, sum, max_gap). The spark-4 transformWithStateInPandas twin of
+    this operator exists (streaming/stateful.py) but is gated out of the
+    supported surface where protobuf is absent — this query IS the
+    supported arbitrary-stateful path.
+
+    Scale shape: state is one fixed-size tuple per user in the state
+    store (RocksDB in production), each micro-batch touches only the
+    users present in it, and the drained output is |users| rows."""
+    from reddit_big_data_spark.streaming.stateful import user_profiles
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    _assert_single_backlog_file(sf_dir)
+    ev = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(user_profiles(ev), "q137_sink", mode="update")
+    return (
+        spark.table("q137_sink")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+            "max_gap_s",
+        )
+        .orderBy("user_id")
     )

@@ -99,17 +99,34 @@ def windowed_counts(
 
 
 def session_window_counts(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    round_to: int | None = 4,
 ) -> DataFrame:
     """Session windows (merge events within `gap` per user) — the built-in
     streaming twin of operators/temporal_joins.sessionize; identical
-    session boundaries, asserted in tests/test_streaming.py."""
+    session boundaries, asserted in tests/test_streaming.py AND pinned at
+    the exact-gap boundary by test_session_window_boundary_semantics: an
+    event arriving EXACTLY `gap` after the previous one merges into the
+    same session (F.session_window extends while next_ts <= last_ts + gap,
+    i.e. a new session only starts when next_ts > last_ts + gap — the
+    same `>` rule as sessionize's gaps-and-islands flag, so q53's batch
+    oracle replays q136's streaming drain verbatim).
+
+    ``round_to=None`` keeps session sums at full double precision —
+    required when a consumer AVERAGES the sums afterwards (q136): rounding
+    before an average injects up to 5e-5 per session, which can flip the
+    consumer's own 4-decimal rounding."""
+    sum_col = F.sum("value")
+    if round_to is not None:
+        sum_col = F.round(sum_col, round_to)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            sum_col.alias("sum_value"),
         )
         .select(
             "user_id",
