@@ -10,19 +10,23 @@ every query stays covered every round by tests/test_queries_oracle.py,
 the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
-Round-7 window composition (the VERDICT r6 #1 rotation, computed from
-CORRECTNESS_r01..r06 like the r6 rotation before it):
-1. q128 (new this round: unigram-LM tokenizer) — never driver-green,
-   leads unconditionally.
-2. The full r4-STALE core cohort: all 27 queries whose last driver
-   green is round 4 (q01-q02, q04-q18, q20-q21, q26-q28, q37-q39,
-   q47, q49), least-cumulative-greens first — after this round no
-   query's last driver row is older than two rounds.
-3. q126/q127's second green (their first was r6).
-4. Remaining slots: r5-last-green queries by ascending cumulative
-   green count (q22..q99 once-green, then q23.. twice-green by name).
+Round-8 window composition (the VERDICT r7 #1 rotation, computed from
+CORRECTNESS_r01..r07 exactly like the r6/r7 rotations):
+1. The THREE never-driver-green r8 additions — q136 (streaming session
+   windows), q137 (streaming arbitrary stateful profile), q138
+   (fastText-style model-based quality classifier) — lead
+   unconditionally.
+2. The full r5-STALE cohort: all 37 queries whose last driver-green row
+   is round 5 (q03, q19, q29-q36, q40, q42, q44-q46, q48, q50-q58,
+   q61-q64, q66-q68, q70-q74), ranked by cumulative driver-green count
+   ascending (the seventeen twice-green first, then the twenty
+   thrice-green), then name — after this round no registered query's
+   last driver row is older than two rounds (the rotation invariant).
+3. The remaining 10 slots: r6-last-green queries by ascending cumulative
+   green count then name (q100-q109, each once-green) — pre-empting the
+   next round's stale pressure.
 
-Everything past the cap was driver-green in r5 or r6 windows and stays
+Everything past the cap was driver-green in r6 or r7 windows and stays
 covered by the local oracle mirror (tests/test_queries_oracle.py)
 every round.
 """
@@ -61,67 +65,62 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
-    # -- never driver-green: new this round (unigram-LM tokenizer and
-    #    the BPE-vs-unigram comparison composing both artifacts,
-    #    quality-based near-dup retention, and the first ORACLE-checked
-    #    streaming query)
-    "q128_unigram_tokenize",
-    "q129_tokenizer_compare",
-    "q130_neardup_retention",
-    "q131_streaming_windowed_counts",
-    "q132_streaming_dedup",
-    "q133_streaming_enrich",
-    "q134_streaming_attribution",
-    "q135_streaming_sketch_rollup",
-    # -- the r4-stale core cohort (VERDICT r6 #1): every query whose
-    #    LAST driver-green row is round 4 — the reference's §2 heart
-    #    (scans, joins, windows, TF-IDF). Ranked by cumulative driver-
-    #    green count ascending (least-proven first), then name.
-    "q08_histogram_cumulative",
-    "q21_shipping_priority",
-    "q27_pricing_summary",
-    "q28_grouping_sets",
-    "q37_repetition_signals",
-    "q38_bm25_topk",
-    "q39_sequence_packing",
-    "q47_stratified_sample",
-    "q49_hybrid_rrf",
-    "q01_top_groups_by_count",
-    "q02_time_slot_histogram",
-    "q04_missing_report",
-    "q05_broadcast_join_chain",
-    "q06_groupby_multi_agg",
-    "q07_correlations",
-    "q09_tfidf_topk",
-    "q10_running_aggregates",
-    "q11_topk_per_group",
-    "q12_top_n_rows",
-    "q13_set_ops",
-    "q14_semi_anti_join",
-    "q15_rollup",
-    "q16_distinct_percentiles",
-    "q17_calendar_features",
-    "q18_lag_ntile",
-    "q20_text_quality",
-    "q26_token_counts",
-    # -- q126/q127's SECOND green (first was r6; VERDICT r6 #1 names
-    #    them explicitly)
-    "q126_forecast_revenue",
-    "q127_top_supplier",
-    # -- the remaining slots: r5-last-green queries ranked by cumulative
-    #    driver-green count ascending (the eleven once-green first),
-    #    then name
-    "q22_approx_distinct_percentiles",
-    "q24_summary_stats",
-    "q41_lsh_ann",
-    "q43_ivf_ann",
-    "q59_sketch_rollup",
-    "q60_rf_pipeline",
-    "q69_cms_heavy_hitters",
-    "q88_kmv_rollup",
-    "q97_tdigest_rollup",
-    "q98_simhash_hamming",
-    "q99_weighted_sample",
-    "q23_epoch_concat",
-    "q25_sentiment",
+    # -- never driver-green: new this round (the two final streaming
+    #    registry promotions and the model-based quality classifier)
+    "q136_streaming_sessions",
+    "q137_streaming_stateful_profile",
+    "q138_quality_classifier",
+    # -- the r5-stale cohort (VERDICT r7 #1): every query whose LAST
+    #    driver-green row is round 5, cumulative-greens ascending
+    #    (twice-green seventeen first), then name
+    "q52_binary_payloads",
+    "q53_sessionization",
+    "q54_asof_join",
+    "q56_range_join",
+    "q57_pivot",
+    "q58_cube",
+    "q61_string_indexer",
+    "q62_class_weights",
+    "q63_corr_matrix",
+    "q64_salted_agg",
+    "q67_nested_struct",
+    "q68_porter_stems",
+    "q70_pmi_bigrams",
+    "q71_salted_join",
+    "q72_snapshot_diff",
+    "q73_rollup_merge",
+    "q74_udtf_tokens",
+    #    ... then the twenty thrice-green, by name
+    "q03_regex_flags",
+    "q19_wordcount_top20",
+    "q29_dedup_materialized",
+    "q30_exact_dedup",
+    "q31_minhash_neardup",
+    "q32_simhash",
+    "q33_ngram_jaccard",
+    "q34_winnowing",
+    "q35_dedup_clusters",
+    "q36_prefix_simjoin",
+    "q40_cosine_topk",
+    "q42_label_centroids",
+    "q44_cosine_neardup",
+    "q45_kmeans",
+    "q46_int8_quantization",
+    "q48_embedding_dedup_clusters",
+    "q50_json_props",
+    "q51_tumbling_windows",
+    "q55_time_rollup",
+    "q66_decontamination",
+    # -- remaining slots: the r6-last-green cohort, cumulative greens
+    #    ascending (all once-green), then name
+    "q100_doc_chunking",
+    "q101_lm_perplexity",
+    "q102_pq_ann",
+    "q103_bpe_merge_pairs",
+    "q104_ivfpq_ann",
+    "q105_incremental_neardup",
+    "q106_group_split",
+    "q107_priority_class_counts",
+    "q108_order_count_distribution",
+    "q109_promo_revenue_share",
 ]
