@@ -107,60 +107,45 @@ def train_bpe(
     return merges
 
 
-def bpe_encode(
+def dict_trick_encode(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    merges: list[tuple[str, str]],
+    segment_udf,
     include_empty: bool = True,
 ) -> DataFrame:
-    """(id, tokens array<string>, n_tokens int): tokenize each text with
-    the learned merges. Merge application runs once per DISTINCT word
-    (dictionary trick) inside an Arrow-batched pandas UDF; the corpus
-    itself only explodes, joins on the word, and re-assembles in word
-    order — all native.
+    """THE shared dictionary-trick tokenizer-apply plan (ADVICE r7: this
+    was duplicated verbatim in bpe_encode and unigram_encode; one copy
+    keeps the two behaviorally identical by construction). `segment_udf`
+    is an Arrow-batched pandas UDF mapping a word Series to
+    array<string> piece lists — the ONLY part that differs between
+    tokenizer families.
+
+    Plan shape: the corpus posexplodes into (id, pos, word); the UDF
+    runs once per DISTINCT word (|vocab| rows, not |corpus|); tokenized
+    words join back on the word key and reassemble in word order. The
+    tokenized dictionary is persisted: the corpus text is necessarily
+    read twice — once to derive the distinct vocabulary, once as the
+    join's probe side (the dictionary trick's floor without caching
+    corpus-sized state) — and the cache pins that at exactly two scans
+    per ACTION SET; clearCache is the mop-up point
+    (tests/test_cache_ledger.py).
 
     TOTAL over input ids by default (ADVICE r6): a document whose text
-    has no non-empty words (empty/whitespace-only) survives as
-    (id, tokens=[], n_tokens=0) rather than vanishing from the output —
-    the explode+filter+groupBy alone would drop the id entirely and
-    inner-joining consumers would silently lose those docs. The
-    completeness left-join shuffles only (id) keys, nothing text-sized;
-    consumers that only report on tokenizABLE docs anyway (q123) pass
-    ``include_empty=False`` and skip that join entirely rather than
-    paying it and filtering its rows back out (review r7)."""
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
-    frozen = [tuple(m) for m in merges]
-
-    @pandas_udf("array<string>")
-    def _apply(words: pd.Series) -> pd.Series:
-        def enc(w: str) -> list[str]:
-            sym = tuple(w)
-            for m in frozen:
-                if len(sym) < 2:
-                    break
-                sym = _merge_word(sym, m)
-            return list(sym)
-
-        return words.map(enc)
-
+    has no non-empty words survives as (id, tokens=[], n_tokens=0)
+    rather than vanishing — the explode+filter+groupBy alone would drop
+    the id and inner-joining consumers would silently lose those docs.
+    The completeness left-join shuffles only (id) keys, nothing
+    text-sized; consumers that only report on tokenizABLE docs pass
+    ``include_empty=False`` and skip that join entirely (review r7)."""
     toks = df.select(
         F.col(id_col),
         F.posexplode(F.split(text_col, r"\s+")).alias("__pos", "__w"),
     ).filter(F.col("__w") != "")
-    # Cache the tokenized dictionary (|vocab| rows): the corpus text is
-    # necessarily read twice — once to derive the distinct vocabulary,
-    # once as the join's probe side (the dictionary trick's floor without
-    # caching corpus-sized state) — but the cache pins that at exactly
-    # two scans per ACTION SET: a consumer running several actions over
-    # the returned frame re-tokenizes the vocabulary zero more times.
-    # clearCache is the mop-up point (tests/test_cache_ledger.py).
     vocab = (
         toks.select("__w")
         .distinct()
-        .withColumn("__sub", _apply("__w"))
+        .withColumn("__sub", segment_udf(F.col("__w")))
         .persist()
     )
     encoded = (
@@ -190,3 +175,36 @@ def bpe_encode(
         )
         .withColumn("n_tokens", F.size("tokens").cast("int"))
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+    include_empty: bool = True,
+) -> DataFrame:
+    """(id, tokens array<string>, n_tokens int): tokenize each text with
+    the learned merges. Merge application runs once per DISTINCT word
+    inside an Arrow-batched pandas UDF (sequential merge application is
+    genuinely non-SQL); everything else is `dict_trick_encode`'s shared
+    plan — see its docstring for the caching and TOTAL-over-ids
+    contracts."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    frozen = [tuple(m) for m in merges]
+
+    @pandas_udf("array<string>")
+    def _apply(words: pd.Series) -> pd.Series:
+        def enc(w: str) -> list[str]:
+            sym = tuple(w)
+            for m in frozen:
+                if len(sym) < 2:
+                    break
+                sym = _merge_word(sym, m)
+            return list(sym)
+
+        return words.map(enc)
+
+    return dict_trick_encode(df, id_col, text_col, _apply, include_empty)

@@ -95,6 +95,7 @@ def train_unigram(
     em_iters: int = 3,
     prune_rounds: int = 2,
     vocab_rows: int = 50_000,
+    min_seed_freq: int = 2,
 ) -> list:
     """Learn a unigram-LM piece vocabulary from the whitespace-word
     counts of `text_col`. Returns the sorted piece list — the tokenizer
@@ -102,7 +103,22 @@ def train_unigram(
     are always included (coverage). `prune_rounds` must be >= 1: the
     final prune round is what enforces `vocab_size`, so skipping pruning
     would silently return the whole seed vocabulary (review r7 — loud
-    failure instead, the simjoin t<=0 convention)."""
+    failure instead, the simjoin t<=0 convention).
+
+    DRIVER-TIME ENVELOPE (ADVICE r7): training is driver-side on the
+    bounded synopsis, costing O(sum_w len(w) * max_piece_len) dict ops
+    to enumerate seed candidates plus prune_rounds * em_iters Viterbi
+    passes of the same order — at the default vocab_rows=50_000 and
+    English-ish word lengths that is ~2-3M inner steps per pass,
+    single-digit seconds of single-threaded driver time per EM
+    iteration; budget ~1 min at the defaults, or lower `vocab_rows`
+    (the frequency weighting makes truncation loss negligible — q128
+    trains at the default in ~seconds on the testdata synopsis).
+    `min_seed_freq` pre-prunes seed candidates below a weighted
+    occurrence floor BEFORE scoring/sorting them: substrings seen fewer
+    than 2 weighted times can never earn a vocabulary slot against the
+    frequency-ranked field, but they dominate the candidate dict's size
+    on long-tail corpora (single characters are exempt — coverage)."""
     if int(prune_rounds) < 1:
         raise ValueError(
             f"prune_rounds must be >= 1 (got {prune_rounds}): the final "
@@ -120,7 +136,11 @@ def train_unigram(
                 scores[p] = scores.get(p, 0) + f
     chars = sorted(p for p in scores if len(p) == 1)
     multi = sorted(
-        (p for p in scores if len(p) > 1),
+        (
+            p
+            for p in scores
+            if len(p) > 1 and scores[p] >= int(min_seed_freq)
+        ),
         key=lambda p: (-scores[p], p),
     )[: int(seed_size)]
     pieces = set(chars) | set(multi)
@@ -189,13 +209,15 @@ def unigram_encode(
     include_empty: bool = True,
 ) -> DataFrame:
     """(id, tokens array<string>, n_tokens int): greedy longest-match
-    tokenization with the learned piece table. Dictionary trick + Arrow
-    pandas UDF, identical plan shape (and the same TOTAL-over-ids
-    contract) as bpe_encode: tokenless docs come back as (id, [], 0),
-    unless ``include_empty=False`` skips the completeness join for
-    consumers that only report on tokenizable docs."""
+    tokenization with the learned piece table, on bpe_encode's IDENTICAL
+    plan — both now literally call `dict_trick_encode` (ADVICE r7: the
+    shared helper replaces two hand-synchronized copies); see its
+    docstring for the caching and TOTAL-over-ids contracts. Only the
+    per-word segmentation UDF differs."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+
+    from reddit_big_data_spark.operators.bpe import dict_trick_encode
 
     pset = frozenset(pieces)
     max_len = max((len(p) for p in pset), default=1)
@@ -204,40 +226,4 @@ def unigram_encode(
     def _apply(words: pd.Series) -> pd.Series:
         return words.map(lambda w: greedy_segment(w, pset, max_len))
 
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(text_col, r"\s+")).alias("__pos", "__w"),
-    ).filter(F.col("__w") != "")
-    vocab = (
-        toks.select("__w")
-        .distinct()
-        .withColumn("__sub", _apply("__w"))
-        .persist()
-    )
-    encoded = (
-        toks.join(vocab, "__w")
-        .groupBy(id_col)
-        .agg(
-            F.flatten(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("__pos", F.col("__sub")))
-                    ),
-                    lambda s: s["__sub"],
-                )
-            ).alias("tokens")
-        )
-    )
-    if not include_empty:
-        return encoded.withColumn("n_tokens", F.size("tokens").cast("int"))
-    return (
-        df.select(id_col)
-        .join(encoded, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(
-                F.col("tokens"), F.array().cast("array<string>")
-            ).alias("tokens"),
-        )
-        .withColumn("n_tokens", F.size("tokens").cast("int"))
-    )
+    return dict_trick_encode(df, id_col, text_col, _apply, include_empty)

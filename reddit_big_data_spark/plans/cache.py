@@ -12,8 +12,8 @@ warm) can keep them pinned indefinitely. At bench scale they are small
 they would accumulate.
 
 ``release_local_checkpoints(spark)`` closes the loop: it walks the
-context's persistent-RDD map and explicitly unpersists every block
-whose lineage head marks it as a local checkpoint. Call it ONLY at a
+context's persistent-RDD map and explicitly unpersists every block the
+RDD API itself reports as a local checkpoint. Call it ONLY at a
 query boundary — after every consumer of the current query's frames has
 run its action — because a released checkpoint cannot be recomputed
 (localCheckpoint truncates lineage by design). bench.py and the test
@@ -26,15 +26,24 @@ from __future__ import annotations
 def release_local_checkpoints(spark, blocking: bool = False) -> list[int]:
     """Unpersist every ContextCleaner-owned localCheckpoint block.
 
+    Identification uses the JVM RDD API directly —
+    ``RDD.isLocallyCheckpointed`` (Scala ``private[rdd]`` compiles to a
+    public JVM method, so py4j reaches it; it reads the authoritative
+    ``checkpointData`` match, ADVICE r7: the previous toDebugString()
+    first-line substring match was a render-format heuristic that a
+    Spark upgrade could silently stop matching, re-leaking blocks) — so
+    a block is released iff Spark itself classifies it as a local
+    checkpoint.
+
     Returns the released RDD ids. Safe ONLY between queries: any plan
     still holding one of these frames loses its data irrecoverably
-    (lineage was truncated at checkpoint time)."""
+    (lineage was truncated at checkpoint time) — see the fixture-hazard
+    note on tests/conftest.py's between-test mop-up."""
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     released: list[int] = []
     for rid in list(jmap.keySet().toArray()):
         jrdd = jmap[rid]
-        head = jrdd.toDebugString().splitlines()[0]
-        if "localCheckpoint" in head:
+        if jrdd.rdd().isLocallyCheckpointed():
             jrdd.unpersist(blocking)
             released.append(int(rid))
     return released

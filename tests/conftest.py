@@ -27,7 +27,15 @@ def _drop_cached_blocks(request):
     has not materialized yet; without cleanup the cached blocks accumulate
     across the several-hundred-test session and distort memory/timings
     (ADVICE r2). Mirror of bench.py's between-query clearCache +
-    localCheckpoint release (VERDICT r6 #5)."""
+    localCheckpoint release (VERDICT r6 #5).
+
+    FIXTURE HAZARD (ADVICE r7): the localCheckpoint release is
+    IRREVERSIBLE — checkpointing truncated the lineage, so a released
+    block cannot be recomputed. This autouse fixture therefore forbids a
+    pattern: no session- or module-scoped fixture may hand out a frame
+    that was localCheckpoint'd, because this mop-up would destroy its
+    data after the first test that uses it. Per-test frames are safe
+    (released after their last consumer)."""
     yield
     if "spark" in request.fixturenames:
         from reddit_big_data_spark.plans.cache import (
