@@ -412,3 +412,33 @@ def test_duplicated_spans_detection_guarantee(spark):
     assert spans[(4, 8, 17)] == 10
     # (2) the k-1 span never appears; no other spans beyond the expected
     assert len(spans) == 7, sorted(spans)
+
+
+def test_cluster_table_artifact_reuse(spark, tmp_path):
+    """The materialize-once composition (VERDICT r7 #5): retention over a
+    parquet-checkpointed cluster table must equal the fused q130 plan
+    byte-for-byte — the artifact path is the sanctioned way for several
+    consumers to share one simjoin+components run (the reference's
+    write-then-reread stage boundaries, SURVEY §4.1)."""
+    from reddit_big_data_spark.queries.dedup import (
+        neardup_retention_report,
+        q130_neardup_retention,
+        write_cluster_table,
+    )
+    from reddit_big_data_spark.sources.io import read_table, spread
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "clusters.parquet")
+    write_cluster_table(spark, SF_SMOKE, path)
+
+    docs = spread(read_table(spark, SF_SMOKE, "documents"))
+    via_artifact = neardup_retention_report(
+        docs, spark.read.parquet(path)
+    ).collect()
+    fused = q130_neardup_retention(spark, SF_SMOKE).collect()
+    assert via_artifact == fused and len(fused) > 0
+    # and the reuse path's plan re-reads the ARTIFACT — no shingle
+    # similarity join in sight (the whole point of the checkpoint)
+    plan = _plan(neardup_retention_report(docs, spark.read.parquet(path)))
+    assert "SortMergeJoin" in plan or "Join" in plan  # the doc_id left join
+    assert "posexplode" not in plan.lower()  # no shingle re-derivation
