@@ -371,32 +371,19 @@ def simhash_wide(
     )
 
 
-def simhash_hamming_pairs(
+def simhash_band_candidates(
     sig: DataFrame,
     id_col: str,
     sig_col: str = "simhash",
     bits: int = 64,
     bands: int = 4,
-    max_hamming: int = 3,
 ) -> DataFrame:
-    """EXACT hamming-distance self-join over bit-string signatures:
-    (id_a, id_b, hamming) for every pair within `max_hamming` bits.
-
-    Pigeonhole banding (the bit-sampling LSH made exact): split the
-    signature into `bands` equal chunks; a pair differing in at most
-    max_hamming <= bands - 1 bits must agree EXACTLY on >= 1 chunk, so
-    candidates come from an equi-join on (band, chunk) — never all-pairs
-    — with recall 1.0 by construction. Verification recomputes the true
-    hamming distance natively (per-band conv -> xor -> bit_count fold).
-
-    Scale: same banded-join shape as MinHash-LSH (operators/dedup.py
-    near_duplicates) — shuffle keys are 16-bit chunks, skewed chunks mean
-    near-identical doc clusters, which is exactly the signal dedup wants."""
-    if max_hamming >= bands:
-        raise ValueError(
-            f"pigeonhole guarantee needs max_hamming < bands "
-            f"(got {max_hamming} >= {bands})"
-        )
+    """The CANDIDATE stage of simhash_hamming_pairs, exposed so the
+    scaling harness (scaling.py) measures the operator's own band-join
+    fan-out: distinct (id_a, id_b, sig_a, sig_b) pairs agreeing exactly
+    on at least one signature chunk. The pigeonhole guarantee (a pair
+    within max_hamming < bands bits MUST collide on some chunk) belongs
+    to the caller; this stage is pure equi-join — never all-pairs."""
     if bits % bands:
         raise ValueError(f"signature width {bits} not divisible by {bands} bands")
     width = bits // bands
@@ -444,13 +431,43 @@ def simhash_hamming_pairs(
             f"id_{role}", f"sig_{role}", chunks.alias("__bc")
         ).select(f"id_{role}", f"sig_{role}", "__bc.band", "__bc.chunk")
 
-    cand = (
+    return (
         banded("a")
         .join(banded("b"), ["band", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "sig_a", "sig_b")
         .distinct()
     )
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """EXACT hamming-distance self-join over bit-string signatures:
+    (id_a, id_b, hamming) for every pair within `max_hamming` bits.
+
+    Pigeonhole banding (the bit-sampling LSH made exact): split the
+    signature into `bands` equal chunks; a pair differing in at most
+    max_hamming <= bands - 1 bits must agree EXACTLY on >= 1 chunk, so
+    candidates come from an equi-join on (band, chunk) — never all-pairs
+    — with recall 1.0 by construction. Verification recomputes the true
+    hamming distance natively (per-band conv -> xor -> bit_count fold).
+
+    Scale: same banded-join shape as MinHash-LSH (operators/dedup.py
+    near_duplicates) — shuffle keys are 16-bit chunks, skewed chunks mean
+    near-identical doc clusters, which is exactly the signal dedup wants."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming < bands "
+            f"(got {max_hamming} >= {bands})"
+        )
+    width = bits // bands
+    cand = simhash_band_candidates(sig, id_col, sig_col, bits, bands)
     # Exact distance: per-band ints xor'd and popcounted, summed as plain
     # unrolled exprs — no string scan per pair beyond the substr slicing.
     band_hams = [

@@ -30,6 +30,13 @@ Families and their candidate stages:
        row per (doc, start) — sum(max(0, len-k+1)) over docs), the
        shuffle-volume driver of the Lee-et-al-shaped dedup; linear in
        corpus tokens by construction (no suffix array, no pair join)
+- q98  simhash hamming join : operators/dedup.simhash_band_candidates
+       at the q98 configuration (4 bands x 16 bits) — the exact join's
+       pigeonhole collision fan-out (r8, VERDICT r7 #7)
+- q116 SemDeDup             : cluster-scoped pair counts (sum of
+       C(size, 2)) after the production kmeans_assign at
+       k = semdedup_k(N) — the r6 k-scaling fix measured on the
+       production path (r8, VERDICT r7 #7)
 
 Exponent fit: least-squares slope of log(candidates) vs log(n_input)
 over ALL measured points (the driver testdata repeats row counts
@@ -160,12 +167,65 @@ def measure_q102(spark, sf_dir: str) -> dict:
     return {"n_input": n, "candidates": n * nq - nq}
 
 
+def measure_q98(spark, sf_dir: str) -> dict:
+    """SimHash hamming join (q98): candidates are the operator's OWN
+    pigeonhole band-collision pairs (simhash_band_candidates at q98's
+    4x16-bit configuration) — the fan-out the exact hamming verify then
+    scores."""
+    from reddit_big_data_spark.operators.dedup import (
+        simhash_band_candidates,
+        simhash_wide,
+    )
+    from reddit_big_data_spark.queries.dedup import _tokens
+
+    toks = _tokens(spark, sf_dir)
+    sig = simhash_wide(toks, "doc_id", "toks", bits=64)
+    return {
+        "n_input": toks.count(),
+        "candidates": simhash_band_candidates(
+            sig, "doc_id", bits=64, bands=4
+        ).count(),
+    }
+
+
+def measure_q116(spark, sf_dir: str) -> dict:
+    """SemDeDup (q116): candidates are the cluster-scoped pair counts —
+    sum over clusters of C(size, 2) after the PRODUCTION assignment path
+    (the same seeded kmeans_assign at k = semdedup_k(N) the registered
+    query runs), i.e. exactly the rows q116's cluster equi-join emits
+    before the cosine filter. This measures the r6 k-scaling fix on the
+    production path (VERDICT r7 #7): k grows with N to hold expected
+    cluster size constant, so total pair work is ~linear above the K_MIN
+    clamp (the clamp makes the smallest corpora run FEWER, larger
+    clusters — steeper apparent growth at the small end, bounded < 2)."""
+    from reddit_big_data_spark.operators.clustering import kmeans_assign
+    from reddit_big_data_spark.queries.similarity import semdedup_k
+    from reddit_big_data_spark.sources.io import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", k=semdedup_k(n), iters=2
+    )
+    row = (
+        assigned.groupBy("cluster")
+        .agg(F.count("*").alias("sz"))
+        .select(
+            F.sum(F.col("sz") * (F.col("sz") - 1) / 2).alias("pairs")
+        )
+        .collect()[0]
+    )
+    return {"n_input": n, "candidates": int(row["pairs"])}
+
+
 MEASURES = {
     "q31_minhash_neardup": measure_q31,
     "q36_prefix_simjoin": measure_q36,
     "q41_lsh_ann": measure_q41,
+    "q98_simhash_hamming": measure_q98,
     "q102_pq_ann": measure_q102,
     "q112_substring_dedup": measure_q112,
+    "q116_semdedup": measure_q116,
 }
 
 # Paths whose candidate growth MUST be sub-quadratic (banded/bucketed);
@@ -186,6 +246,20 @@ NOTES = {
         "exact join: candidate growth is intrinsically ~quadratic on "
         "uniform corpora; the pruning claim is the all-pairs FRACTION "
         "(constant-factor), and the banded families are the scale route"
+    ),
+    "q98_simhash_hamming": (
+        "exact hamming join (recall 1.0 by pigeonhole): fixed-width "
+        "chunk collisions are ~bands * allpairs * 2^-width on word-soup "
+        "corpora — quadratic with a small constant (~1.5% of all-pairs "
+        "at sf0.1); the scale lever is chunk width growing with log(n) "
+        "(more signature bits, same band count)"
+    ),
+    "q116_semdedup": (
+        "cluster-scoped pairs at k = clamp(ceil(N/100), 10, 4096): "
+        "per-vector pair work is the designed TARGET_CLUSTER/2 constant "
+        "in the unclamped regime (linear total); the K_MIN clamp makes "
+        "the smallest corpora run fewer, larger clusters, steepening "
+        "the small-end fit (tests/test_scaling.py pins both claims)"
     ),
     "q102_pq_ann": (
         "flat ADC scan: candidates = |corpus| x |queries| by "
