@@ -115,10 +115,17 @@ def train_unigram(
     (the frequency weighting makes truncation loss negligible — q128
     trains at the default in ~seconds on the testdata synopsis).
     `min_seed_freq` pre-prunes seed candidates below a weighted
-    occurrence floor BEFORE scoring/sorting them: substrings seen fewer
-    than 2 weighted times can never earn a vocabulary slot against the
-    frequency-ranked field, but they dominate the candidate dict's size
-    on long-tail corpora (single characters are exempt — coverage)."""
+    occurrence floor BEFORE scoring/sorting them: on any corpus whose
+    freq>=2 candidate field exceeds `seed_size`, a weighted-freq-1
+    substring could never have earned a slot anyway, yet such substrings
+    dominate the candidate dict's size on long-tail corpora (single
+    characters are exempt — coverage). BEHAVIOR CHANGE (r8, noted per
+    ADVICE r8): on tiny or extremely long-tail corpora where the freq>=2
+    field is SMALLER than the seed budget, the pre-r8 code could seed
+    (and EM retain) freq-1 pieces — the default min_seed_freq=2 now
+    excludes those, so default-parameter callers may train a different
+    vocabulary than r7 did; pass min_seed_freq=1 to restore the old
+    seeding exactly."""
     if int(prune_rounds) < 1:
         raise ValueError(
             f"prune_rounds must be >= 1 (got {prune_rounds}): the final "

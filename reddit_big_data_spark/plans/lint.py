@@ -26,6 +26,19 @@ class Finding:
         return f"[{self.code}] {self.detail}"
 
 
+# Wrapper nodes that sit above the logical root of the user's plan.
+_ROOT_WRAPPERS = ("AdaptiveSparkPlan", "ResultQueryStage", "==")
+# A physical Sort node with global=true ("Sort [keys], true, offset").
+_GLOBAL_SORT_NODE = re.compile(r"^Sort \[.*\], true, ")
+
+
+def _node_text(line: str) -> str:
+    """Strip tree art (+- : |), indentation, and the codegen ``*(n)``
+    stage marker from a physical-plan line, leaving the node text."""
+    s = re.sub(r"^[+\-:|\s]+", "", line)
+    return re.sub(r"^\*\(\d+\) ", "", s)
+
+
 def _top_level_groups(s: str) -> int:
     """Count top-level [...] groups in a plan-node argument list."""
     depth = 0
@@ -82,9 +95,23 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
                         "window with empty partitionBy — single-task sort",
                     )
                     break
-    # Global Sort that is not part of TakeOrderedAndProject: full-data sort.
-    if re.search(r"^\s*\+?-? ?\*?\(?\d*\)? ?Sort \[.*\], true,", plan, re.M) and (
-        "TakeOrderedAndProject" not in plan
-    ):
-        add("GLOBAL_SORT", "global sort without limit — full-shuffle total order")
+    # Global Sort (range-shuffle total order). A global sort at the plan
+    # ROOT is the trailing oracle-stability orderBy every registry query
+    # ends with (VERDICT r1 accepted the pattern; r8 made this structural
+    # so new queries can't forget a hand-list entry): it sorts exactly the
+    # result set the caller is about to collect, so its cost is bounded by
+    # the result size, not the corpus. An INTERIOR global sort — feeding
+    # further computation — is a genuine full-shuffle hazard and is still
+    # flagged.
+    nodes = [n for n in (_node_text(ln) for ln in plan.splitlines()) if n]
+    root_i = next(
+        (i for i, n in enumerate(nodes) if not n.startswith(_ROOT_WRAPPERS)), None
+    )
+    for i, n in enumerate(nodes):
+        if _GLOBAL_SORT_NODE.match(n) and i != root_i:
+            add(
+                "GLOBAL_SORT",
+                "interior global sort without limit — full-shuffle total order",
+            )
+            break
     return findings

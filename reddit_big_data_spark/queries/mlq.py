@@ -338,7 +338,8 @@ _Q138_SNAPSHOT = """
     "q138_quality_classifier",
     oracle=_Q138_SNAPSHOT,
     doc="fastText-style quality classifier: hashed char-3-gram features "
-    "-> LogisticRegression distilling the C4 length rule; "
+    "-> LogisticRegression distilling the Gopher stopword-ratio rule "
+    "(q76's stop_ratio >= 0.03 stage); "
     "seeded-deterministic confusion-matrix snapshot oracle",
 )
 def q138_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +353,10 @@ def q138_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     # weak rule label, ROW-LOCAL (no join before randomSplit — see the
-    # block comment): stop_ratio over q76's exact split-on-space words
+    # block comment): a q76-STYLE stop_ratio over split-on-space words,
+    # with empty tokens excluded (q76's denominator counts the empty
+    # strings consecutive spaces produce; the snapshot oracle pins
+    # q138's own output, so the divergence is deliberate, not drift)
     stops_sql = ", ".join(f"'{s}'" for s in _STOPS)
     words = F.expr("filter(split(text, ' '), t -> t <> '')")
     stops = F.expr(

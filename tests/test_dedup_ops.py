@@ -440,5 +440,12 @@ def test_cluster_table_artifact_reuse(spark, tmp_path):
     # and the reuse path's plan re-reads the ARTIFACT — no shingle
     # similarity join in sight (the whole point of the checkpoint)
     plan = _plan(neardup_retention_report(docs, spark.read.parquet(path)))
-    assert "SortMergeJoin" in plan or "Join" in plan  # the doc_id left join
+    # a parquet FileScan of the ARTIFACT must appear (ADVICE r8: the old
+    # `"Join" in plan` assertion was vacuous — any join matched). The
+    # plan elides long paths, so key on the artifact scan's unique
+    # ReadSchema: only the cluster table carries a cluster_id column.
+    assert any(
+        "FileScan parquet" in ln and "cluster_id" in ln
+        for ln in plan.splitlines()
+    ), plan
     assert "posexplode" not in plan.lower()  # no shingle re-derivation

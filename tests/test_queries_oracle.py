@@ -20,12 +20,19 @@ def test_oracle_match(spark, duck, query):
     assert not errors, "\n".join(errors)
 
 
-@pytest.mark.parametrize("query", _ROWS_ONLY, ids=lambda q: q.name)
-def test_rows_only_runs(spark, query):
-    df = query.fn(spark, SF_SMOKE)
-    n = df.count()
-    assert n >= 0
-    assert df.columns  # stable, non-empty schema
+# All 138 registered queries have full DuckDB oracles as of round 8, so
+# the rows-only branch is EMPTY — pytest would report the empty
+# parameterization as a perpetual skip (VERDICT r8 #6). Keep the branch
+# so any future oracle-less registration loudly re-enables it, but only
+# emit the parameterized test when there is something to run.
+if _ROWS_ONLY:  # pragma: no cover - re-activates on oracle-less queries
+
+    @pytest.mark.parametrize("query", _ROWS_ONLY, ids=lambda q: q.name)
+    def test_rows_only_runs(spark, query):
+        df = query.fn(spark, SF_SMOKE)
+        n = df.count()
+        assert n >= 0
+        assert df.columns  # stable, non-empty schema
 
 
 def test_entry_smoke(spark):
