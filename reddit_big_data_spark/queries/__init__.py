@@ -10,23 +10,22 @@ every query stays covered every round by tests/test_queries_oracle.py,
 the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
-Round-8 window composition (the VERDICT r7 #1 rotation, computed from
-CORRECTNESS_r01..r07 exactly like the r6/r7 rotations):
-1. The THREE never-driver-green r8 additions — q136 (streaming session
-   windows), q137 (streaming arbitrary stateful profile), q138
-   (fastText-style model-based quality classifier) — lead
-   unconditionally.
-2. The full r5-STALE cohort: all 37 queries whose last driver-green row
-   is round 5 (q03, q19, q29-q36, q40, q42, q44-q46, q48, q50-q58,
-   q61-q64, q66-q68, q70-q74), ranked by cumulative driver-green count
-   ascending (the seventeen twice-green first, then the twenty
-   thrice-green), then name — after this round no registered query's
-   last driver row is older than two rounds (the rotation invariant).
-3. The remaining 10 slots: r6-last-green queries by ascending cumulative
-   green count then name (q100-q109, each once-green) — pre-empting the
-   next round's stale pressure.
+Round-9 window composition (the VERDICT r8 #5 rotation, computed from
+CORRECTNESS_r01..r08 exactly like the r6-r8 rotations):
+1. The ONE never-driver-green r9 addition — q139 (streaming exactly-once
+   foreachBatch sink, the write-side promotion VERDICT r8 #7 ordered) —
+   leads unconditionally.
+2. The full r6-STALE cohort: all 38 queries whose last driver-green row
+   is round 6 (q65, q75-q87, q89-q96, q110-q125), ranked by cumulative
+   driver-green count ascending (the sixteen once-green q110-q125
+   first, then the twenty-two twice-green), then name — after this
+   round no registered query's last driver row is older than two rounds
+   (the rotation invariant).
+3. The remaining 11 slots: r7-last-green queries by ascending cumulative
+   green count then name (q128-q135 once-green, then q126/q127/q22
+   twice-green) — pre-empting the next round's stale pressure.
 
-Everything past the cap was driver-green in r6 or r7 windows and stays
+Everything past the cap was driver-green in r7 or r8 windows and stays
 covered by the local oracle mirror (tests/test_queries_oracle.py)
 every round.
 """
@@ -65,62 +64,62 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
-    # -- never driver-green: new this round (the two final streaming
-    #    registry promotions and the model-based quality classifier)
-    "q136_streaming_sessions",
-    "q137_streaming_stateful_profile",
-    "q138_quality_classifier",
-    # -- the r5-stale cohort (VERDICT r7 #1): every query whose LAST
-    #    driver-green row is round 5, cumulative-greens ascending
-    #    (twice-green seventeen first), then name
-    "q52_binary_payloads",
-    "q53_sessionization",
-    "q54_asof_join",
-    "q56_range_join",
-    "q57_pivot",
-    "q58_cube",
-    "q61_string_indexer",
-    "q62_class_weights",
-    "q63_corr_matrix",
-    "q64_salted_agg",
-    "q67_nested_struct",
-    "q68_porter_stems",
-    "q70_pmi_bigrams",
-    "q71_salted_join",
-    "q72_snapshot_diff",
-    "q73_rollup_merge",
-    "q74_udtf_tokens",
-    #    ... then the twenty thrice-green, by name
-    "q03_regex_flags",
-    "q19_wordcount_top20",
-    "q29_dedup_materialized",
-    "q30_exact_dedup",
-    "q31_minhash_neardup",
-    "q32_simhash",
-    "q33_ngram_jaccard",
-    "q34_winnowing",
-    "q35_dedup_clusters",
-    "q36_prefix_simjoin",
-    "q40_cosine_topk",
-    "q42_label_centroids",
-    "q44_cosine_neardup",
-    "q45_kmeans",
-    "q46_int8_quantization",
-    "q48_embedding_dedup_clusters",
-    "q50_json_props",
-    "q51_tumbling_windows",
-    "q55_time_rollup",
-    "q66_decontamination",
-    # -- remaining slots: the r6-last-green cohort, cumulative greens
-    #    ascending (all once-green), then name
-    "q100_doc_chunking",
-    "q101_lm_perplexity",
-    "q102_pq_ann",
-    "q103_bpe_merge_pairs",
-    "q104_ivfpq_ann",
-    "q105_incremental_neardup",
-    "q106_group_split",
-    "q107_priority_class_counts",
-    "q108_order_count_distribution",
-    "q109_promo_revenue_share",
+    # -- never driver-green: new this round (the write-side exactly-once
+    #    sink promotion, VERDICT r8 #7)
+    "q139_streaming_idempotent_sink",
+    # -- the r6-stale cohort (VERDICT r8 #5): every query whose LAST
+    #    driver-green row is round 6, cumulative-greens ascending
+    #    (the sixteen once-green first), then name
+    "q110_constraint_audit",
+    "q111_langid_ngram",
+    "q112_substring_dedup",
+    "q113_shard_manifest",
+    "q114_mixture_weights",
+    "q115_cdc_chunks",
+    "q116_semdedup",
+    "q117_returned_revenue",
+    "q118_large_volume_orders",
+    "q119_disjunctive_revenue",
+    "q120_supplier_diversity",
+    "q121_sole_late_supplier",
+    "q122_kmv_overlap",
+    "q123_bpe_tokenize",
+    "q124_novelty_curve",
+    "q125_label_noise",
+    #    ... then the twenty-two twice-green, by name
+    "q65_grouped_ols",
+    "q75_pii_redaction",
+    "q76_quality_funnel",
+    "q77_boilerplate_shingles",
+    "q78_exists_late_orders",
+    "q79_below_avg_quantity",
+    "q80_dormant_high_balance",
+    "q81_winsorized_stats",
+    "q82_pagerank",
+    "q83_zorder_layout",
+    "q84_bloom_semi_join",
+    "q85_mixture_sample",
+    "q86_local_supplier_volume",
+    "q87_rank_family",
+    "q89_variant_props",
+    "q90_mad_outliers",
+    "q91_k_per_group_sample",
+    "q92_gap_fill",
+    "q93_volume_shipping",
+    "q94_market_share",
+    "q95_scd2_history",
+    "q96_fuzzy_name_match",
+    # -- remaining slots: the r7-last-green cohort, cumulative greens
+    #    ascending (eight once-green, then three twice-green), then name
+    "q128_unigram_tokenize",
+    "q129_tokenizer_compare",
+    "q130_neardup_retention",
+    "q131_streaming_windowed_counts",
+    "q132_streaming_dedup",
+    "q133_streaming_enrich",
+    "q134_streaming_attribution",
+    "q135_streaming_sketch_rollup",
+    "q126_forecast_revenue",
+    "q127_top_supplier",
+    "q22_approx_distinct_percentiles",
 ]

@@ -559,3 +559,100 @@ def q137_streaming_stateful_profile(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q139_streaming_idempotent_sink",
+    oracle="""
+    -- the write-side exactly-once contract: a 4-file backlog drained
+    -- TWICE through the foreachBatch batch_id-overwrite parquet sink
+    -- (second drain = worst-case full replay with a lost checkpoint)
+    -- must still equal the batch table ONCE. q133's ROUND convention
+    -- for the float aggregate; SUM(event_id) as an integer checksum so
+    -- a duplicated or dropped ROW (not just a miscount) breaks the hash.
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="STREAMING exactly-once foreachBatch parquet sink: multi-batch "
+    "availableNow drain + full checkpoint-loss replay into the same "
+    "target == the batch table once (batch_id-overwrite idempotence)",
+)
+def q139_streaming_idempotent_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The write-side exactly-once story (VERDICT r8 #7), promoted from
+    tests-only (tests/test_streaming_sinks.py) into the oracle-checked
+    registry. The query EXECUTES the production delivery recipe
+    end-to-end:
+
+    1. split the events backlog into 4 parquet files and stream them
+       with maxFilesPerTrigger=1 — a genuine MULTI-batch availableNow
+       drain (4 micro-batches), unlike the single-batch drains of
+       q131-q137;
+    2. drain through start_idempotent_parquet_sink: foreachBatch writes
+       each micro-batch to target/batch_id=N with mode=overwrite;
+    3. drain AGAIN with a FRESH checkpoint — the worst-case at-least-
+       once replay (checkpoint lost, every batch re-delivered). The
+       deterministic batch_id path makes the replay overwrite its own
+       previous output instead of appending duplicates;
+    4. read the sink back and aggregate per event_type. If idempotence
+       broke, every count/checksum doubles and the oracle hash breaks.
+
+    Replay-safety precondition (docstring'd on the sink too): the replay
+    must re-batch the backlog the same way, which reusing the source
+    options guarantees (1 file per trigger => 4 batches both times; the
+    per-batch FILE assignment may permute across runs, but the union of
+    overwritten batch dirs is the exact file set either way). In
+    production the checkpoint itself pins batching; the fresh-checkpoint
+    twin here is strictly harsher.
+
+    Scale shape: the sink is stateless (no state store), each
+    micro-batch writes only its own batch_id=N directory (never the
+    table root), and readers prune on batch_id as an ordinary partition
+    column — a 100 TB catch-up is a sequence of bounded batch writes."""
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from reddit_big_data_spark.sources.io import read_table
+    from reddit_big_data_spark.streaming.sinks import (
+        read_sink,
+        start_idempotent_parquet_sink,
+    )
+
+    work = _tempfile.mkdtemp(prefix="q139_sink_")
+    # The returned DataFrame reads the sink lazily; keep the scratch dir
+    # for the process lifetime, reap it at exit.
+    _atexit.register(_shutil.rmtree, work, ignore_errors=True)
+    backlog = _os.path.join(work, "backlog")
+    target = _os.path.join(work, "target")
+
+    read_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).repartition(4).write.parquet(backlog)
+
+    def _drain(ckpt: str) -> None:
+        ev = (
+            spark.readStream.schema(spark.read.parquet(backlog).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(backlog)
+        )
+        start_idempotent_parquet_sink(
+            ev, target, _os.path.join(work, ckpt)
+        ).awaitTermination()
+
+    _drain("ckpt")  # normal delivery
+    _drain("ckpt_replay")  # checkpoint lost: full at-least-once replay
+    return (
+        read_sink(spark, target)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_checksum"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
