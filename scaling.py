@@ -31,8 +31,15 @@ Families and their candidate stages:
        shuffle-volume driver of the Lee-et-al-shaped dedup; linear in
        corpus tokens by construction (no suffix array, no pair join)
 - q98  simhash hamming join : operators/dedup.simhash_band_candidates
-       at the q98 configuration (4 bands x 16 bits) — the exact join's
-       pigeonhole collision fan-out (r8, VERDICT r7 #7)
+       at the PRODUCTION adaptive width (r9, VERDICT r8 #4:
+       w = 16 + ceil(log2(n/500)) per band via adaptive_band_width) —
+       the exact join's pigeonhole collision fan-out, sub-quadratic by
+       the log2(n) width rule (the registry query pins the 64-bit
+       oracle instance)
+- q105 incremental near-dup : the cross-set banded join's distinct
+       (new, index) pairs — q31's 8x8 banding restricted to
+       batch-probes-index (r9, VERDICT r8 #9: the one banded dedup
+       family previously without a measured exponent)
 - q116 SemDeDup             : cluster-scoped pair counts (sum of
        C(size, 2)) after the production kmeans_assign at
        k = semdedup_k(N) — the r6 k-scaling fix measured on the
@@ -196,6 +203,48 @@ def measure_q98(spark, sf_dir: str) -> dict:
     }
 
 
+def measure_q105(spark, sf_dir: str) -> dict:
+    """Incremental ingest-vs-index screen (q105): candidates are the
+    CROSS-SET banded join's distinct (new, index) pairs — the q31 LSH
+    band join restricted to batch-probes-index (source != 'src0' vs
+    source == 'src0'), exactly the `cand` stage the registered query
+    verifies. The one banded dedup family without a measured exponent
+    until r9 (VERDICT r8 #9)."""
+    from reddit_big_data_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signatures,
+    )
+    from reddit_big_data_spark.queries.dedup import _tokens
+    from reddit_big_data_spark.operators.dedup import word_shingles
+    from reddit_big_data_spark.sources.io import read_table
+
+    src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
+    sh = _doc_shingles(spark, sf_dir)
+    sigs = minhash_signatures(sh, "doc_id", "shingles", 64).join(src, "doc_id")
+    banded = sigs.select(
+        "doc_id",
+        "source",
+        F.posexplode(lsh_band_keys(F.col("signature"), 8, 8)).alias(
+            "band_idx", "band_hash"
+        ),
+    ).persist()
+    new_b = banded.filter(F.col("source") != "src0").select(
+        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
+    )
+    idx_b = banded.filter(F.col("source") == "src0").select(
+        F.col("doc_id").alias("index_id"), "band_idx", "band_hash"
+    )
+    n = sh.count()
+    cands = (
+        new_b.join(idx_b, ["band_idx", "band_hash"])
+        .select("new_id", "index_id")
+        .distinct()
+        .count()
+    )
+    banded.unpersist()
+    return {"n_input": n, "candidates": cands}
+
+
 def measure_q116(spark, sf_dir: str) -> dict:
     """SemDeDup (q116): candidates are the cluster-scoped pair counts —
     sum over clusters of C(size, 2) after the PRODUCTION assignment path
@@ -232,6 +281,7 @@ MEASURES = {
     "q41_lsh_ann": measure_q41,
     "q98_simhash_hamming": measure_q98,
     "q102_pq_ann": measure_q102,
+    "q105_incremental_neardup": measure_q105,
     "q112_substring_dedup": measure_q112,
     "q116_semdedup": measure_q116,
 }
@@ -256,6 +306,7 @@ BANDED = (
     "q41_lsh_ann",
     "q112_substring_dedup",
     "q98_simhash_hamming",
+    "q105_incremental_neardup",
 )
 NOTES = {
     "q36_prefix_simjoin": (
@@ -283,6 +334,11 @@ NOTES = {
         "flat ADC scan: candidates = |corpus| x |queries| by "
         "construction (linear in corpus for a fixed probe set); q104 "
         "IVF-PQ is the cell-scoped variant"
+    ),
+    "q105_incremental_neardup": (
+        "cross-set banded join: each ingest batch probes the stored "
+        "index band table only at colliding buckets — never re-pairs "
+        "the index against itself; same 8x8 banding as q31"
     ),
     "q112_substring_dedup": (
         "k-gram anchor table: one row per (doc, position) — linear in "

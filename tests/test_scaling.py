@@ -46,6 +46,17 @@ def test_lsh_ann_candidates_subquadratic(spark):
     assert exp < 2.0, f"q41 bucket candidate exponent {exp:.2f} at {pts}"
 
 
+def test_incremental_neardup_candidates_subquadratic(spark):
+    """q105's cross-set banded join (VERDICT r8 #9: the one banded dedup
+    family without a measured exponent until r9): batch-probes-index
+    collisions must grow sub-quadratically like the q31 self-join family
+    it restricts (measured r9: 0.86 — the absolute counts are small
+    (single-digit to tens on the testdata), so the pin is the
+    sub-quadratic bound, not the point estimate)."""
+    exp, pts = _exponent(spark, scaling.measure_q105)
+    assert exp < 2.0, f"q105 cross-set candidate exponent {exp:.2f} at {pts}"
+
+
 def test_pq_scan_candidates_linear(spark):
     # flat ADC scan: |corpus| x |queries| by construction — linear in
     # the corpus for the fixed probe set
