@@ -205,6 +205,53 @@ def lsh_candidate_pairs(
     )
 
 
+def cross_set_lsh_candidates(
+    sh: DataFrame,
+    id_col: str,
+    shingle_col: str,
+    source_col: str,
+    index_value: str,
+    bands: int = 8,
+    rows: int = 8,
+) -> DataFrame:
+    """CROSS-SET banded MinHash candidates: rows whose `source_col` is
+    NOT `index_value` (the ingest batch) probe rows that ARE (the stored
+    index) — never index-vs-index, never batch-vs-batch. Returns
+    distinct (new_id, index_id) pairs sharing >= 1 LSH bucket.
+
+    This is the candidate stage of q105 (incremental ingest-vs-index
+    screen), factored out in r9 so the scaling harness measures the
+    PRODUCTION stage instead of a copy that could drift (review r9).
+
+    Plan shape: one signature computation + one band explosion, persisted
+    and filtered into the two join sides (the persist matters — without
+    it each side re-runs the whole explode -> 64-min-agg signature
+    pipeline from the source scan). At 100 TB the index side's band table
+    is the precomputed, bucketed artifact a deployment stores; each
+    ingest touches only colliding buckets."""
+    sigs = minhash_signatures(sh, id_col, shingle_col, bands * rows).join(
+        sh.select(id_col, source_col), id_col
+    )
+    banded = sigs.select(
+        id_col,
+        source_col,
+        F.posexplode(lsh_band_keys(F.col("signature"), bands, rows)).alias(
+            "band_idx", "band_hash"
+        ),
+    ).persist()
+    new_b = banded.filter(F.col(source_col) != index_value).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+    )
+    idx_b = banded.filter(F.col(source_col) == index_value).select(
+        F.col(id_col).alias("index_id"), "band_idx", "band_hash"
+    )
+    return (
+        new_b.join(idx_b, ["band_idx", "band_hash"])
+        .select("new_id", "index_id")
+        .distinct()
+    )
+
+
 def near_duplicates(
     df: DataFrame,
     id_col: str,

@@ -61,6 +61,13 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
     GLOBAL_WINDOW when the window input is a pre-aggregated tiny table).
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
+    # After a DataFrame has EXECUTED, AQE's toString appends an
+    # "== Initial Plan ==" section repeating the pre-adaptive tree; keep
+    # only the final plan so (a) the root-sort exemption below doesn't
+    # false-positive on the Initial-Plan copy of the root Sort sitting at
+    # a non-root line (review r9, empirically confirmed), and (b) every
+    # other check scans the plan that actually ran, once.
+    plan = plan.split("== Initial Plan ==")[0]
     findings: list[Finding] = []
 
     def add(code: str, detail: str) -> None:
@@ -97,12 +104,17 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
                     break
     # Global Sort (range-shuffle total order). A global sort at the plan
     # ROOT is the trailing oracle-stability orderBy every registry query
-    # ends with (VERDICT r1 accepted the pattern; r8 made this structural
+    # ends with (VERDICT r1 accepted the pattern; r9 made this structural
     # so new queries can't forget a hand-list entry): it sorts exactly the
     # result set the caller is about to collect, so its cost is bounded by
     # the result size, not the corpus. An INTERIOR global sort — feeding
     # further computation — is a genuine full-shuffle hazard and is still
-    # flagged.
+    # flagged. ACCEPTED TRADEOFF (review r9): the root position proves
+    # nothing about result size for arbitrary interactive plans — a bare
+    # corpus.orderBy(ts) now passes where the pre-r9 lint flagged it.
+    # The registry sweep is the primary consumer and every registry query
+    # aggregates/limits before its trailing sort; interactive users
+    # sorting a raw corpus see Spark's own range-shuffle cost directly.
     nodes = [n for n in (_node_text(ln) for ln in plan.splitlines()) if n]
     root_i = next(
         (i for i, n in enumerate(nodes) if not n.startswith(_ROOT_WRAPPERS)), None

@@ -646,9 +646,8 @@ def q98_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.dedup import (
+        cross_set_lsh_candidates,
         jaccard,
-        lsh_band_keys,
-        minhash_signatures,
     )
 
     docs = spread(read_table(spark, sf_dir, "documents"))
@@ -663,30 +662,12 @@ def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select(
         "doc_id", "source", word_shingles(F.col("toks"), 2).alias("shingles")
     ).persist()  # consumed by signatures + both verify joins
-    sigs = minhash_signatures(sh, "doc_id", "shingles", 64).join(
-        sh.select("doc_id", "source"), "doc_id"
-    )
-    # Persist BEFORE the two side-filters below: each is a separate plan
-    # branch, and without the cache both would re-run the whole
-    # explode -> 64-min-agg signature computation (the repeated-subtree
-    # trap lsh_candidate_pairs documents; measured 16s -> ~4s at sf0.1).
-    banded = sigs.select(
-        "doc_id",
-        "source",
-        F.posexplode(lsh_band_keys(F.col("signature"), 8, 8)).alias(
-            "band_idx", "band_hash"
-        ),
-    ).persist()
-    new_b = banded.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
-    )
-    idx_b = banded.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("index_id"), "band_idx", "band_hash"
-    )
-    cand = (
-        new_b.join(idx_b, ["band_idx", "band_hash"])
-        .select("new_id", "index_id")
-        .distinct()
+    # The candidate stage is the shared operator (review r9: the scaling
+    # harness measures the SAME function, so the measured exponent can't
+    # drift from the production path); it persists the band table across
+    # its two side-filters internally.
+    cand = cross_set_lsh_candidates(
+        sh, "doc_id", "shingles", "source", "src0", bands=8, rows=8
     )
     n_side = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("__sh_n"))
     i_side = sh.select(F.col("doc_id").alias("index_id"), F.col("shingles").alias("__sh_i"))

@@ -205,44 +205,23 @@ def measure_q98(spark, sf_dir: str) -> dict:
 
 def measure_q105(spark, sf_dir: str) -> dict:
     """Incremental ingest-vs-index screen (q105): candidates are the
-    CROSS-SET banded join's distinct (new, index) pairs — the q31 LSH
-    band join restricted to batch-probes-index (source != 'src0' vs
-    source == 'src0'), exactly the `cand` stage the registered query
-    verifies. The one banded dedup family without a measured exponent
-    until r9 (VERDICT r8 #9)."""
-    from reddit_big_data_spark.operators.dedup import (
-        lsh_band_keys,
-        minhash_signatures,
-    )
-    from reddit_big_data_spark.queries.dedup import _tokens
-    from reddit_big_data_spark.operators.dedup import word_shingles
+    CROSS-SET banded join's distinct (new, index) pairs, via the SAME
+    operator the registered query runs (cross_set_lsh_candidates at
+    q105's 8x8 banding and src0 index predicate — review r9 factored it
+    out so this measurement cannot drift from the production stage).
+    The one banded dedup family without a measured exponent until r9
+    (VERDICT r8 #9)."""
+    from reddit_big_data_spark.operators.dedup import cross_set_lsh_candidates
     from reddit_big_data_spark.sources.io import read_table
 
     src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
-    sh = _doc_shingles(spark, sf_dir)
-    sigs = minhash_signatures(sh, "doc_id", "shingles", 64).join(src, "doc_id")
-    banded = sigs.select(
-        "doc_id",
-        "source",
-        F.posexplode(lsh_band_keys(F.col("signature"), 8, 8)).alias(
-            "band_idx", "band_hash"
-        ),
-    ).persist()
-    new_b = banded.filter(F.col("source") != "src0").select(
-        F.col("doc_id").alias("new_id"), "band_idx", "band_hash"
-    )
-    idx_b = banded.filter(F.col("source") == "src0").select(
-        F.col("doc_id").alias("index_id"), "band_idx", "band_hash"
-    )
-    n = sh.count()
-    cands = (
-        new_b.join(idx_b, ["band_idx", "band_hash"])
-        .select("new_id", "index_id")
-        .distinct()
-        .count()
-    )
-    banded.unpersist()
-    return {"n_input": n, "candidates": cands}
+    sh = _doc_shingles(spark, sf_dir).join(src, "doc_id")
+    return {
+        "n_input": sh.count(),
+        "candidates": cross_set_lsh_candidates(
+            sh, "doc_id", "shingles", "source", "src0", bands=8, rows=8
+        ).count(),
+    }
 
 
 def measure_q116(spark, sf_dir: str) -> dict:
@@ -321,7 +300,12 @@ NOTES = {
         "band) — growing the chunk width with log2(n) cancels one "
         "factor of n in the ~bands * allpairs * 2^-w spurious collision "
         "mass, so candidates grow ~linearly; the registry query q98 "
-        "pins the fixed 64-bit instance for the DuckDB oracle"
+        "pins the fixed 64-bit instance for the DuckDB oracle. NB "
+        "shuffle_records/shuffle_exponent come from running that fixed "
+        "64-bit REGISTRY query (run() times every family's registered "
+        "query for shuffle), not the adaptive path — only "
+        "candidate_exponent/band_width describe the adaptive "
+        "configuration (review r9)"
     ),
     "q116_semdedup": (
         "cluster-scoped pairs at k = clamp(ceil(N/100), 10, 4096): "

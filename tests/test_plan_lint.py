@@ -172,6 +172,17 @@ def test_lint_accepts_root_global_sort(spark):
     assert not [f for f in lint_plan(df) if f.code == "GLOBAL_SORT"]
 
 
+def test_lint_root_sort_exemption_survives_execution(spark):
+    """Review r9 regression guard: after a DataFrame executes, AQE's
+    plan string appends an '== Initial Plan ==' section that repeats the
+    root Sort at a non-root line — the lint must keep exempting the
+    trailing orderBy on the ALREADY-EXECUTED frame (the module's
+    advertised interactive use)."""
+    df = spark.range(10).groupBy((F.col("id") % 3).alias("g")).count().orderBy("g")
+    df.collect()  # materialize: the plan string now carries both sections
+    assert not [f for f in lint_plan(df) if f.code == "GLOBAL_SORT"]
+
+
 def test_lint_flags_interior_global_sort(spark):
     """An INTERIOR global sort — one feeding further computation — is a
     genuine full-shuffle hazard and is still flagged."""
