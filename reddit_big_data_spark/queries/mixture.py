@@ -275,3 +275,148 @@ def q106_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("leaked_groups", F.lit(leaked).cast("long"))
         .orderBy("split")
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — DSIR-style importance resampling weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score every
+# raw-pool document by how much more likely its tokens are under the
+# TARGET domain's unigram distribution than under the raw pool's own —
+# log w(x) = sum over token occurrences ln(p_target(t) / p_raw(t)) —
+# then keep the top-weighted docs. The published method hashes n-grams
+# into buckets; the testdata's vocabulary is small enough that plain
+# unigrams are the same estimator without the hash collision noise.
+# source='src0' plays the target domain (the q105 convention).
+#
+# Float discipline (q101's proven recipe, bit-equal cross-engine): each
+# token's log-ratio rounds to 9dp FIRST; a document's addends then sum
+# in the canonical TWO-LEVEL order both engines replicate (bucket by
+# floor(lr), sorted fold within, bucket-ordered fold across); the
+# output rounds to 4dp on bit-equal sums.
+#
+# Scale shape: ONE counting pass builds the unigram table with target /
+# raw counts side by side (map-side combined, distinct-vocab-sized —
+# NEVER broadcast, same as q101's bigram table); the three model
+# scalars (N_target, N_raw, V) are one constant-size aggregate; scoring
+# is ONE shuffle equi-join of raw-pool token occurrences against the
+# unigram table; the fold is bounded per (doc, bucket). At 100 TB the
+# target counts would come from a separately-trained table — nothing
+# here assumes self-training (the q101 contract).
+# --------------------------------------------------------------------------
+@register(
+    "q140_dsir_importance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, source, unnest(t) AS w FROM toks
+    ),
+    occ_ne AS (SELECT * FROM occ WHERE w <> ''),
+    counts AS (
+      SELECT w,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cr
+      FROM occ_ne GROUP BY w
+    ),
+    model AS (
+      SELECT SUM(ct) AS nt, SUM(cr) AS nr, COUNT(*) AS v FROM counts
+    ),
+    scored AS (
+      SELECT o.doc_id,
+             ROUND(LN(((c.ct + 0.5) * (m.nr + 0.5 * m.v))
+                      / ((c.cr + 0.5) * (m.nt + 0.5 * m.v))), 9) AS lr
+      FROM occ_ne o JOIN counts c USING (w) CROSS JOIN model m
+      WHERE o.source <> 'src0'
+    ),
+    bagg AS (
+      SELECT doc_id, FLOOR(lr) AS b, COUNT(*) AS nb,
+             list_sum(list_sort(list(lr))) AS bsum
+      FROM scored GROUP BY doc_id, FLOOR(lr)
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(nb) AS BIGINT) AS n_tokens,
+             list_sum(list(bsum ORDER BY b)) AS total_lw
+      FROM bagg GROUP BY doc_id
+    )
+    SELECT a.doc_id, d.source, a.n_tokens,
+           ROUND(a.total_lw / a.n_tokens, 4) AS avg_log_weight
+    FROM agg a JOIN documents d USING (doc_id)
+    ORDER BY avg_log_weight DESC, doc_id
+    LIMIT 15
+    """,
+    doc="DSIR-style unigram importance-resampling weights: raw-pool docs "
+    "ranked by mean ln(p_target/p_raw) toward the src0 target domain",
+)
+def q140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.text import normalize
+    from reddit_big_data_spark.sources.io import spread
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    occ = (
+        docs.select(
+            "doc_id", "source", F.explode(F.split(normalize("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+    )
+    # ONE counting pass: target and raw counts side by side per token
+    # (map-side combine; distinct-vocab-sized, the q101 checkpoint rule)
+    counts = (
+        occ.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("cr"),
+        )
+        .localCheckpoint()
+    )
+    nt, nr, v = counts.agg(
+        F.sum("ct"), F.sum("cr"), F.count("*")
+    ).first()
+    # one LN per token over a single ratio — the identical expression the
+    # oracle evaluates, rounded to 9dp before any summation
+    lr = F.round(
+        F.log(
+            ((F.col("ct") + 0.5) * (float(nr) + 0.5 * float(v)))
+            / ((F.col("cr") + 0.5) * (float(nt) + 0.5 * float(v)))
+        ),
+        9,
+    )
+    scored = (
+        occ.filter(F.col("source") != "src0")
+        .join(counts, "w")
+        .select("doc_id", lr.alias("lr"))
+    )
+    # two-level canonical sum (q101's recipe): per-(doc, floor(lr))
+    # sorted folds, then bucket sums folded in bucket order
+    bagg = scored.groupBy("doc_id", F.floor("lr").alias("b")).agg(
+        F.count("*").alias("nb"),
+        F.aggregate(
+            F.sort_array(F.collect_list("lr")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("bsum"),
+    )
+    agg = bagg.groupBy("doc_id").agg(
+        F.sum("nb").alias("n_tokens"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("b", "bsum"))),
+            F.lit(0.0),
+            lambda a, s: a + s["bsum"],
+        ).alias("total_lw"),
+    )
+    return (
+        agg.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("total_lw") / F.col("n_tokens"), 4).alias(
+                "avg_log_weight"
+            ),
+        )
+        .orderBy(F.desc("avg_log_weight"), "doc_id")
+        .limit(15)
+    )
