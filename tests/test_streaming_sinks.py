@@ -40,6 +40,18 @@ def test_sink_delivers_exactly_the_source(spark, tmp_path):
     assert got.filter(F.col("batch_id") == 0).count() > 0
 
 
+def test_sink_reader_prunes_on_batch_id(spark, tmp_path):
+    """The sink's 100 TB read-side claim, pinned in the plan: batch_id is
+    a partition column, so `WHERE batch_id = N` must reach the scan as a
+    PartitionFilter (other batches' directories never open)."""
+    target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _drain(spark, target, ckpt)
+    df = read_sink(spark, target).filter(F.col("batch_id") == 0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan and any("PartitionFilters: [" in ln and "batch_id" in ln for ln in scan), plan
+
+
 def test_checkpointed_restart_delivers_nothing_twice(spark, tmp_path):
     target, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     _drain(spark, target, ckpt)
