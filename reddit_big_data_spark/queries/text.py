@@ -900,3 +900,116 @@ def q111_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — Zipf-slope vocabulary power-law fit per source (corpus-health
+# QA: natural text follows freq ∝ rank^-s with s ≈ 1; a slope far from
+# -1 flags word-soup, boilerplate floods, or over-deduplicated shards —
+# the vocabulary-distribution twin of q20's per-doc quality screens).
+# Least-squares slope of ln(freq) vs ln(rank) over each source's top-200
+# terms (the head of the distribution, where Zipf fits are quoted).
+#
+# Float discipline (q101's recipe): ln(rank)/ln(freq) are logs of exact
+# INTEGERS rounded to 9dp, the four regression sums fold in canonical
+# rank order on both engines (<= 200 addends per source — no bucketing
+# needed), and the slope divides bit-equal sums before the 4dp output
+# round.
+#
+# Scale shape: token counts are one map-side-combined groupBy; the rank
+# window partitions BY SOURCE over the distinct-vocab counts (never the
+# corpus); everything after the top-200 filter is bounded at 200 rows
+# per source.
+# --------------------------------------------------------------------------
+@register(
+    "q141_zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             string_split(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ') AS t
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, w, COUNT(*) AS freq
+      FROM (SELECT source, unnest(t) AS w FROM toks)
+      WHERE w <> '' GROUP BY source, w
+    ),
+    ranked AS (
+      SELECT source, w, freq,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY freq DESC, w) AS rnk
+      FROM counts
+    ),
+    head AS (
+      SELECT source, rnk,
+             ROUND(LN(rnk), 9) AS x, ROUND(LN(freq), 9) AS y
+      FROM ranked WHERE rnk <= 200
+    ),
+    sums AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             list_sum(list(x ORDER BY rnk)) AS sx,
+             list_sum(list(y ORDER BY rnk)) AS sy,
+             list_sum(list(x * y ORDER BY rnk)) AS sxy,
+             list_sum(list(x * x ORDER BY rnk)) AS sxx
+      FROM head GROUP BY source
+    )
+    SELECT source, n_terms,
+           ROUND((n_terms * sxy - sx * sy)
+                 / (n_terms * sxx - sx * sx), 4) AS zipf_slope
+    FROM sums
+    WHERE n_terms >= 2
+    ORDER BY source
+    """,
+    doc="Zipf power-law slope of the top-200 rank-frequency curve per "
+    "source (corpus vocabulary-health QA)",
+)
+def q141_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(read_table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(
+            "source", F.explode(F.split(normalize("text"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), "w")
+    head = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 200)
+        .select(
+            "source",
+            "rnk",
+            F.round(F.log("rnk"), 9).alias("x"),
+            F.round(F.log("freq"), 9).alias("y"),
+        )
+    )
+
+    def _fold(expr):
+        # canonical rank-ordered fold: <= 200 addends, same order as the
+        # oracle's list(... ORDER BY rnk) -> list_sum
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("rnk", expr.alias("v")))),
+            F.lit(0.0),
+            lambda a, s: a + s["v"],
+        )
+
+    sums = head.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        _fold(F.col("x")).alias("sx"),
+        _fold(F.col("y")).alias("sy"),
+        _fold(F.col("x") * F.col("y")).alias("sxy"),
+        _fold(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        sums.filter(F.col("n_terms") >= 2)
+        .select("source", "n_terms", F.round(slope, 4).alias("zipf_slope"))
+        .orderBy("source")
+    )
