@@ -384,14 +384,18 @@ def q140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         9,
     )
+    # source rides the scoring rows (one value per doc) so the report
+    # needs NO second corpus scan to re-attach it (review r9 scan audit:
+    # 2 documents scans -> 1 in the final plan)
     scored = (
         occ.filter(F.col("source") != "src0")
         .join(counts, "w")
-        .select("doc_id", lr.alias("lr"))
+        .select("doc_id", "source", lr.alias("lr"))
     )
     # two-level canonical sum (q101's recipe): per-(doc, floor(lr))
     # sorted folds, then bucket sums folded in bucket order
     bagg = scored.groupBy("doc_id", F.floor("lr").alias("b")).agg(
+        F.first("source").alias("source"),
         F.count("*").alias("nb"),
         F.aggregate(
             F.sort_array(F.collect_list("lr")),
@@ -400,6 +404,7 @@ def q140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bsum"),
     )
     agg = bagg.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
         F.sum("nb").alias("n_tokens"),
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("b", "bsum"))),
@@ -408,8 +413,7 @@ def q140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_lw"),
     )
     return (
-        agg.join(docs.select("doc_id", "source"), "doc_id")
-        .select(
+        agg.select(
             "doc_id",
             "source",
             "n_tokens",
