@@ -328,3 +328,69 @@ def test_train_unigram_artifact_invariants(spark, corpus, vocab_size):
     assert len(pieces) <= max(vocab_size, len(chars))
     for p in pieces:
         assert any(p in w for w in all_words), p
+
+
+def test_dsir_ranks_target_like_docs_first(spark, tmp_path):
+    """q140's estimator on a planted corpus: raw-pool docs written in the
+    TARGET domain's vocabulary must outrank raw-pool docs written in the
+    raw pool's own vocabulary — the defining property of importance
+    resampling (target-domain-likeness ordering), independent of the
+    real testdata."""
+    import pandas as pd
+
+    from reddit_big_data_spark.queries.mixture import q140_dsir_importance
+
+    rows = []
+    # target domain (src0): vocabulary {alpha beta gamma}
+    for i in range(20):
+        rows.append((i, "alpha beta gamma alpha beta", "en", "src0", 0))
+    # raw pool: 5 target-like docs, 15 raw-flavored docs
+    for i in range(5):
+        rows.append((100 + i, "alpha beta gamma beta alpha gamma", "en", "src1", 0))
+    for i in range(15):
+        rows.append((200 + i, "delta epsilon zeta delta epsilon zeta", "en", "src2", 0))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = q140_dsir_importance(spark, sf_dir).toPandas()
+    # the 5 target-like raw docs must occupy the top 5 slots, every one
+    # with a strictly positive mean log-weight; raw-flavored docs must
+    # score negative
+    top5 = set(got.head(5)["doc_id"])
+    assert top5 == {100, 101, 102, 103, 104}, got.head(8)
+    assert (got.head(5)["avg_log_weight"] > 0).all()
+    assert (got[got["doc_id"] >= 200]["avg_log_weight"] < 0).all()
+
+
+def test_zipf_slope_recovers_planted_exponent(spark, tmp_path):
+    """q141 on a corpus MANUFACTURED to follow freq = round(C * rank^-s)
+    exactly: the fitted slope must recover s to within the rounding
+    granularity of the planted integer frequencies (the estimator's
+    defining property, independent of the real testdata)."""
+    import math
+
+    import pandas as pd
+
+    from reddit_big_data_spark.queries.text import q141_zipf_slope
+
+    s_true = 1.0
+    C = 2000.0
+    words = []
+    for rank in range(1, 81):
+        freq = max(1, round(C * rank ** (-s_true)))
+        words.extend([f"w{rank:03d}"] * freq)
+    text = " ".join(words)
+    pdf = pd.DataFrame(
+        [(1, text, "en", "zipfsrc", len(text))],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = q141_zipf_slope(spark, sf_dir).toPandas()
+    assert list(got["source"]) == ["zipfsrc"]
+    slope = float(got["zipf_slope"].iloc[0])
+    # integer rounding of the planted freqs perturbs the tail; 5% is far
+    # tighter than the word-soup-vs-natural-text gap the metric flags
+    assert math.isclose(slope, -s_true, abs_tol=0.05), slope
