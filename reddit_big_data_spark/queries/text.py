@@ -873,17 +873,29 @@ def q111_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
+    # ONE explosion serves both consumers (r9 scan audit; the q101
+    # one-counting-pass pattern): group the gram stream to per-doc gram
+    # counts once — that table IS the distinct doc-gram set scoring
+    # needs, and the language profiles derive from it by summing the
+    # per-doc counts (identical totals to counting raw occurrences).
+    # Without this, profile-build and doc_grams each re-ran the corpus
+    # scan + explosion (measured ~3.0s -> ~2.3s at sf0.1).
+    doc_gram_counts = (
+        grams.groupBy("doc_id", "lang", "g")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint()
+    )
     wp = Window.partitionBy("lang").orderBy(F.desc("__c"), "g")
     profile = (
-        grams.groupBy("lang", "g")
-        .agg(F.count("*").alias("__c"))
+        doc_gram_counts.groupBy("lang", "g")
+        .agg(F.sum("__c").alias("__c"))
         .withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") <= 50)
         .select(F.col("lang").alias("cand_lang"), "g")
     )
-    doc_grams = grams.select(
+    doc_grams = doc_gram_counts.select(
         "doc_id", F.col("lang").alias("true_lang"), "g"
-    ).distinct()
+    )
     scores = (
         doc_grams.join(F.broadcast(profile), "g")
         .groupBy("doc_id", "true_lang", "cand_lang")
