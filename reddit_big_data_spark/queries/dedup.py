@@ -518,7 +518,12 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.dedup import winnowing_fingerprints
 
     docs = read_table(spark, sf_dir, "documents")
-    fps = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4)
+    # Persist BEFORE the two consumers below: the winnowing pipeline is
+    # the per-CHAR posexplode + sliding-min window — the expensive
+    # subtree — and both probe_fps and contaminated derive from it
+    # (r9 live-scan audit: it ran twice; the (doc, fp) table is ~2/(w+1)
+    # of the char count, tiny next to the explosion it saves).
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=5, window=4).persist()
     probe_fps = (
         fps.join(
             docs.filter(F.col("source") == "src0").select("doc_id"), "doc_id"

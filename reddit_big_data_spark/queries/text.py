@@ -266,16 +266,28 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     _BM25_TERMS term — shared by q38 (top-k) and q49 (hybrid fusion)."""
     docs = spread(read_table(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", F.split(normalize("text"), " ").alias("toks"))
-    stats = toks.select(
-        F.count("*").alias("n_docs"), F.avg(F.size("toks")).alias("avgdl")
+    # ONE corpus pass (r9 live-scan audit: the regex-normalize subtree
+    # used to run three times — corpus stats, doc lengths, and the term
+    # explosion). Doc length AND the query-term hits are ROW-LOCAL, so
+    # a single narrow table carries everything downstream: (doc_id, dl,
+    # hits) where hits keeps only occurrences of the _BM25_TERMS query
+    # terms — |docs| rows with a tiny array, cheap to checkpoint at any
+    # scale. Stats, tf, and the length norm all derive from it.
+    base = toks.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.filter(
+            F.col("toks"), lambda t: t.isin(*_BM25_TERMS)
+        ).alias("hits"),
+    ).localCheckpoint()
+    stats = base.select(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).first()
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
-    dl = toks.select("doc_id", F.size("toks").alias("dl"))
     tf = (
-        toks.select("doc_id", F.explode("toks").alias("term"))
-        .filter(F.col("term").isin(*_BM25_TERMS))
+        base.select("doc_id", "dl", F.explode("hits").alias("term"))
         .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     idf = F.log((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
@@ -285,7 +297,6 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / norm_len
     return (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .groupBy("doc_id")
         .agg(
             F.round(F.sum(contrib), 6).alias("bm25"),
