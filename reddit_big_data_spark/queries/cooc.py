@@ -702,8 +702,12 @@ def q129_tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.unigram import unigram_encode
 
     # the same shared word contract as q128 (_capped_docs): both
-    # tokenizers score the identical word multiset
-    docs = _capped_docs(spark, sf_dir)
+    # tokenizers score the identical word multiset. Persist it — three
+    # consumers (both encoders' corpus sides + the final per-lang join)
+    # would each re-run the normalize/cap projection (r9 live-scan
+    # audit); the cached frame is one (doc_id, lang, nc, words) row per
+    # doc.
+    docs = _capped_docs(spark, sf_dir).persist()
     bpe = bpe_encode(
         docs, "doc_id", "t", _Q123_MERGES, include_empty=False
     ).select("doc_id", F.col("n_tokens").alias("bpe_tokens"))
