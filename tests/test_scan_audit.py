@@ -1,0 +1,111 @@
+"""Multi-consumer recompute guard (round 9): every registered batch
+query's LIVE parquet-scan counts are pinned — a new consumer of an
+unpersisted expensive subtree (the q111/q38/q49/q66 class this round's
+sweep caught) fails here instead of silently doubling a query's cost.
+
+Default allowance is TWO live scans per table (a main pass plus one
+scalar/dim side pass). Queries legitimately above it declare the excess
+with the reason — every entry is a deliberate multi-pass algorithm over
+a cheap pruned scan, not a recompute bug."""
+
+from __future__ import annotations
+
+import pytest
+
+from reddit_big_data_spark.plans.audit import live_file_scans
+from reddit_big_data_spark.registry import all_queries
+from tests.conftest import SF_SMOKE
+
+# query -> table -> (max live scans, reason)
+_ALLOW: dict[str, dict[str, tuple[int, str]]] = {
+    "q13_set_ops": {
+        "customer": (6, "the §2.7 set-ops surface itself: six branch "
+                        "scans of the cheap customer dim feed the "
+                        "union/intersect/except lattice under demo"),
+    },
+    "q16_distinct_percentiles": {
+        "lineitem": (3, "exact multi-statistic passes (distinct + exact "
+                        "percentiles) each need their own full-column "
+                        "aggregate over a single-column pruned scan"),
+    },
+    "q22_approx_distinct_percentiles": {
+        "lineitem": (3, "the query REPORTS the approx-vs-exact error "
+                        "bound, so it computes both sides — the "
+                        "comparison is the point"),
+    },
+    "q90_mad_outliers": {
+        "lineitem": (3, "nested exact medians: median, MAD around it, "
+                        "then the outlier filter — inherently three "
+                        "passes over a pruned scan"),
+    },
+    "q92_gap_fill": {
+        "events": (3, "bounds scalar + distinct-keys dim + fact join "
+                      "build the dense grid from three pruned scans"),
+    },
+    "q110_constraint_audit": {
+        "orders": (4, "independent constraint rules, each a pruned scan "
+                      "of the audited table"),
+    },
+    "q122_kmv_overlap": {
+        "orders": (5, "two per-group sketch builds plus the exact-count "
+                      "verification branches"),
+    },
+    "q44_cosine_neardup": {
+        "embeddings": (3, "probe broadcast + corpus + exact-verify "
+                          "branches over the small embeddings table"),
+    },
+    "q102_pq_ann": {
+        "embeddings": (3, "probe batch + code scan + exact-recall "
+                          "branch over the small embeddings table"),
+    },
+    "q69_cms_heavy_hitters": {
+        "events": (4, "CMS shard build + exact heavy-hitter verify + "
+                      "total-count scalar"),
+    },
+}
+_DEFAULT_MAX = 2
+
+_QUERIES = {
+    n: q for n, q in all_queries().items() if "streaming" not in n
+}
+
+
+@pytest.mark.parametrize("name", sorted(_QUERIES), ids=str)
+def test_no_unexplained_recompute(spark, name):
+    counts = live_file_scans(_QUERIES[name].fn(spark, SF_SMOKE))
+    allow = _ALLOW.get(name, {})
+    over = {
+        t: n
+        for t, n in counts.items()
+        if n > allow.get(t, (_DEFAULT_MAX, ""))[0]
+    }
+    assert not over, (
+        f"{name}: live scans {over} exceed the allowance — a shared "
+        "subtree is probably re-executing per consumer; persist it or "
+        "add a reasoned _ALLOW entry"
+    )
+
+
+def test_audit_sees_through_cached_relations(spark):
+    """The walker's own contract: a persisted frame consumed twice must
+    count ONE live scan path, not the repeated InMemoryRelation
+    rendering (the overcounting bug the first walker version had)."""
+    import pyspark.sql.functions as F
+
+    from reddit_big_data_spark.sources.io import read_table
+
+    docs = read_table(spark, SF_SMOKE, "documents").select("doc_id", "lang")
+    # uncached FIRST: persist() registers the PLAN in the cache manager,
+    # so any same-plan frame built afterwards resolves to the cache too
+    uncached = docs.groupBy("lang").count().join(
+        docs.select("lang").distinct(), "lang"
+    )
+    assert live_file_scans(uncached).get("documents", 0) >= 2
+    cached = docs.persist()
+    try:
+        two_consumers = cached.groupBy("lang").count().join(
+            cached.select("lang").distinct(), "lang"
+        )
+        assert live_file_scans(two_consumers).get("documents", 0) == 0
+    finally:
+        cached.unpersist()
