@@ -149,3 +149,127 @@ def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round("rank", 6)), "node")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q142 — exact triangle counting via degree-ordered edge orientation
+# (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
+# Last Reducer" — the canonical distributed formulation). Graph: the
+# co-purchase graph over parts (two parts adjacent iff they appear in
+# >= 2 distinct orders together — the market-basket support threshold
+# that keeps the graph sparse; the unthresholded co-occurrence graph is
+# ~60% dense on this data and degenerate for graph analytics).
+#
+# Why degree ordering matters at 100 TB: the naive wedge join groups
+# wedges at their CENTER, so a hub of degree d contributes d^2 wedges to
+# one reducer (the "last reducer" curse). Orienting every edge from its
+# (degree, id)-SMALLER endpoint to its larger one makes each node's
+# out-degree O(sqrt(m)) regardless of skew, bounding the wedge join at
+# m^1.5 total and each reducer at O(m) — each triangle is then counted
+# EXACTLY once (its unique minimum-(degree,id) apex emits the wedge).
+#
+# All outputs are integers except the clustering coefficient (one
+# rounded ratio of two exact integers — no float-fold discipline
+# needed). n_wedges uses the conventional unordered count
+# sum_v C(deg(v), 2), so global clustering = 3*T / wedges.
+# --------------------------------------------------------------------------
+@register(
+    "q142_triangle_count",
+    oracle="""
+    WITH copurchase AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM copurchase
+        UNION ALL SELECT v AS node FROM copurchase
+      ) GROUP BY node
+    ),
+    oriented AS (
+      SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+      FROM copurchase e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS t
+      FROM oriented e1
+      JOIN oriented e2 ON e2.lo = e1.hi
+      JOIN oriented e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM copurchase) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+           (SELECT ROUND(3.0 * t / (SELECT SUM(d * (d - 1) / 2) FROM deg), 6)
+            FROM tri) AS clustering
+    """,
+    doc="exact triangle count on the support-thresholded co-purchase "
+    "graph via degree-ordered orientation (Suri-Vassilvitskii)",
+)
+def q142_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnsRenamed({"l_partkey": "u"})
+    b = li.withColumnsRenamed({"l_partkey": "v"})
+    # co-located equi-join on the order key; support = distinct co-orders
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.countDistinct("l_orderkey").alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+        # persisted: degree table, orientation join, and n_edges all
+        # consume the thresholded edge list (the scan-audit contract)
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .persist()
+    )
+    du = deg.withColumnsRenamed({"node": "u", "d": "du"})
+    dv = deg.withColumnsRenamed({"node": "v", "d": "dv"})
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+        .persist()  # three join roles below (e1, e2, closure)
+    )
+    e1 = oriented
+    e2 = oriented.select(F.col("lo").alias("hi"), F.col("hi").alias("w"))
+    wedge = e1.join(e2, "hi")  # apex lo, middle hi, tip w
+    closure = oriented.select("lo", F.col("hi").alias("w"))
+    tri = wedge.join(closure, ["lo", "w"]).agg(F.count("*").alias("t"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(n_edges)  # 1x1 scalar assembly
+        .crossJoin(tri)  # 1x1
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.round(3.0 * F.col("t") / F.col("n_wedges"), 6).alias(
+                "clustering"
+            ),
+        )
+    )

@@ -54,6 +54,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "PARTIAL-sketch rows (the per-shard bottom-k windows below it "
         "are bounded by one value-hash shard's distinct values)",
     },
+    "q142_triangle_count": {
+        "NESTED_LOOP": "scalar assembly: three ONE-row frames (degree "
+        "stats, edge count, triangle count) join on nothing — 1x1 row "
+        "joins, constant work at any graph scale (q122's accepted "
+        "pattern)",
+    },
     "q24_summary_stats": {
         "PY_ARROW": "df.summary() is driver-profile tooling",
     },
