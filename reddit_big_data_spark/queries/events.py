@@ -293,3 +293,169 @@ def q124_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# q143 — ordered conversion funnel (the MATCH_RECOGNIZE / funnel-analysis
+# family): how many users did view -> click -> purchase IN THAT ORDER,
+# where each step must occur strictly after the user's first completion
+# of the previous step. The reference has no sequence analytics; this is
+# the event-analytics extension every product pipeline runs daily.
+#
+# Single corpus scan, single shuffle: three stacked aggregate windows
+# over the SAME partitionBy(user_id) (t2's predicate references t1, so
+# they stack as sequential projections but share one Exchange), then a
+# per-user collapse that reuses that partitioning. No self-joins, no
+# collect_list of a user's history (a power user's event list is
+# unbounded at 100 TB; the window aggregates never materialize it).
+# --------------------------------------------------------------------------
+@register(
+    "q143_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS view_users,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS click_users,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS purchase_users,
+           ROUND(CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM v), 0), 6) AS conv_click,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM c), 0), 6) AS conv_purchase,
+           ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+                 / NULLIF((SELECT COUNT(*) FROM v), 0), 6) AS conv_overall
+    """,
+    doc="ordered view->click->purchase funnel: per-step user counts + "
+    "conversion rates (single-scan stacked-window sequence analytics)",
+)
+def q143_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    w = Window.partitionBy("user_id")
+    is_type = lambda t: F.col("event_type") == t  # noqa: E731
+    st = ev.withColumn("t1", F.min(F.when(is_type("view"), F.col("ts"))).over(w))
+    # t2/t3 reference the previous step's window column: each is a new
+    # projection layer, but all three windows share the user_id hash
+    # partitioning — ONE exchange in the physical plan.
+    st = st.withColumn(
+        "t2",
+        F.min(F.when(is_type("click") & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w),
+    )
+    st = st.withColumn(
+        "t3",
+        F.min(F.when(is_type("purchase") & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w),
+    )
+    # t1..t3 are constant per user; max() collapses without re-shuffling
+    # (the groupBy key equals the window partitioning).
+    per_user = st.groupBy("user_id").agg(
+        F.max("t1").alias("t1"), F.max("t2").alias("t2"), F.max("t3").alias("t3")
+    )
+    counts = per_user.agg(
+        F.count("t1").alias("view_users"),
+        F.count("t2").alias("click_users"),
+        F.count("t3").alias("purchase_users"),
+    )
+    return counts.select(
+        "view_users",
+        "click_users",
+        "purchase_users",
+        F.round(F.col("click_users") / F.nullif(F.col("view_users"), F.lit(0)), 6).alias("conv_click"),
+        F.round(F.col("purchase_users") / F.nullif(F.col("click_users"), F.lit(0)), 6).alias("conv_purchase"),
+        F.round(F.col("purchase_users") / F.nullif(F.col("view_users"), F.lit(0)), 6).alias("conv_overall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q144 — cohort retention (first-purchase-day cohorts, day offsets 0-13):
+# the other half of standard event analytics. Cohort = the day of a
+# user's first purchase; retention(c, k) = fraction of cohort c's users
+# who purchased again k days later. Day-grain purchase activity keeps
+# the matrix non-degenerate on this data (every user is ACTIVE every
+# week, but purchases only ~every other day).
+#
+# Scale shape: distinct (user, day) first (bounds everything downstream
+# by active user-days, not raw events), then ONE window shuffle on
+# user_id derives each row's cohort day — no join back to a first-event
+# table, so the corpus is scanned once. The (cohort x 14) result table
+# is persisted and self-joined for cohort sizes: constant-size work.
+# --------------------------------------------------------------------------
+@register(
+    "q144_cohort_retention",
+    oracle="""
+    WITH pd AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE event_type = 'purchase'
+    ),
+    fc AS (SELECT user_id, MIN(day) AS cohort_day FROM pd GROUP BY user_id),
+    act AS (
+      SELECT fc.cohort_day,
+             date_diff('day', fc.cohort_day, pd.day) AS day_offset,
+             COUNT(DISTINCT pd.user_id) AS active_users
+      FROM pd JOIN fc USING (user_id)
+      WHERE date_diff('day', fc.cohort_day, pd.day) <= 13
+      GROUP BY 1, 2
+    ),
+    sz AS (SELECT cohort_day, active_users AS cohort_users
+           FROM act WHERE day_offset = 0)
+    SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day_offset AS BIGINT) AS day_offset,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           CAST(a.active_users AS BIGINT) AS active_users,
+           ROUND(CAST(a.active_users AS DOUBLE) / s.cohort_users, 6)
+             AS retention
+    FROM act a JOIN sz s USING (cohort_day)
+    ORDER BY cohort_day, day_offset
+    """,
+    doc="first-purchase-day cohort retention matrix, day offsets 0-13 "
+    "(single-scan window-derived cohorts)",
+)
+def q144_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    pd_ = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    act = (
+        pd_.withColumn("cohort_day", F.min("day").over(w))
+        .withColumn("day_offset", F.datediff("day", "cohort_day").cast("long"))
+        .filter(F.col("day_offset") <= 13)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("active_users"))  # rows unique per (user, day)
+        .persist()  # two consumers: the matrix and the offset-0 sizes
+    )
+    sz = act.filter(F.col("day_offset") == 0).select(
+        "cohort_day", F.col("active_users").alias("cohort_users")
+    )
+    return (
+        act.join(F.broadcast(sz), "cohort_day")
+        .select(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            "day_offset",
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.col("active_users").cast("long").alias("active_users"),
+            F.round(F.col("active_users") / F.col("cohort_users"), 6).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
