@@ -151,6 +151,38 @@ def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edge list (u < v): two parts are
+    adjacent iff they appear together in >= 2 distinct orders — the
+    market-basket support threshold that keeps the graph sparse (the
+    unthresholded co-occurrence graph is ~60% dense on this data and
+    degenerate for graph analytics). Shared by q142/q145.
+
+    Distinct (order, part) FIRST: a part repeated within one order
+    (several lineitems) must count once toward support, and the
+    distinct both shrinks the self-join input and turns the support
+    aggregate into a plain count (each (u, v, order) row is unique
+    after it) — measured 27% faster than countDistinct on the raw
+    join at sf0.1, and at 100 TB it bounds the pair expansion to
+    DISTINCT items per order before the quadratic step."""
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.withColumnsRenamed({"l_partkey": "u"})
+    b = li.withColumnsRenamed({"l_partkey": "v"})
+    # co-located equi-join on the order key; support = distinct co-orders
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("u", "v")
+    )
+
+
 # --------------------------------------------------------------------------
 # q142 — exact triangle counting via degree-ordered edge orientation
 # (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
@@ -214,32 +246,9 @@ def q82_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph via degree-ordered orientation (Suri-Vassilvitskii)",
 )
 def q142_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Distinct (order, part) FIRST: a part repeated within one order
-    # (several lineitems) must count once toward support, and the
-    # distinct both shrinks the self-join input and turns the support
-    # aggregate into a plain count (each (u, v, order) row is unique
-    # after it) — measured 27% faster than countDistinct on the raw
-    # join at sf0.1, and at 100 TB it bounds the pair expansion to
-    # DISTINCT items per order before the quadratic step.
-    li = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.withColumnsRenamed({"l_partkey": "u"})
-    b = li.withColumnsRenamed({"l_partkey": "v"})
-    # co-located equi-join on the order key; support = distinct co-orders
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("__sup"))
-        .filter(F.col("__sup") >= 2)
-        .select("u", "v")
-        # persisted: degree table, orientation join, and n_edges all
-        # consume the thresholded edge list (the scan-audit contract)
-        .persist()
-    )
+    # persisted: degree table, orientation join, and n_edges all
+    # consume the thresholded edge list (the scan-audit contract)
+    edges = copurchase_edges(spark, sf_dir).persist()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -283,4 +292,63 @@ def q142_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "clustering"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q145 — connected components + component-size histogram on the same
+# co-purchase graph, promoting the dedup pipeline's terminal operator
+# (operators/components.py: size-gated driver union-find below 1M
+# edges, Kiveris et al. large-star/small-star above — O(log n) rounds
+# on adversarial chains) to a first-class graph-analytics query.
+#
+# Oracle: recursive min-label closure CTE. Only labels SMALLER than the
+# receiving node propagate — the component minimum m satisfies
+# m < every other member, so m still reaches all of them, and the
+# pruning keeps the closure's tuple count far below the naive
+# all-reachable-labels blowup.
+# --------------------------------------------------------------------------
+@register(
+    "q145_copurchase_components",
+    oracle="""
+    WITH RECURSIVE copurchase AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+    ),
+    edges2 AS (
+      SELECT u AS src, v AS dst FROM copurchase
+      UNION ALL SELECT v AS src, u AS dst FROM copurchase
+    ),
+    cc AS (
+      SELECT src AS node, src AS lbl FROM edges2
+      UNION
+      SELECT e.dst AS node, cc.lbl AS lbl
+      FROM cc JOIN edges2 e ON e.src = cc.node
+      WHERE cc.lbl < e.dst
+    ),
+    comp AS (SELECT node, MIN(lbl) AS comp FROM cc GROUP BY node),
+    sizes AS (SELECT comp, COUNT(*) AS sz FROM comp GROUP BY comp)
+    SELECT CAST(sz AS BIGINT) AS size,
+           CAST(COUNT(*) AS BIGINT) AS n_components
+    FROM sizes GROUP BY sz ORDER BY size
+    """,
+    doc="connected components of the co-purchase graph, reported as a "
+    "component-size histogram (size-gated union-find / large-star-"
+    "small-star)",
+)
+def q145_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.components import connected_components
+
+    edges = copurchase_edges(spark, sf_dir)
+    comp = connected_components(edges, src="u", dst="v")
+    return (
+        comp.groupBy("comp")
+        .agg(F.count("*").alias("sz"))
+        .groupBy(F.col("sz").alias("size"))
+        .agg(F.count("*").alias("n_components"))
+        .orderBy("size")
     )
