@@ -48,7 +48,7 @@ from reddit_big_data_spark.registry import register
 
 
 @_contextlib.contextmanager
-def _stateful_drain_conf(spark: SparkSession):
+def _stateful_drain_conf(spark: SparkSession, cap: int = 8):
     """Bound spark.sql.shuffle.partitions for the availableNow DRAINS
     (VERDICT r7 #8). A streaming stateful operator allocates one state
     store per shuffle partition regardless of data volume — AQE never
@@ -60,10 +60,18 @@ def _stateful_drain_conf(spark: SparkSession):
     KEEPS THE SESSION DEFAULT: at real backlog sizes the state stores are
     the parallelism, and this context restores the previous value before
     the post-drain batch aggregation plans. Correctness is unaffected —
-    the partition count only shards state by key hash."""
+    the partition count only shards state by key hash.
+
+    `cap` tightens the bound for drains that pay the per-store overhead
+    MORE than once: q146's sentinel staging makes its drain three
+    micro-batches (real data, watermark advancer, no-data flush), so
+    every extra store costs three setup/commit rounds, not one
+    (measured r9: 8 stores 7.4s -> 4 stores 4.1s on the identical
+    drain). The same production caveat applies — this is bench/dev
+    drain scoping only."""
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, str(min(int(prev), _os.cpu_count() or 8, 8)))
+    spark.conf.set(key, str(min(int(prev), _os.cpu_count() or cap, cap)))
     try:
         yield
     finally:
@@ -661,4 +669,204 @@ def q139_streaming_idempotent_sink(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    "q146_streaming_outer_attribution",
+    oracle="""
+    -- q134's interval join, LEFT OUTER: every click appears exactly
+    -- once per matching purchase, plus one sentinel-padded row when no
+    -- purchase followed within 30 minutes. COALESCE keeps the dtypes
+    -- NULL-free (BIGINT/DOUBLE) so the driver hash never sees a
+    -- nullable-int -> float64 promotion.
+    SELECT c.user_id,
+           CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+           CAST(COALESCE(epoch_us(p.ts), -1) AS BIGINT) AS purchase_us,
+           ROUND(COALESCE(p.value, 0.0), 4) AS purchase_value
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ORDER BY 1, 2, 3
+    """,
+    doc="STREAMING stream-stream LEFT OUTER interval join: unmatched "
+    "clicks null-pad after watermark flush == the batch left join",
+)
+def q146_streaming_outer_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The OUTER stream-stream join pillar: q134's click->purchase
+    attribution, but every click without a purchase inside 30 minutes
+    must ALSO surface (null-padded) — the semantics that make streaming
+    funnels possible without a batch backfill.
+
+    Outer emission is watermark-driven, which forces two departures
+    from q134's recipe, both pinned by synthetic dual-engine tests in
+    tests/test_streaming.py:
+
+    1. **A null-padded row emits only in a batch whose watermark is
+       strictly past click_ts + 30 min** — eviction at watermark ==
+       horizon would be wrong (a right row AT the watermark could
+       still match) — and the watermark only advances BETWEEN
+       batches. So the backlog is staged as TWO files drained
+       oldest-first (mtimes pinned): the full events table, then one
+       sentinel file 2 days past max(ts). Batch 1 ingests the
+       sentinel while the watermark still sits at the real-data
+       maximum (flushing every pad whose horizon is under it); the
+       trailing NO-DATA batch availableNow runs after a watermark
+       advance (noDataMicroBatches, on by default) then executes at
+       max(ts) + 2 days > every click's horizon and flushes the
+       rest. After that the drained row set equals the batch LEFT
+       join exactly (matches emitted eagerly in batch 0; no real row
+       is ever late because ALL real data is in batch 0).
+    2. **The sentinel rows must SURVIVE both branch filters.** The
+       obvious trick — watermark the raw stream upstream of the
+       event-type filters so any event type advances event time —
+       does NOT work: Catalyst pushes the deterministic
+       `event_type = ...` filters below the EventTimeWatermark node
+       (empirically: a 'view' sentinel never reaches either watermark
+       node, the global watermark sticks at min(max click_ts,
+       max purchase_ts), and the one unmatched click AT that
+       watermark never null-pads). So each sentinel file carries one
+       'click' and one 'purchase' row under reserved user_id -1, each
+       branch's own watermark advances, and the post-drain
+       `user_id >= 0` guard scrubs the sentinels (including the inner
+       match the -1 pair produces with itself) from the result.
+
+    Scale shape: state is the watermark + 30-minute horizon on both
+    sides, identical to q134; the sentinel trick is bench scaffolding
+    for availableNow drains (a production stream's ongoing traffic IS
+    the watermark advancer), and the backlog copy is deleted right
+    after the drain (q139's lesson)."""
+    import datetime as _dt
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import types as T
+
+    from reddit_big_data_spark.streaming.joins import interval_join_streams
+    from reddit_big_data_spark.streaming.windows import (
+        _events_raw_schema,
+        normalize_event_ts,
+        run_to_memory_sink,
+    )
+
+    _assert_single_backlog_file(sf_dir)
+    work = _tempfile.mkdtemp(prefix="q146_backlog_")
+    try:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        raw_schema = _events_raw_schema(spark, sf_dir)
+        src_file = _os.path.join(sf_dir, "events.parquet")
+        # Flat backlog of two explicitly named part files with pinned
+        # ascending mtimes: FileStreamSource drains the initial backlog
+        # oldest-mtime-first, and the order is load-bearing (sentinel
+        # first would late-drop every real row under the 0s watermark).
+        # The WHOLE staging is driver-side file manipulation — a byte
+        # copy of the source parquet plus a 2-row pyarrow write — so no
+        # Spark job runs before the drain itself.
+        backlog = _os.path.join(work, "backlog")
+        _os.makedirs(backlog)
+        real_dst = _os.path.join(backlog, "00.parquet")
+        _shutil.copyfile(src_file, real_dst)
+        _os.utime(real_dst, (1_700_000_000,) * 2)
+        # Sentinel ts = max(ts) + 2 days, in the file's OWN physical
+        # encoding (long nanos or NTZ micros) so the backlog stays
+        # schema-uniform. max(ts) comes from the parquet FOOTER
+        # statistics — metadata-only, no data scan at any table size —
+        # with a Spark aggregate fallback if a writer omitted them.
+        meta = _pq.read_metadata(src_file)
+        ts_idx = next(
+            i
+            for i in range(meta.num_columns)
+            if meta.schema.column(i).name == "ts"
+        )
+        rg_stats = [
+            meta.row_group(g).column(ts_idx).statistics
+            for g in range(meta.num_row_groups)
+        ]
+        if rg_stats and all(s is not None and s.has_min_max for s in rg_stats):
+            raw_max = max(s.max for s in rg_stats)
+        else:  # pragma: no cover - stats are present in testdata parquet
+            raw_max = (
+                spark.read.schema(raw_schema)
+                .parquet(src_file)
+                .agg(F.max("ts"))
+                .first()[0]
+            )
+        if isinstance(raw_schema["ts"].dataType, T.LongType):
+            adv_ts = raw_max + 2 * 86400 * 1_000_000_000
+        else:
+            adv_ts = raw_max + _dt.timedelta(days=2)
+        # One click + one purchase sentinel: the rows must pass BOTH
+        # branch filters to advance BOTH watermark nodes (docstring
+        # point 2); user_id -1 marks them for the post-drain scrub.
+        # Columns are built BY NAME against the file's own arrow schema.
+        arrow_schema = _pq.read_schema(src_file)
+        sentinel_by_name = {
+            "ts": [adv_ts, adv_ts],
+            "event_type": ["click", "purchase"],
+            "user_id": [-1, -1],
+            "value": [0.0, 0.0],
+        }
+        sent_dst = _os.path.join(backlog, "01.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    f.name: _pa.array(
+                        sentinel_by_name.get(f.name, [None, None]),
+                        type=f.type,
+                    )
+                    for f in arrow_schema
+                },
+                schema=arrow_schema.remove_metadata(),
+            ),
+            sent_dst,
+        )
+        _os.utime(sent_dst, (1_700_000_010,) * 2)
+
+        stream = normalize_event_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(backlog),
+            raw_schema,
+        )
+        clicks = stream.filter(F.col("event_type") == "click").select(
+            "user_id", "ts"
+        )
+        purchases = stream.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        joined = interval_join_streams(
+            clicks,
+            purchases,
+            key="user_id",
+            max_delay="30 minutes",
+            watermark="0 seconds",  # real data is one batch; never late
+            how="left_outer",
+        ).select(
+            "user_id",
+            F.unix_micros("ts").alias("click_us"),
+            F.coalesce(F.unix_micros("r_ts"), F.lit(-1)).alias("purchase_us"),
+            F.round(F.coalesce("r_value", F.lit(0.0)), 4).alias(
+                "purchase_value"
+            ),
+        )
+        with _stateful_drain_conf(spark, cap=4):
+            run_to_memory_sink(joined, "q146_sink", mode="append")
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    # The sentinel scrub runs on the DRAINED table, never inside the
+    # streaming plan: a deterministic `user_id >= 0` in the stream is
+    # pushed by Catalyst through the join and below the watermark nodes
+    # into the scan itself, where it removes the sentinels before they
+    # can advance event time (the same pushdown trap as docstring
+    # point 2, empirically reproduced during development).
+    return (
+        spark.table("q146_sink")
+        .filter(F.col("user_id") >= 0)
+        .orderBy("user_id", "click_us", "purchase_us")
     )

@@ -42,10 +42,11 @@ def interval_join_streams(
     left_ts: str = "ts",
     right_ts: str = "ts",
     max_delay: str = "30 minutes",
-    watermark: str = "1 hour",
+    watermark: str | None = "1 hour",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: pair each left row with the right rows
+    """Stream-stream join: pair each left row with the right rows
     for the same `key` whose timestamp lands in
     [left_ts, left_ts + max_delay].
 
@@ -53,10 +54,36 @@ def interval_join_streams(
     is what makes state finite: left rows expire once the right watermark
     passes left_ts + max_delay, right rows once the left watermark passes
     right_ts. `right_prefix` disambiguates the right side's columns in the
-    flat output (both sides carry `key`/ts names)."""
-    l = left.withWatermark(left_ts, watermark).alias("l")
+    flat output (both sides carry `key`/ts names).
+
+    how: "inner" (matches emit eagerly as both sides arrive) or
+    "left_outer" (additionally emits a null-padded row for each
+    unmatched left row — but only in a batch whose watermark is
+    STRICTLY past left_ts + max_delay; the watermark only advances
+    between batches, and availableNow runs a trailing no-data batch
+    after a final-batch advance, both pinned by
+    tests/test_streaming.py).
+
+    watermark=None means the caller already watermarked both inputs
+    upstream. CAUTION for left_outer over filtered branches of one
+    stream: an upstream watermark does NOT guarantee the watermark
+    node sees the unfiltered traffic — Catalyst pushes deterministic
+    filters below EventTimeWatermark, so rows meant only to advance
+    event time (heartbeats, other event types) are filtered at the
+    scan and never reach the watermark node (empirically pinned by
+    q146's development; see its docstring). Watermark-advancer rows
+    must themselves survive every branch filter."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported stream-stream join type {how!r}")
+    l = (
+        left if watermark is None else left.withWatermark(left_ts, watermark)
+    ).alias("l")
     r = (
-        right.withWatermark(right_ts, watermark)
+        (
+            right
+            if watermark is None
+            else right.withWatermark(right_ts, watermark)
+        )
         .select(
             F.col(key).alias(f"{right_prefix}{key}"),
             F.col(right_ts).alias(f"{right_prefix}{right_ts}"),
@@ -74,4 +101,4 @@ def interval_join_streams(
         & (F.col(rt) >= F.col(left_ts))
         & (F.col(rt) <= F.col(left_ts) + F.expr(f"INTERVAL {max_delay}"))
     )
-    return l.join(r, cond, "inner").drop(rk)
+    return l.join(r, cond, how).drop(rk)

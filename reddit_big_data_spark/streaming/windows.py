@@ -44,6 +44,20 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
+def normalize_event_ts(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """Normalize the physical ts encoding to a watermark-ready TIMESTAMP
+    (LTZ) exactly like the batch reader (sources/io.py), so
+    stream == batch holds regardless of how the file encodes time."""
+    if isinstance(schema["ts"].dataType, T.LongType):
+        # long nanos -> truncate to micros (DuckDB-matching, sources/io.py)
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        # Watermarks demand TIMESTAMP (LTZ); NTZ->LTZ is value-preserving
+        # under the UTC session timezone (session.py pins it).
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
+
+
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -59,14 +73,7 @@ def stream_events(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if isinstance(schema["ts"].dataType, T.LongType):
-        # long nanos -> truncate to micros (DuckDB-matching, sources/io.py)
-        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    elif isinstance(schema["ts"].dataType, T.TimestampNTZType):
-        # Watermarks demand TIMESTAMP (LTZ); NTZ->LTZ is value-preserving
-        # under the UTC session timezone (session.py pins it).
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_event_ts(raw, schema)
 
 
 def windowed_counts(

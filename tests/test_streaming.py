@@ -608,3 +608,174 @@ def test_streaming_sketch_ingest_merges_to_exact(spark):
         .collect()
     }
     assert merged == exact and len(exact) > 0
+
+
+def _write_ts_file(path, rows):
+    """rows = (user_id, ts[, value]); ts written as parquet micros so the
+    stream schema can declare a plain TIMESTAMP column."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "ts": pd.Series(
+                        [pd.Timestamp(r[1]) for r in rows]
+                    ).astype("datetime64[us]"),
+                    "value": [
+                        float(r[2]) if len(r) > 2 else 0.0 for r in rows
+                    ],
+                }
+            )
+        ),
+        path,
+    )
+
+
+def _two_file_outer_drain(spark, tmp_path, name, adv_ts):
+    """Shared fixture for the outer-eviction pins: one unmatched left row
+    at 10:00 (horizon 10:30) plus one matched pair, then an advancer file
+    at adv_ts on BOTH sides; drain the 30-minute left_outer join."""
+    import datetime as dt
+    import os
+
+    from reddit_big_data_spark.streaming.joins import interval_join_streams
+
+    L, R = str(tmp_path / f"{name}_L"), str(tmp_path / f"{name}_R")
+    os.makedirs(L), os.makedirs(R)
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    _write_ts_file(L + "/f1.parquet", [(1, t0), (2, t0)])
+    _write_ts_file(R + "/f1.parquet", [(2, dt.datetime(2024, 1, 1, 10, 10), 7.0)])
+    _write_ts_file(L + "/f2.parquet", [(99, adv_ts)])
+    _write_ts_file(R + "/f2.parquet", [(98, adv_ts)])
+    for d in (L, R):
+        os.utime(d + "/f1.parquet", (1_700_000_000,) * 2)
+        os.utime(d + "/f2.parquet", (1_700_000_010,) * 2)
+    schema = "user_id long, ts timestamp, value double"
+
+    def src(path):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    joined = interval_join_streams(
+        src(L).select("user_id", "ts"),
+        src(R),
+        key="user_id",
+        max_delay="30 minutes",
+        watermark="0 seconds",
+        how="left_outer",
+    )
+    run_to_memory_sink(joined, f"t_outer_{name}", mode="append")
+    return {
+        (r["user_id"], r["r_ts"] is None)
+        for r in spark.table(f"t_outer_{name}").collect()
+        if r["user_id"] < 90  # drop the advancer rows themselves
+    }
+
+
+def test_interval_join_outer_eviction_is_strict(spark, tmp_path):
+    """q146's eviction rule, pinned on both edges: an unmatched left row
+    null-pads ONLY in a batch whose watermark is STRICTLY past
+    left_ts + max_delay. With the advancer exactly AT the 10:30 horizon
+    the pad must NOT emit (a right row at the watermark could still
+    match); one millisecond past, it must. The pad arrives in the
+    trailing no-data batch availableNow runs after the final watermark
+    advance — the mechanism q146's single-sentinel staging relies on."""
+    import datetime as dt
+
+    at_horizon = _two_file_outer_drain(
+        spark, tmp_path, "ateq", dt.datetime(2024, 1, 1, 10, 30)
+    )
+    assert at_horizon == {(2, False)}  # inner match only; no pad for u1
+    past = _two_file_outer_drain(
+        spark, tmp_path, "past", dt.datetime(2024, 1, 1, 10, 30, 0, 1000)
+    )
+    assert past == {(2, False), (1, True)}
+
+
+def test_interval_join_outer_filter_pushdown_trap(spark, tmp_path):
+    """The trap q146's development hit, pinned so a Spark behavior change
+    is loud: Catalyst pushes a deterministic event-type filter BELOW the
+    EventTimeWatermark node, so watermarking the raw stream upstream of
+    the branch filters does NOT let other event types advance event
+    time — a 'view' advancer is removed at the scan, the watermark
+    stalls, and the unmatched click never null-pads. The fix (advancer
+    rows that survive both filters) is proven by q146's oracle run."""
+    import datetime as dt
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.streaming.joins import interval_join_streams
+
+    B = str(tmp_path / "trap")
+    os.makedirs(B)
+
+    def write(path, rows):  # (user_id, ts, event_type)
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {
+                        "user_id": [r[0] for r in rows],
+                        "ts": pd.Series(
+                            [pd.Timestamp(r[1]) for r in rows]
+                        ).astype("datetime64[us]"),
+                        "event_type": [r[2] for r in rows],
+                        "value": [0.0] * len(rows),
+                    }
+                )
+            ),
+            path,
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    write(B + "/f1.parquet", [(1, t0, "click")])
+    # An advancer far past the horizon — but of an event type NEITHER
+    # branch keeps.
+    write(B + "/f2.parquet", [(99, dt.datetime(2024, 1, 3), "view")])
+    os.utime(B + "/f1.parquet", (1_700_000_000,) * 2)
+    os.utime(B + "/f2.parquet", (1_700_000_010,) * 2)
+    schema = "user_id long, ts timestamp, event_type string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(B)
+        .withWatermark("ts", "0 seconds")  # upstream of the filters
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join_streams(
+        clicks,
+        purchases,
+        key="user_id",
+        max_delay="30 minutes",
+        watermark=None,  # caller watermarked upstream
+        how="left_outer",
+    )
+    run_to_memory_sink(joined, "t_outer_trap", mode="append")
+    # The filter pushdown starves the watermark nodes: no pad emits.
+    assert spark.table("t_outer_trap").count() == 0
+
+
+def test_interval_join_rejects_unknown_how(spark):
+    import pytest
+
+    from reddit_big_data_spark.streaming.joins import interval_join_streams
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"), F.current_timestamp().alias("ts")
+    )
+    with pytest.raises(ValueError, match="unsupported stream-stream"):
+        interval_join_streams(df, df, key="user_id", how="full_outer")
