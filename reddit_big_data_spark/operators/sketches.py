@@ -332,3 +332,62 @@ def kmv_overlap_estimate(
         (rho * est_union).alias("est_inter"),
         rho.alias("est_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Roaring-style bitmap partials: mergeable EXACT distinct counting
+# ---------------------------------------------------------------------------
+
+
+def bitmap_daily_partials(
+    df: DataFrame, key_col: str, id_col: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Level 1 of the EXACT twin of `daily_sketches`: one fixed-width
+    bitmap per (key, day, bucket) via Spark's bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg).
+
+    Where the HLL rollup trades exactness for a ~1.6% RSE, the bitmap
+    partial is EXACT and still mergeable: each bucket covers a fixed
+    32768-id range, so a partial is a <= 4 KiB blob no matter how many
+    rows fed it, two partials for the same (key, day-range, bucket)
+    merge with a byte-wise OR (bitmap_or_agg), and the partial count is
+    the number of buckets the id domain actually touches — for dense
+    surrogate ids that is |ids|/32768 blobs per (key, day). That makes
+    exact distinct-over-any-day-range O(days x touched_buckets), never
+    O(rows), which is the 100 TB posture; HLL remains the fallback when
+    the id domain is sparse/unbounded (strings, uuids)."""
+    return (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            key_col,
+            F.to_date(ts_col).alias("day"),
+            F.bitmap_bucket_number(F.col(id_col)).alias("bucket"),
+        )
+        .agg(
+            F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col(id_col))
+            ).alias("bm")
+        )
+    )
+
+
+def bitmap_distinct_rollup(partials: DataFrame, key_col: str) -> DataFrame:
+    """Level 2: exact distinct per key over all days (OR-merge each
+    bucket's daily bitmaps, count bits, sum buckets) plus the per-day
+    profile (day count, busiest-day distinct) — every aggregate reads
+    the PARTIALS only, never raw rows. Pass a persisted `partials` when
+    both consumers should reuse one materialization."""
+    per_day = partials.groupBy(key_col, "day").agg(
+        F.sum(F.bitmap_count("bm")).alias("daily_nd")
+    )
+    merged = (
+        partials.groupBy(key_col, "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("bucket_nd"))
+        .groupBy(key_col)
+        .agg(F.sum("bucket_nd").alias("nd"))
+    )
+    days = per_day.groupBy(key_col).agg(
+        F.count("*").alias("n_days"),
+        F.max("daily_nd").alias("max_daily_nd"),
+    )
+    return merged.join(days, key_col)

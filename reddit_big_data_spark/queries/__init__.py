@@ -12,24 +12,25 @@ the list against typos/duplicates.
 
 Round-9 window composition (the VERDICT r8 #5 rotation, computed from
 CORRECTNESS_r01..r08 exactly like the r6-r8 rotations):
-1. The EIGHT never-driver-green r9 additions — q139 (streaming
+1. The NINE never-driver-green r9 additions — q139 (streaming
    exactly-once foreachBatch sink, the write-side promotion VERDICT r8
    #7 ordered), q140 (DSIR-style importance-resampling weights, the
    data-selection family the LLM-pipeline surface lacked), q141
    (Zipf-slope vocabulary power-law QA), q142 (degree-ordered
    triangle counting), q143 (ordered conversion funnel), q144
    (cohort retention matrix), q145 (co-purchase connected
-   components), and q146 (streaming LEFT OUTER interval join — the
-   eighth streaming pillar) — lead unconditionally.
+   components), q146 (streaming LEFT OUTER interval join — the
+   eighth streaming pillar), and q147 (mergeable-bitmap exact distinct
+   rollup) — lead unconditionally.
 2. The full r6-STALE cohort: all 38 queries whose last driver-green row
    is round 6 (q65, q75-q87, q89-q96, q110-q125), ranked by cumulative
    driver-green count ascending (the sixteen once-green q110-q125
    first, then the twenty-two twice-green), then name — after this
    round no registered query's last driver row is older than two rounds
    (the rotation invariant).
-3. The remaining 4 slots: r7-last-green queries by ascending cumulative
-   green count then name (q128-q131, each once-green; q132/q133/q134/
-   q135/q126/q127/q22 fall just past the cap and stay exactly two
+3. The remaining 3 slots: r7-last-green queries by ascending cumulative
+   green count then name (q128-q130, each once-green; q131/q132/q133/
+   q134/q135/q126/q127/q22 fall just past the cap and stay exactly two
    rounds old — within the invariant) — pre-empting the next round's
    stale pressure.
 
@@ -83,6 +84,7 @@ WINDOW_ORDER: list[str] = [
     "q144_cohort_retention",
     "q145_copurchase_components",
     "q146_streaming_outer_attribution",
+    "q147_bitmap_distinct_rollup",
     # -- the r6-stale cohort (VERDICT r8 #5): every query whose LAST
     #    driver-green row is round 6, cumulative-greens ascending
     #    (the sixteen once-green first), then name
@@ -130,5 +132,4 @@ WINDOW_ORDER: list[str] = [
     "q128_unigram_tokenize",
     "q129_tokenizer_compare",
     "q130_neardup_retention",
-    "q131_streaming_windowed_counts",
 ]

@@ -459,3 +459,63 @@ def q144_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# q147 — EXACT distinct rollup via mergeable bitmaps (the exact twin of
+# q59's HLL rollup): level 1 builds one <= 4 KiB bitmap per (event_type,
+# day, 32768-id bucket); level 2 answers BOTH reports off those partials
+# alone — the busiest-day profile (per-day bit counts) and the global
+# exact distinct (OR-merge each bucket across days, count, sum) — so
+# the raw table is scanned exactly once and the partials are persisted
+# for the two consumers. Unlike q59 no error-bound boolean is needed:
+# the bitmap count IS the exact answer, which the oracle checks
+# directly. The 100 TB posture is the same pre-aggregation contract as
+# a hypertable's distinct-count cube, but lossless while the id domain
+# stays dense (surrogate keys); HLL (q59) remains the sparse-domain
+# fallback.
+# --------------------------------------------------------------------------
+@register(
+    "q147_bitmap_distinct_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS daily_nd
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT d.event_type,
+           CAST(g.nd_users AS BIGINT) AS nd_users,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(d.daily_nd) AS BIGINT) AS max_daily_nd
+    FROM daily d
+    JOIN (SELECT event_type, COUNT(DISTINCT user_id) AS nd_users
+          FROM events WHERE ts IS NOT NULL GROUP BY 1) g
+      USING (event_type)
+    GROUP BY 1, 2
+    ORDER BY 1
+    """,
+    doc="mergeable-bitmap EXACT distinct rollup: per-(type, day, bucket) "
+    "bitmaps -> OR-merge -> exact count (the lossless twin of q59)",
+)
+def q147_bitmap_distinct_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from reddit_big_data_spark.operators.sketches import (
+        bitmap_daily_partials,
+        bitmap_distinct_rollup,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    partials = bitmap_daily_partials(ev, "event_type", "user_id").persist()
+    # two consumers: the global OR-merge and the per-day profile
+    return (
+        bitmap_distinct_rollup(partials, "event_type")
+        .select(
+            "event_type",
+            F.col("nd").alias("nd_users"),
+            "n_days",
+            "max_daily_nd",
+        )
+        .orderBy("event_type")
+    )

@@ -282,3 +282,37 @@ def test_kmv_overlap_empty_group_fails_loudly(spark):
     )
     row = kmv_overlap_estimate(df2, "g", "v", "a", "b", k=16).collect()[0]
     assert row["est_union"] is not None and row["est_union"] > 0
+
+
+def test_bitmap_partials_merge_exactly_and_stay_bounded(spark):
+    """The bitmap rollup's two contracts: (1) OR-merging per-day partials
+    gives EXACTLY the distinct count of the union (no estimator error,
+    including ids duplicated across days and ids 32768 apart that share
+    a bit position in different buckets); (2) a partial blob never
+    exceeds the fixed 4 KiB bucket width regardless of row count."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.sketches import (
+        bitmap_daily_partials,
+        bitmap_distinct_rollup,
+    )
+
+    d1, d2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    # day 1: ids 0..999 twice (duplicates); day 2: 500..1499 (overlap
+    # with day 1) plus 32768+500 (same bit position as 500, other bucket)
+    rows = (
+        [("k", d1, i) for i in range(1000)]
+        + [("k", d1, i) for i in range(1000)]
+        + [("k", d2, i) for i in range(500, 1500)]
+        + [("k", d2, 32768 + 500)]
+    )
+    df = spark.createDataFrame(rows, "g string, ts timestamp, id long")
+    partials = bitmap_daily_partials(df, "g", "id")
+    out = bitmap_distinct_rollup(partials, "g").collect()[0]
+    assert out["nd"] == 1501  # 0..1499 plus 33268 — exact across buckets
+    assert out["n_days"] == 2
+    assert out["max_daily_nd"] == 1001  # day 2: 1000 ids + the far bucket
+    sizes = partials.select(F.octet_length("bm").alias("n")).collect()
+    assert all(r["n"] <= 4096 for r in sizes)
