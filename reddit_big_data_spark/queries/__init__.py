@@ -12,7 +12,7 @@ the list against typos/duplicates.
 
 Round-9 window composition (the VERDICT r8 #5 rotation, computed from
 CORRECTNESS_r01..r08 exactly like the r6-r8 rotations):
-1. The NINE never-driver-green r9 additions — q139 (streaming
+1. The TWELVE never-driver-green r9 additions — q139 (streaming
    exactly-once foreachBatch sink, the write-side promotion VERDICT r8
    #7 ordered), q140 (DSIR-style importance-resampling weights, the
    data-selection family the LLM-pipeline surface lacked), q141
@@ -20,19 +20,19 @@ CORRECTNESS_r01..r08 exactly like the r6-r8 rotations):
    triangle counting), q143 (ordered conversion funnel), q144
    (cohort retention matrix), q145 (co-purchase connected
    components), q146 (streaming LEFT OUTER interval join — the
-   eighth streaming pillar), and q147 (mergeable-bitmap exact distinct
-   rollup) — lead unconditionally.
+   eighth streaming pillar), q147 (mergeable-bitmap exact distinct
+   rollup), q148 (Markov transition matrix), q149 (PSI distribution
+   drift), and q150 (association rules) — lead unconditionally.
 2. The full r6-STALE cohort: all 38 queries whose last driver-green row
    is round 6 (q65, q75-q87, q89-q96, q110-q125), ranked by cumulative
    driver-green count ascending (the sixteen once-green q110-q125
    first, then the twenty-two twice-green), then name — after this
    round no registered query's last driver row is older than two rounds
    (the rotation invariant).
-3. The remaining 3 slots: r7-last-green queries by ascending cumulative
-   green count then name (q128-q130, each once-green; q131/q132/q133/
-   q134/q135/q126/q127/q22 fall just past the cap and stay exactly two
-   rounds old — within the invariant) — pre-empting the next round's
-   stale pressure.
+3. No pre-emption slots remain: the 12 new queries plus the 38-query
+   r6-stale cohort fill the window exactly. Every r7-last-green query
+   (q128-q135, q126, q127, q22) falls past the cap at exactly two
+   rounds stale — within the invariant.
 
 Everything past the cap was driver-green in r7 or r8 windows and stays
 covered by the local oracle mirror (tests/test_queries_oracle.py)
@@ -85,6 +85,9 @@ WINDOW_ORDER: list[str] = [
     "q145_copurchase_components",
     "q146_streaming_outer_attribution",
     "q147_bitmap_distinct_rollup",
+    "q148_transition_matrix",
+    "q149_psi_drift",
+    "q150_association_rules",
     # -- the r6-stale cohort (VERDICT r8 #5): every query whose LAST
     #    driver-green row is round 6, cumulative-greens ascending
     #    (the sixteen once-green first), then name
@@ -127,9 +130,4 @@ WINDOW_ORDER: list[str] = [
     "q94_market_share",
     "q95_scd2_history",
     "q96_fuzzy_name_match",
-    # -- remaining slots: the r7-last-green cohort, cumulative greens
-    #    ascending (eight once-green, then three twice-green), then name
-    "q128_unigram_tokenize",
-    "q129_tokenizer_compare",
-    "q130_neardup_retention",
 ]

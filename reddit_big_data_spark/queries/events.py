@@ -519,3 +519,218 @@ def q147_bitmap_distinct_rollup(
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — first-order Markov TRANSITION MATRIX over per-user event
+# sequences: P(next event type | current event type), the standard
+# user-journey model (q143's funnel fixes one path; this reports every
+# edge). One user_id exchange feeds the lag window — ordered by
+# (ts, event_id) so same-timestamp rows have a deterministic successor —
+# then the (from, to) count is map-side combinable and the row
+# normalization windows over the |types|^2 matrix, never the corpus.
+# --------------------------------------------------------------------------
+@register(
+    "q148_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS from_type
+      FROM events WHERE ts IS NOT NULL
+    ),
+    m AS (
+      SELECT from_type, event_type AS to_type, COUNT(*) AS cnt
+      FROM seq WHERE from_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / SUM(cnt) OVER (PARTITION BY from_type), 6) AS prob
+    FROM m
+    ORDER BY from_type, to_type
+    """,
+    doc="first-order Markov transition matrix of per-user event sequences "
+    "(lag window -> (from, to) counts -> row-normalized probabilities)",
+)
+def q148_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    matrix = (
+        ev.withColumn("from_type", F.lag("event_type").over(seq))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    # row-normalize over the tiny (|types| x |types|) matrix
+    row = Window.partitionBy("from_type")
+    return matrix.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(row), 6).alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+# --------------------------------------------------------------------------
+# q149 — POPULATION STABILITY INDEX drift monitor: the standard
+# production-ML check that a feature's distribution has not shifted
+# between a baseline window and the current one (PSI < 0.1 stable,
+# 0.1-0.25 moderate, > 0.25 action). Here: the events value column,
+# first half of the date range vs second, 10 fixed-width buckets over
+# the GLOBAL [vmin, vmax] (computed once and broadcast — bucket edges
+# shared by both periods), add-one smoothing so empty buckets stay
+# finite. Completes the monitoring family (q124 novelty, q125 label
+# noise) with the distribution-shift axis.
+#
+# Float discipline (q141's recipe): bucket ids come from ONE double
+# expression evaluated identically on both engines (floor of an exact
+# min/max-scaled value — no folded sums feed it); the 10 PSI terms per
+# type fold in canonical bucket order before the 6dp round.
+#
+# Scale shape: one corpus scan for the scalar envelope (4 exact
+# aggregates), one for the (type, period, bucket) counts — everything
+# after is arithmetic over the |types| x 20-cell grid.
+# --------------------------------------------------------------------------
+@register(
+    "q149_psi_drift",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, value
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ),
+    scal AS (
+      SELECT MIN(day) AS dmin, MAX(day) AS dmax,
+             MIN(value) AS vmin, MAX(value) AS vmax
+      FROM ev
+    ),
+    tagged AS (
+      SELECT e.event_type,
+             CASE WHEN (e.day - DATE '1970-01-01')
+                       <= FLOOR(((s.dmin - DATE '1970-01-01')
+                                 + (s.dmax - DATE '1970-01-01')) / 2.0)
+                  THEN 'base' ELSE 'cur' END AS period,
+             COALESCE(LEAST(GREATEST(CAST(FLOOR((e.value - s.vmin) * 10.0
+                    / NULLIF(s.vmax - s.vmin, 0)) AS INT), 0), 9), 0)
+               AS bucket
+      FROM ev e, scal s
+    ),
+    cells AS (
+      SELECT event_type, bucket,
+             COUNT(CASE WHEN period = 'base' THEN 1 END) AS cb,
+             COUNT(CASE WHEN period = 'cur' THEN 1 END) AS cc
+      FROM tagged GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type,
+             CAST(SUM(cb) AS BIGINT) AS n_base,
+             CAST(SUM(cc) AS BIGINT) AS n_cur
+      FROM cells GROUP BY 1
+    ),
+    grid AS (
+      SELECT t.event_type, g.bucket, t.n_base, t.n_cur,
+             COALESCE(c.cb, 0) AS cb, COALESCE(c.cc, 0) AS cc
+      FROM totals t
+      CROSS JOIN (SELECT UNNEST(RANGE(10)) AS bucket) g
+      LEFT JOIN cells c
+        ON c.event_type = t.event_type AND c.bucket = g.bucket
+    ),
+    terms AS (
+      SELECT event_type, bucket, n_base, n_cur,
+             ((cc + 1.0) / (n_cur + 10.0) - (cb + 1.0) / (n_base + 10.0))
+             * LN(((cc + 1.0) / (n_cur + 10.0))
+                  / ((cb + 1.0) / (n_base + 10.0))) AS term
+      FROM grid
+    )
+    SELECT event_type, n_base, n_cur,
+           ROUND(LIST_SUM(LIST(term ORDER BY bucket)), 6) AS psi
+    FROM terms
+    GROUP BY event_type, n_base, n_cur
+    ORDER BY event_type
+    """,
+    doc="population-stability-index drift of the value distribution, "
+    "first vs second half of the date range, per event type",
+)
+def q149_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .select("event_type", F.to_date("ts").alias("day"), "value")
+    )
+    scal = ev.agg(
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    mid = F.floor(
+        (F.unix_date(F.col("dmin")) + F.unix_date(F.col("dmax"))) / 2.0
+    )
+    bucket = F.coalesce(
+        F.least(
+            F.greatest(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * 10.0
+                    / F.nullif(F.col("vmax") - F.col("vmin"), F.lit(0.0))
+                ).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ),
+        F.lit(0),
+    )
+    tagged = ev.crossJoin(F.broadcast(scal)).select(
+        "event_type",
+        F.when(F.unix_date(F.col("day")) <= mid, "base")
+        .otherwise("cur")
+        .alias("period"),
+        bucket.alias("bucket"),
+    )
+    cells = (
+        tagged.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.when(F.col("period") == "base", True)).alias("cb"),
+            F.count(F.when(F.col("period") == "cur", True)).alias("cc"),
+        )
+        .persist()  # two consumers: the per-type totals and the grid join
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("cb").alias("n_base"), F.sum("cc").alias("n_cur")
+    )
+    grid = (
+        totals.select(
+            "event_type",
+            "n_base",
+            "n_cur",
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"),
+        )
+        .join(cells, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["cb", "cc"])
+    )
+    pb = (F.col("cb") + 1.0) / (F.col("n_base") + 10.0)
+    pc = (F.col("cc") + 1.0) / (F.col("n_cur") + 10.0)
+    terms = grid.select(
+        "event_type",
+        "bucket",
+        "n_base",
+        "n_cur",
+        ((pc - pb) * F.log(pc / pb)).alias("term"),
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("bucket", "term"))),
+        F.lit(0.0),
+        lambda a, s: a + s["term"],
+    )
+    return (
+        terms.groupBy("event_type", "n_base", "n_cur")
+        .agg(F.round(fold, 6).alias("psi"))
+        .orderBy("event_type")
+    )

@@ -352,3 +352,136 @@ def q145_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_components"))
         .orderBy("size")
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — market-basket ASSOCIATION RULES over co-purchases: for every
+# directed part pair (a -> b) with pair support >= 2 distinct orders,
+# report support, confidence = P(b | a), and lift =
+# P(a, b) / (P(a) P(b)); top-15 by lift. The third member of the
+# co-purchase family (q142 triangles, q145 components) — the same
+# distinct-(order, part) basket build and support threshold, but the
+# retail-analytics read-out instead of the graph one (the Apriori/
+# FP-growth 2-itemset stage, done as plain relational algebra).
+#
+# Scale shape: ONE persisted basket table feeds the order-colocated
+# pair self-join, the per-item counts, and the order-count scalar —
+# the raw lineitem scan runs once; the quadratic step expands only
+# DISTINCT items per order (bounded by basket width, not lineitems);
+# the scalar attaches as a one-row broadcast. Confidence/lift are
+# single divisions of exact integers — bit-identical cross-engine, so
+# the top-15 boundary needs no epsilon (full tie-break by rule pair).
+# --------------------------------------------------------------------------
+@register(
+    "q150_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM baskets),
+    items AS (
+      SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS sup
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    directed AS (
+      SELECT u AS antecedent, v AS consequent, sup FROM pairs
+      UNION ALL
+      SELECT v AS antecedent, u AS consequent, sup FROM pairs
+    ),
+    rules AS (
+      SELECT d.antecedent, d.consequent, d.sup,
+             CAST(d.sup AS DOUBLE) / ia.n_item AS conf,
+             CAST(d.sup AS DOUBLE) * n.n_orders
+               / (ia.n_item * ic.n_item) AS lift
+      FROM directed d
+      JOIN items ia ON ia.l_partkey = d.antecedent
+      JOIN items ic ON ic.l_partkey = d.consequent
+      CROSS JOIN n
+    )
+    SELECT antecedent, consequent, CAST(sup AS BIGINT) AS support,
+           ROUND(conf, 6) AS confidence, ROUND(lift, 6) AS lift
+    FROM rules
+    ORDER BY lift DESC, conf DESC, antecedent, consequent
+    LIMIT 15
+    """,
+    doc="market-basket association rules (support/confidence/lift) on "
+    "co-purchased parts, top-15 by lift (2-itemset Apriori stage)",
+)
+def q150_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    baskets = (
+        read_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .persist()  # three consumers: pair join (both sides), item
+        # counts, order-count scalar — one lineitem scan total
+    )
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n_orders")
+    )
+    items = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a = baskets.withColumnsRenamed({"l_partkey": "u"})
+    b = baskets.withColumnsRenamed({"l_partkey": "v"})
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("sup"))
+        .filter(F.col("sup") >= 2)
+    )
+    directed = pairs.select(
+        F.col("u").alias("antecedent"),
+        F.col("v").alias("consequent"),
+        "sup",
+    ).unionAll(
+        pairs.select(
+            F.col("v").alias("antecedent"),
+            F.col("u").alias("consequent"),
+            "sup",
+        )
+    )
+    rules = (
+        directed.join(
+            items.withColumnsRenamed(
+                {"l_partkey": "antecedent", "n_item": "n_a"}
+            ),
+            "antecedent",
+        )
+        .join(
+            items.withColumnsRenamed(
+                {"l_partkey": "consequent", "n_item": "n_c"}
+            ),
+            "consequent",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "antecedent",
+            "consequent",
+            "sup",
+            (F.col("sup").cast("double") / F.col("n_a")).alias("conf"),
+            (
+                F.col("sup").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_c"))
+            ).alias("lift"),
+        )
+    )
+    return (
+        rules.orderBy(
+            F.desc("lift"), F.desc("conf"), "antecedent", "consequent"
+        )
+        .limit(15)
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sup").alias("support"),
+            F.round("conf", 6).alias("confidence"),
+            F.round("lift", 6).alias("lift"),
+        )
+    )

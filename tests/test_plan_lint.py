@@ -60,6 +60,18 @@ _ALLOW: dict[str, dict[str, str]] = {
         "joins, constant work at any graph scale (q122's accepted "
         "pattern)",
     },
+    "q150_association_rules": {
+        "NESTED_LOOP": "scalar attach: the ONE-row order-count frame "
+        "broadcasts onto the rule table for the lift denominator — "
+        "constant-size build side at any scale (q122's accepted "
+        "pattern)",
+    },
+    "q149_psi_drift": {
+        "NESTED_LOOP": "scalar envelope attach: the ONE-row min/max "
+        "frame (4 exact aggregates) broadcasts onto the corpus scan so "
+        "both periods share the same bucket edges — constant-size build "
+        "side at any scale (q122's accepted pattern)",
+    },
     "q24_summary_stats": {
         "PY_ARROW": "df.summary() is driver-profile tooling",
     },
