@@ -485,3 +485,102 @@ def q150_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lift", 6).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q152 — k-hop REACHABILITY (bounded BFS) from the co-purchase hub: how
+# many parts are first reached at 1, 2, and 3 hops from the
+# highest-degree part (ties to smallest id) — the neighborhood-growth
+# profile recommendation and influence analyses read off a product
+# graph. Fourth member of the graph family (q82 PageRank, q142
+# triangles, q145 components).
+#
+# Frontier BFS, the scalable formulation: each hop joins only the NEW
+# frontier against the symmetrized edge list (explode-symmetrized and
+# localCheckpoint'd once — q82's recipe, so no hop re-derives the
+# basket self-join), dedups, and anti-joins the visited set; per-node
+# work is done once no matter how many paths reach it (the recursive
+# oracle's UNION dedup is the same guarantee). Three fixed hops =
+# three bounded joins, no driver-side adjacency.
+# --------------------------------------------------------------------------
+@register(
+    "q152_khop_reachability",
+    oracle="""
+    WITH RECURSIVE baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    und AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v AS u, u AS v FROM pairs
+    ),
+    seed AS (
+      SELECT u AS node
+      FROM (SELECT u, COUNT(*) AS d FROM und GROUP BY 1)
+      ORDER BY d DESC, u LIMIT 1
+    ),
+    reach AS (
+      SELECT node, 0 AS hop FROM seed
+      UNION
+      SELECT und.v AS node, r.hop + 1 AS hop
+      FROM reach r JOIN und ON und.u = r.node
+      WHERE r.hop < 3
+    )
+    SELECT hop, CAST(COUNT(*) AS BIGINT) AS reached
+    FROM (SELECT node, MIN(hop) AS hop FROM reach GROUP BY node)
+    WHERE hop >= 1
+    GROUP BY hop
+    ORDER BY hop
+    """,
+    doc="bounded BFS: parts first reached at 1/2/3 hops from the "
+    "max-degree co-purchase hub (frontier joins, no path explosion)",
+)
+def q152_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    par = spark.sparkContext.defaultParallelism
+    edges = copurchase_edges(spark, sf_dir)
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(
+                        F.col("v").alias("u"), F.col("u").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .repartition(par, "u")
+        .localCheckpoint()  # every hop reuses the materialized edges
+    )
+    hub = (
+        und.groupBy("u")
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), "u")
+        .first()  # driver scalar (S9): the single BFS seed
+    )
+    seed = spark.createDataFrame([(hub["u"], 0)], "node long, hop int")
+    visited, frontier = seed, seed
+    for h in (1, 2, 3):
+        new = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(und["v"].alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint()  # next hop starts from materialized rows
+        )
+        visited = visited.unionAll(new)
+        frontier = new
+    return (
+        visited.filter(F.col("hop") >= 1)
+        .groupBy("hop")
+        .agg(F.count("*").alias("reached"))
+        .orderBy("hop")
+    )

@@ -186,3 +186,88 @@ def q18_lag_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quartile")
     )
+
+
+# --------------------------------------------------------------------------
+# q151 — time-based ROLLING window over an irregular daily series: 7-day
+# trailing revenue and daily average per event type via a RANGE frame on
+# the epoch-day ordinal (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) —
+# the frame is defined by TIME distance, so calendar gaps shrink the
+# divisor instead of silently pulling in stale rows the way a ROWS frame
+# would. Completes the window family (q10 runs unbounded frames, q18
+# lag/ntile, q87 ranks): the bounded moving-aggregate shape every
+# time-series dashboard runs.
+#
+# Numeric discipline: revenue is summed in integer CENTS (one identical
+# round-to-cents expression per row on both engines), so the daily sums,
+# the rolling sums, and the frame counts are all EXACT integers and the
+# only float op is the final divide — no fold-order sensitivity at any
+# scale. Scale shape: the window runs over the DAILY aggregate (bounded
+# by days x types, never corpus rows), partitioned by type.
+# --------------------------------------------------------------------------
+@register(
+    "q151_rolling_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS rev_cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    roll AS (
+      SELECT event_type, day, rev_cents,
+             SUM(rev_cents) OVER w AS roll7_cents,
+             COUNT(*) OVER w AS roll7_days
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type
+                   ORDER BY (day - DATE '1970-01-01')
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(roll7_cents AS BIGINT) AS roll7_cents,
+           CAST(roll7_days AS BIGINT) AS roll7_days,
+           ROUND(CAST(roll7_cents AS DOUBLE) / roll7_days / 100.0, 4)
+             AS roll7_daily_avg
+    FROM roll
+    ORDER BY event_type, day
+    """,
+    doc="7-day trailing revenue per type via a time-RANGE window frame "
+    "over the daily aggregate (integer-cents exact arithmetic)",
+)
+def q151_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_date("day"))
+        .rangeBetween(-6, 0)
+    )
+    roll = daily.select(
+        "event_type",
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("roll7_cents"),
+        F.count("*").over(w).alias("roll7_days"),
+    )
+    return roll.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_cents",
+        "roll7_cents",
+        "roll7_days",
+        F.round(
+            F.col("roll7_cents").cast("double")
+            / F.col("roll7_days")
+            / 100.0,
+            4,
+        ).alias("roll7_daily_avg"),
+    ).orderBy("event_type", "day")
