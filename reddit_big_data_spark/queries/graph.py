@@ -435,17 +435,24 @@ def q150_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("sup"))
         .filter(F.col("sup") >= 2)
     )
+    # One-pass symmetrize (explode, not union — a union would execute
+    # the pair self-join plan twice; q82's recipe).
     directed = pairs.select(
-        F.col("u").alias("antecedent"),
-        F.col("v").alias("consequent"),
-        "sup",
-    ).unionAll(
-        pairs.select(
-            F.col("v").alias("antecedent"),
-            F.col("u").alias("consequent"),
-            "sup",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("antecedent"),
+                    F.col("v").alias("consequent"),
+                    F.col("sup"),
+                ),
+                F.struct(
+                    F.col("v").alias("antecedent"),
+                    F.col("u").alias("consequent"),
+                    F.col("sup"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.antecedent", "r.consequent", "r.sup")
     rules = (
         directed.join(
             items.withColumnsRenamed(

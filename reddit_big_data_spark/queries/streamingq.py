@@ -713,8 +713,9 @@ def q146_streaming_outer_attribution(
        batches. So the backlog is staged as TWO files drained
        oldest-first (mtimes pinned): the full events table, then one
        sentinel file 2 days past max(ts). Batch 1 ingests the
-       sentinel while the watermark still sits at the real-data
-       maximum (flushing every pad whose horizon is under it); the
+       sentinel while the watermark still sits inside the real data
+       (the min of the two branch maxima — see point 2), flushing
+       every pad whose horizon is already under it; the
        trailing NO-DATA batch availableNow runs after a watermark
        advance (noDataMicroBatches, on by default) then executes at
        max(ts) + 2 days > every click's horizon and flushes the
