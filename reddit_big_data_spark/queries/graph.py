@@ -183,6 +183,37 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def degree_table(edges: DataFrame) -> DataFrame:
+    """(node, d) over an undirected u < v edge list."""
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+
+
+def orient_edges(edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """Degree-ordered orientation (Suri-Vassilvitskii): every edge points
+    from its (degree, id)-smaller endpoint (lo) to the larger (hi),
+    bounding every node's OUT-degree at O(sqrt(m)) regardless of hub
+    skew. Shared by q142 and the scaling harness (the wedge fan-out it
+    measures is sum over lo of C(outdeg, 2) on exactly this frame)."""
+    du = deg.withColumnsRenamed({"node": "u", "d": "du"})
+    dv = deg.withColumnsRenamed({"node": "v", "d": "dv"})
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        edges.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # q142 — exact triangle counting via degree-ordered edge orientation
 # (Suri & Vassilvitskii 2011, "Counting Triangles and the Curse of the
@@ -249,27 +280,9 @@ def q142_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: degree table, orientation join, and n_edges all
     # consume the thresholded edge list (the scan-audit contract)
     edges = copurchase_edges(spark, sf_dir).persist()
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-        .persist()
-    )
-    du = deg.withColumnsRenamed({"node": "u", "d": "du"})
-    dv = deg.withColumnsRenamed({"node": "v", "d": "dv"})
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        edges.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
-        )
-        .persist()  # three join roles below (e1, e2, closure)
-    )
+    deg = degree_table(edges).persist()
+    # three join roles below (e1, e2, closure)
+    oriented = orient_edges(edges, deg).persist()
     e1 = oriented
     e2 = oriented.select(F.col("lo").alias("hi"), F.col("hi").alias("w"))
     wedge = e1.join(e2, "hi")  # apex lo, middle hi, tip w

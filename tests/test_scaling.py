@@ -147,3 +147,67 @@ def test_semdedup_pairs_track_design_constant(spark):
     assert 0.75 * design < per_vec < 1.25 * design, (
         f"per-vector pair work {per_vec:.1f} vs design {design:.1f}"
     )
+
+
+def test_degree_orientation_bounds_wedge_work(spark):
+    """q142's 100x claim, pinned on synthetic graphs where the testdata
+    cannot exercise it (the co-purchase graph's density regime SHIFTS
+    with sf — wedge counts measured 14165 at sf0.001 vs 44 at sf0.1 on
+    near-constant edge counts, so a fitted exponent is meaningless
+    there). Suri-Vassilvitskii: after (degree, id) orientation every
+    out-degree is <= sqrt(2m), so total wedge fan-out is <= m^1.5 —
+    while the naive center-grouped join emits sum_v C(deg v, 2), which
+    a hub makes quadratic.
+
+    Star graph (the skew worst case): naive wedges = C(m, 2) ~ m^2/2;
+    oriented wedges must be ZERO (every leaf has degree 1, every edge
+    points leaf -> hub, no apex has out-degree 2). Clique: both methods
+    emit work, but the oriented total must respect the m^1.5 bound and
+    count each triangle exactly once."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.queries.graph import (
+        degree_table,
+        orient_edges,
+    )
+
+    def wedge_work(edges):
+        return (
+            orient_edges(edges, degree_table(edges))
+            .groupBy("lo")
+            .agg(F.count("*").alias("od"))
+            .select(
+                F.sum(F.col("od") * (F.col("od") - 1) / 2).alias("w")
+            )
+            .collect()[0]["w"]
+            or 0
+        )
+
+    # star: hub 0, leaves 1..400 (u < v edge convention)
+    m_star = 400
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, m_star + 1)], "u long, v long"
+    )
+    naive_star = m_star * (m_star - 1) // 2
+    assert wedge_work(star) == 0 and naive_star == 79800
+
+    # clique on 20 nodes: m = 190 edges, every pair of out-neighbors is
+    # a wedge; the oriented total must sit under m^1.5 and the closure
+    # must count each of C(20, 3) triangles exactly once.
+    n = 20
+    clique = spark.createDataFrame(
+        [(i, j) for i in range(n) for j in range(i + 1, n)],
+        "u long, v long",
+    )
+    m = n * (n - 1) // 2
+    w = wedge_work(clique)
+    assert 0 < w <= m**1.5, (w, m**1.5)
+    oriented = orient_edges(clique, degree_table(clique))
+    e2 = oriented.select(F.col("lo").alias("hi"), F.col("hi").alias("w"))
+    closure = oriented.select("lo", F.col("hi").alias("w"))
+    tri = (
+        oriented.join(e2, "hi")
+        .join(closure, ["lo", "w"])
+        .count()
+    )
+    assert tri == n * (n - 1) * (n - 2) // 6
