@@ -33,9 +33,9 @@ CORRECTNESS_r01..r08 exactly like the r6-r8 rotations):
    r6-stale cohort fill the window exactly. Every r7-last-green query
    (q128-q135, q126, q127, q22) falls past the cap at exactly two
    rounds stale — within the invariant. Later r9 additions past the
-   cap (q151 rolling time-RANGE window, q152 k-hop BFS) are
-   mirror-green this round and MUST lead the r10 window as its
-   never-driver-green cohort.
+   cap (q151 rolling time-RANGE window, q152 k-hop BFS, q153 streaming
+   sliding windows) are mirror-green this round and MUST lead the r10
+   window as its never-driver-green cohort.
 
 Everything past the cap was driver-green in r7 or r8 windows and stays
 covered by the local oracle mirror (tests/test_queries_oracle.py)

@@ -871,3 +871,67 @@ def q146_streaming_outer_attribution(
         .filter(F.col("user_id") >= 0)
         .orderBy("user_id", "click_us", "purchase_us")
     )
+
+
+@register(
+    "q153_streaming_sliding_windows",
+    oracle="""
+    -- The sliding twin of q131's oracle: window 6h, slide 2h aligned to
+    -- the epoch, so every event lands in EXACTLY window/slide = 3
+    -- overlapping windows, with starts floor(epoch/7200)*7200 - k*7200
+    -- for k in 0..2 (the k=2 start is still > epoch - 21600, so no
+    -- boundary case drops below the window). NULL event times excluded
+    -- on both engines (q131's watermark contract).
+    SELECT CAST(FLOOR(epoch(ts) / 7200) * 7200 - k.k * 7200 AS BIGINT)
+             AS window_start,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    CROSS JOIN (SELECT UNNEST(RANGE(3)) AS k) k
+    WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="STREAMING sliding-window counts (6h window / 2h slide, each "
+    "event in 3 overlapping windows) drained == the explicit 3-replica "
+    "batch aggregate",
+)
+def q153_streaming_sliding_windows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The ninth streaming pillar — SLIDING event-time windows, closing
+    the window-type triple (q131 tumbling, q136 session). The engine
+    replicates each row into window/slide = 3 window buckets before the
+    same watermarked aggregate q131 runs; the oracle constructs those
+    replicas explicitly (one generate_series(3) cross join), so the
+    drain must reproduce the 3x-overlap aggregate row-for-row. Complete
+    output mode re-emits every window at the final trigger — the drain
+    equals the batch aggregate exactly; in continuous operation the
+    watermark expires each window w/slide triggers after it closes.
+
+    Scale shape: state is (|open windows| x |types|) rows — the 3x
+    input replication happens inside the aggregate's map side (no extra
+    shuffle volume vs tumbling beyond the window-count factor)."""
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+        windowed_counts,
+    )
+
+    ev = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    agg = windowed_counts(
+        ev, window="6 hours", slide="2 hours", watermark="1 hour"
+    )
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(agg, "q153_sink", mode="complete")
+    return (
+        spark.table("q153_sink")
+        .select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
