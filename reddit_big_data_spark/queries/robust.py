@@ -140,3 +140,202 @@ def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# --------------------------------------------------------------------------
+# q154 — BENFORD first-digit audit: the classic forensic data-quality
+# test (fabricated or unit-mangled numeric columns rarely follow the
+# log-uniform first-digit law). Per event type: chi-square distance of
+# the value column's first-significant-digit distribution from Benford
+# p_d = log10(1 + 1/d). The registry's first hypothesis-test family.
+#
+# Determinism: the first digit is taken from the INTEGER cents string
+# (one identical round-to-cents expression per row, then int->varchar,
+# which has no cross-engine formatting ambiguity — float log10/pow
+# first-digit extraction is the classic boundary pitfall at exact
+# powers of ten). The 9 chi-square terms per type fold in canonical
+# digit order (q141's discipline); zero-count digits still contribute
+# their expected mass via the dense 1..9 grid.
+#
+# Scale shape: one corpus scan into a (type, digit) count table
+# (<= 9 x |types| rows); everything after is arithmetic on that grid.
+# --------------------------------------------------------------------------
+@register(
+    "q154_benford_audit",
+    oracle="""
+    WITH cents AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events
+      WHERE value IS NOT NULL AND CAST(ROUND(value * 100) AS BIGINT) >= 1
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUBSTR(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+             COUNT(*) AS o
+      FROM cents GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS n
+      FROM counts GROUP BY 1
+    ),
+    grid AS (
+      SELECT t.event_type, g.digit, t.n, COALESCE(c.o, 0) AS o
+      FROM totals t
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 10)) AS digit) g
+      LEFT JOIN counts c
+        ON c.event_type = t.event_type AND c.digit = g.digit
+    ),
+    terms AS (
+      SELECT event_type, digit, n,
+             (o - n * (LN(1 + 1.0 / digit) / LN(10)))
+             * (o - n * (LN(1 + 1.0 / digit) / LN(10)))
+             / (n * (LN(1 + 1.0 / digit) / LN(10))) AS term
+      FROM grid
+    )
+    SELECT event_type, n,
+           ROUND(LIST_SUM(LIST(term ORDER BY digit)), 6) AS chi2
+    FROM terms
+    GROUP BY event_type, n
+    ORDER BY event_type
+    """,
+    doc="Benford first-digit chi-square audit of the value column per "
+    "event type (forensic data-quality screen)",
+)
+def q154_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100).cast("long")
+    counts = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (cents >= 1))
+        .groupBy(
+            "event_type",
+            F.substring(cents.cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit"),
+        )
+        .agg(F.count("*").alias("o"))
+        .persist()  # two consumers: per-type totals and the grid join
+    )
+    totals = counts.groupBy("event_type").agg(F.sum("o").alias("n"))
+    grid = (
+        totals.select(
+            "event_type",
+            "n",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("digit"),
+        )
+        .join(counts, ["event_type", "digit"], "left")
+        .fillna(0, subset=["o"])
+    )
+    p = F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0))
+    e = F.col("n") * p
+    terms = grid.select(
+        "event_type",
+        "digit",
+        "n",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("term"),
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("digit", "term"))),
+        F.lit(0.0),
+        lambda a, s: a + s["term"],
+    )
+    return (
+        terms.groupBy("event_type", "n")
+        .agg(F.round(fold, 6).alias("chi2"))
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# q155 — CHI-SQUARE INDEPENDENCE test: is event type independent of the
+# day of week? The standard categorical-association test over the
+# contingency table. Uses the algebraic identity
+# chi2 = N * (sum over OBSERVED cells o^2 / (row_i * col_j)) - N,
+# which needs no dense grid (an empty cell contributes nothing to the
+# sum and its expected mass lives in the -N term) — the margins come
+# from three windows over the <= |types| x 7 count table, never the
+# corpus. Terms fold in canonical (type, dow) order before the 6dp
+# round; dof = (R-1)(C-1) attaches as a one-row broadcast scalar.
+# --------------------------------------------------------------------------
+@register(
+    "q155_chi2_independence",
+    oracle="""
+    WITH c AS (
+      SELECT event_type AS t, dayofweek(ts) + 1 AS dow, COUNT(*) AS o
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT t, dow, o,
+             SUM(o) OVER (PARTITION BY t) AS r,
+             SUM(o) OVER (PARTITION BY dow) AS cc,
+             SUM(o) OVER () AS n
+      FROM c
+    ),
+    terms AS (
+      SELECT t, dow, n,
+             CAST(o AS DOUBLE) * o / (r * cc) AS term
+      FROM m
+    ),
+    dof AS (
+      SELECT CAST((COUNT(DISTINCT t) - 1) * (COUNT(DISTINCT dow) - 1)
+                  AS BIGINT) AS dof
+      FROM c
+    )
+    SELECT CAST(s.n AS BIGINT) AS n, d.dof,
+           ROUND(s.n * s.acc - s.n, 6) AS chi2
+    FROM (
+      SELECT n, LIST_SUM(LIST(term ORDER BY t, dow)) AS acc
+      FROM terms GROUP BY n
+    ) s CROSS JOIN dof d
+    """,
+    doc="chi-square independence test of event type vs day-of-week "
+    "(contingency margins via windows over the tiny count table)",
+)
+def q155_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.dayofweek("ts").alias("dow"),
+        )
+        .agg(F.count("*").alias("o"))
+        .persist()  # two consumers: the margin windows and the dof scalar
+    )
+    m = c.select(
+        "t",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("t")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("cc"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    terms = m.select(
+        "t",
+        "dow",
+        "n",
+        (
+            F.col("o").cast("double")
+            * F.col("o")
+            / (F.col("r") * F.col("cc"))
+        ).alias("term"),
+    )
+    fold = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("t", "dow", "term"))),
+        F.lit(0.0),
+        lambda a, s: a + s["term"],
+    )
+    summed = terms.groupBy("n").agg(fold.alias("acc"))
+    dof = c.agg(
+        (
+            (F.countDistinct("t") - 1) * (F.countDistinct("dow") - 1)
+        ).alias("dof")
+    )
+    return summed.crossJoin(F.broadcast(dof)).select(
+        F.col("n"),
+        F.col("dof"),
+        F.round(F.col("n") * F.col("acc") - F.col("n"), 6).alias("chi2"),
+    )

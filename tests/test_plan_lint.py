@@ -60,6 +60,13 @@ _ALLOW: dict[str, dict[str, str]] = {
         "joins, constant work at any graph scale (q122's accepted "
         "pattern)",
     },
+    "q155_chi2_independence": {
+        "GLOBAL_WINDOW": "the grand-total margin windows over the "
+        "contingency COUNT table (<= |types| x 7 rows at any corpus "
+        "scale — q08's accepted aggregated-table pattern)",
+        "NESTED_LOOP": "scalar assembly: the ONE-row dof frame joins "
+        "the ONE-row chi-square row (q122's accepted pattern)",
+    },
     "q150_association_rules": {
         "NESTED_LOOP": "scalar attach: the ONE-row order-count frame "
         "broadcasts onto the rule table for the lift denominator — "
