@@ -339,3 +339,120 @@ def q155_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dof"),
         F.round(F.col("n") * F.col("acc") - F.col("n"), 6).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q156 — two-sample KOLMOGOROV-SMIRNOV test: D = sup |F_click - F_purchase|
+# over the value column — the distribution-comparison member of the
+# hypothesis-test family (q154 goodness-of-fit, q155 independence).
+# Both ECDFs are step functions jumping only at pooled sample points,
+# so the supremum is attained at a distinct pooled value: D is an exact
+# max over the distinct-value grid, no approximation.
+#
+# The scalable part is the CUMULATIVE count: a naive
+# `SUM() OVER (ORDER BY value)` is a single-partition window. Instead
+# the distinct-value table gets a total-order bucket id from
+# with_global_ntile (the library's scale-safe ranking), each bucket
+# cumsums INTERNALLY (window partitioned by bucket), and the 64
+# bucket totals prefix-sum on a constant-size table — the classic
+# two-phase parallel prefix sum. Per-point work after that is two
+# exact-integer divisions and a subtraction (identical on both
+# engines), and MAX is fold-order-free — no float discipline needed.
+# --------------------------------------------------------------------------
+@register(
+    "q156_ks_two_sample",
+    oracle="""
+    WITH pooled AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b
+      FROM events
+      WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+    ),
+    g AS (
+      SELECT value, SUM(a) AS ca, SUM(b) AS cb
+      FROM pooled GROUP BY value
+    ),
+    c AS (
+      SELECT SUM(ca) OVER (ORDER BY value) AS cum_a,
+             SUM(cb) OVER (ORDER BY value) AS cum_b
+      FROM g
+    ),
+    n AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b
+      FROM g
+    )
+    SELECT n.n_a, n.n_b,
+           ROUND(MAX(ABS(CAST(cum_a AS DOUBLE) / n.n_a
+                         - CAST(cum_b AS DOUBLE) / n.n_b)), 6) AS ks_d
+    FROM c CROSS JOIN n
+    GROUP BY n.n_a, n.n_b
+    """,
+    doc="exact two-sample Kolmogorov-Smirnov D between click and "
+    "purchase value distributions (two-phase parallel prefix sum)",
+)
+def q156_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from reddit_big_data_spark.operators.ranking import with_global_ntile
+
+    pooled = (
+        read_table(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            "value",
+            (F.col("event_type") == "click").cast("long").alias("a"),
+            (F.col("event_type") == "purchase").cast("long").alias("b"),
+        )
+    )
+    g = (
+        pooled.groupBy("value")
+        .agg(F.sum("a").alias("ca"), F.sum("b").alias("cb"))
+        .persist()  # two consumers: the bucketed cumsum and the n scalars
+    )
+    bucketed = with_global_ntile(g, ["value"], 64, "bucket").persist()
+    # phase 1: cumulative counts INSIDE each value-ordered bucket
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "bucket",
+        "value",
+        F.sum("ca").over(win).alias("la"),
+        F.sum("cb").over(win).alias("lb"),
+    )
+    # phase 2: per-bucket totals prefix-sum on the 64-row table
+    off_win = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("ta").over(off_win), F.lit(0)).alias("oa"),
+            F.coalesce(F.sum("tb").over(off_win), F.lit(0)).alias("ob"),
+        )
+    )
+    n = g.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    ecdf = (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n_a",
+            "n_b",
+            F.abs(
+                (F.col("oa") + F.col("la")).cast("double") / F.col("n_a")
+                - (F.col("ob") + F.col("lb")).cast("double") / F.col("n_b")
+            ).alias("dev"),
+        )
+    )
+    return ecdf.groupBy("n_a", "n_b").agg(
+        F.round(F.max("dev"), 6).alias("ks_d")
+    )

@@ -60,6 +60,15 @@ _ALLOW: dict[str, dict[str, str]] = {
         "joins, constant work at any graph scale (q122's accepted "
         "pattern)",
     },
+    "q156_ks_two_sample": {
+        "NESTED_LOOP": "scalar attach: the ONE-row (n_a, n_b) frame "
+        "broadcasts onto the ECDF table for the two divisions (q122's "
+        "accepted pattern)",
+        "GLOBAL_WINDOW": "phase 2 of the parallel prefix sum: the "
+        "bucket-offset window runs over the 64-row bucket-totals "
+        "table, never the corpus (q08's accepted aggregated-table "
+        "pattern)",
+    },
     "q155_chi2_independence": {
         "GLOBAL_WINDOW": "the grand-total margin windows over the "
         "contingency COUNT table (<= |types| x 7 rows at any corpus "
