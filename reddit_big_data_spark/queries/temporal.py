@@ -205,3 +205,113 @@ def q92_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q157 — sample AUTOCORRELATION (ACF) of the daily revenue series at
+# calendar lags 1..7 — the time-series diagnostic behind seasonality
+# detection and forecasting-model selection (a weekly cycle surfaces as
+# a lag-7 peak). Complements q151's rolling window with the
+# correlation-structure view of the same daily aggregate.
+#
+# Numerics (q141's recipe): daily revenue is an EXACT integer-cents
+# sum; the mean enters every term as the identical one-division
+# expression; the lag-k products and the variance terms fold in
+# canonical day order (<= |days| addends) before the single 6dp-rounded
+# ratio. Lag pairing is an EQUI-join on day-ordinal + k (gaps in the
+# calendar simply drop pairs, reported via n_pairs) — no range join,
+# no corpus-wide window.
+#
+# Scale shape: everything after the one corpus scan operates on the
+# |days|-row daily table (persisted once for its four consumers).
+# --------------------------------------------------------------------------
+@register(
+    "q157_daily_acf",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    scal AS (SELECT COUNT(*) AS n, SUM(x) AS s FROM daily),
+    centered AS (
+      SELECT (day - DATE '1970-01-01') AS d,
+             x - CAST(s.s AS DOUBLE) / s.n AS c
+      FROM daily, scal s
+    ),
+    den AS (SELECT LIST_SUM(LIST(c * c ORDER BY d)) AS den FROM centered),
+    pairs AS (
+      SELECT CAST(k.k AS INT) AS lag, a.d, a.c * b.c AS t
+      FROM centered a
+      CROSS JOIN (SELECT UNNEST(RANGE(1, 8)) AS k) k
+      JOIN centered b ON b.d = a.d + k.k
+    ),
+    num AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             LIST_SUM(LIST(t ORDER BY d)) AS num
+      FROM pairs GROUP BY lag
+    )
+    SELECT lag, n_pairs, ROUND(num / den.den, 6) AS acf
+    FROM num CROSS JOIN den
+    ORDER BY lag
+    """,
+    doc="daily-revenue autocorrelation at calendar lags 1..7 "
+    "(seasonality diagnostic; exact-cents series, canonical folds)",
+)
+def q157_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        read_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("value").isNotNull())
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(cents).alias("x"))
+        .persist()  # two consumers: the (n, s) scalars and `centered`
+    )
+    scal = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    centered = (
+        daily.crossJoin(F.broadcast(scal))
+        .select(
+            F.unix_date("day").alias("d"),
+            (
+                F.col("x") - F.col("s").cast("double") / F.col("n")
+            ).alias("c"),
+        )
+        .persist()  # three consumers: variance fold, lag-join a and b
+    )
+
+    def _fold(expr):
+        # canonical day-ordered fold (q141's recipe)
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct("d", expr.alias("v")))),
+            F.lit(0.0),
+            lambda a, s: a + s["v"],
+        )
+
+    den = centered.agg(_fold(F.col("c") * F.col("c")).alias("den"))
+    a = centered.select(
+        "d",
+        F.col("c").alias("ca"),
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("lag"),
+    ).withColumn("d_tgt", F.col("d") + F.col("lag"))
+    b = centered.select(
+        F.col("d").alias("d_tgt"), F.col("c").alias("cb")
+    )
+    num = (
+        a.join(b, "d_tgt")
+        .select("lag", "d", (F.col("ca") * F.col("cb")).alias("t"))
+        .groupBy("lag")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            _fold(F.col("t")).alias("num"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )

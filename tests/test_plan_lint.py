@@ -60,6 +60,11 @@ _ALLOW: dict[str, dict[str, str]] = {
         "joins, constant work at any graph scale (q122's accepted "
         "pattern)",
     },
+    "q157_daily_acf": {
+        "NESTED_LOOP": "scalar attaches: the ONE-row (n, s) mean frame "
+        "onto the |days|-row daily table, and the ONE-row variance "
+        "fold onto the 7-row lag table (q122's accepted pattern)",
+    },
     "q156_ks_two_sample": {
         "NESTED_LOOP": "scalar attach: the ONE-row (n_a, n_b) frame "
         "broadcasts onto the ECDF table for the two divisions (q122's "
