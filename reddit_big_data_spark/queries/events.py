@@ -734,3 +734,88 @@ def q149_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(fold, 6).alias("psi"))
         .orderBy("event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q158 — RFM SEGMENTATION (recency / frequency / monetary), the classic
+# marketing-analytics cut: per purchasing user, score each of the three
+# dimensions into quintiles (5 = most recent / most frequent / highest
+# spend) and report the segment grid with user counts and exact spend.
+# Scores come from the library's scale-safe global NTILE
+# (operators/ranking.py — two-phase rank, no single-partition window;
+# the NTILE == ntile_from_rank equivalence is already oracle-pinned by
+# q18), each over a TOTAL order tie-broken by user_id so quintile
+# boundaries are deterministic. Monetary stays integer cents — the
+# segment totals are exact BIGINTs, no float discipline anywhere.
+# Scale shape: one corpus scan to the per-user aggregate; three
+# rank passes over |purchasing users| rows; a <= 125-cell output grid.
+# --------------------------------------------------------------------------
+@register(
+    "q158_rfm_segmentation",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, MAX(CAST(ts AS DATE)) AS last_day,
+             COUNT(*) AS freq,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS monetary
+      FROM events
+      WHERE event_type = 'purchase'
+        AND ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1
+    ),
+    scored AS (
+      SELECT CAST(NTILE(5) OVER (ORDER BY last_day, user_id) AS INT)
+               AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY freq, user_id) AS INT)
+               AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary, user_id) AS INT)
+               AS m_score,
+             monetary
+      FROM pu
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS users,
+           CAST(SUM(monetary) AS BIGINT) AS total_cents
+    FROM scored
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+    doc="RFM quintile segmentation of purchasing users (scale-safe "
+    "global NTILE x3, exact-cents monetary)",
+)
+def q158_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.ranking import with_global_ntile
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        read_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("ts").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count("*").alias("freq"),
+            F.sum(cents).alias("monetary"),
+        )
+    )
+    scored = with_global_ntile(
+        per_user, ["last_day", "user_id"], 5, "r_score"
+    )
+    scored = with_global_ntile(scored, ["freq", "user_id"], 5, "f_score")
+    scored = with_global_ntile(
+        scored, ["monetary", "user_id"], 5, "m_score"
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("int").alias("r_score"),
+            F.col("f_score").cast("int").alias("f_score"),
+            F.col("m_score").cast("int").alias("m_score"),
+        )
+        .agg(
+            F.count("*").alias("users"),
+            F.sum("monetary").alias("total_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
