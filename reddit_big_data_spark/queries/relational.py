@@ -527,3 +527,109 @@ def q28_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "status", "priority")
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — PARETO / ABC revenue-concentration analysis: rank customers by
+# total order revenue (descending) and classify A = the head covering
+# the first 80% of revenue, B = to 95%, C = the tail — the standard
+# concentration read-out ("do 20% of customers drive 80% of revenue").
+# The cumulative revenue uses q156's two-phase parallel prefix sum
+# (scale-safe global ntile buckets the rank order, buckets cumsum
+# internally, 64 bucket totals prefix-sum on a constant table) — never
+# a single-partition ORDER BY window. Revenue is exact integer cents
+# and the class rule compares INTEGERS ((cum_before * 100) vs
+# (total * 80)), so the A/B/C boundary is exact on both engines; the
+# one float is the final rounded share per class.
+# --------------------------------------------------------------------------
+@register(
+    "q159_pareto_abc",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    c AS (
+      SELECT rev,
+             SUM(rev) OVER (ORDER BY rev DESC, o_custkey) AS cum
+      FROM pc
+    ),
+    t AS (SELECT SUM(rev) AS total FROM pc),
+    cls AS (
+      SELECT rev, t.total,
+             CASE WHEN (cum - rev) * 100 < t.total * 80 THEN 'A'
+                  WHEN (cum - rev) * 100 < t.total * 95 THEN 'B'
+                  ELSE 'C' END AS cls
+      FROM c CROSS JOIN t
+    )
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS customers,
+           CAST(SUM(rev) AS BIGINT) AS class_cents,
+           ROUND(CAST(SUM(rev) AS DOUBLE) / total, 6) AS share
+    FROM cls
+    GROUP BY cls, total
+    ORDER BY cls
+    """,
+    doc="Pareto/ABC revenue concentration: A/B/C customer classes at "
+    "80/95% cumulative revenue (exact-cents integer boundaries)",
+)
+def q159_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from reddit_big_data_spark.operators.ranking import with_global_ntile
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    bucketed = with_global_ntile(
+        per_cust, [F.col("rev").desc(), "o_custkey"], 64, "bucket"
+    ).persist()  # three consumers: local cumsum, offsets, total scalar
+    order = [F.col("rev").desc(), F.col("o_custkey")]
+    win = (
+        Window.partitionBy("bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = bucketed.select(
+        "bucket", "rev", F.sum("rev").over(win).alias("lc")
+    )
+    off_win = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        bucketed.groupBy("bucket")
+        .agg(F.sum("rev").alias("tb"))
+        .select(
+            "bucket",
+            F.coalesce(F.sum("tb").over(off_win), F.lit(0)).alias("off"),
+        )
+    )
+    total = bucketed.agg(F.sum("rev").alias("total"))
+    before = F.col("off") + F.col("lc") - F.col("rev")
+    cls = (
+        F.when(before * 100 < F.col("total") * 80, "A")
+        .when(before * 100 < F.col("total") * 95, "B")
+        .otherwise("C")
+    )
+    return (
+        local.join(F.broadcast(offsets), "bucket")
+        .crossJoin(F.broadcast(total))
+        .select(cls.alias("cls"), "rev", "total")
+        .groupBy("cls", "total")
+        .agg(
+            F.count("*").alias("customers"),
+            F.sum("rev").alias("class_cents"),
+        )
+        .select(
+            "cls",
+            "customers",
+            "class_cents",
+            F.round(
+                F.col("class_cents").cast("double") / F.col("total"), 6
+            ).alias("share"),
+        )
+        .orderBy("cls")
+    )

@@ -60,6 +60,14 @@ _ALLOW: dict[str, dict[str, str]] = {
         "joins, constant work at any graph scale (q122's accepted "
         "pattern)",
     },
+    "q159_pareto_abc": {
+        "NESTED_LOOP": "scalar attach: the ONE-row total-revenue frame "
+        "broadcasts onto the ranked-customer table for the class "
+        "boundaries (q122's accepted pattern)",
+        "GLOBAL_WINDOW": "phase 2 of the parallel prefix sum: the "
+        "bucket-offset window runs over the 64-row bucket-totals "
+        "table, never the corpus (q156's accepted pattern)",
+    },
     "q157_daily_acf": {
         "NESTED_LOOP": "scalar attaches: the ONE-row (n, s) mean frame "
         "onto the |days|-row daily table, and the ONE-row variance "
