@@ -36,8 +36,9 @@ CORRECTNESS_r01..r08 exactly like the r6-r8 rotations):
    cap (q151 rolling time-RANGE window, q152 k-hop BFS, q153 streaming
    sliding windows, q154 Benford audit, q155 chi-square independence,
    q156 two-sample KS, q157 daily ACF, q158 RFM segmentation, q159
-   Pareto/ABC concentration) are mirror-green this round and MUST lead
-   the r10 window as its never-driver-green cohort.
+   Pareto/ABC concentration, q160 Gini coefficient) are mirror-green
+   this round and MUST lead the r10 window as its never-driver-green
+   cohort.
 
 Everything past the cap was driver-green in r7 or r8 windows and stays
 covered by the local oracle mirror (tests/test_queries_oracle.py)

@@ -633,3 +633,65 @@ def q159_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cls")
     )
+
+
+# --------------------------------------------------------------------------
+# q160 — GINI COEFFICIENT of customer revenue: the single-number
+# concentration index companion to q159's A/B/C classes (0 = perfectly
+# equal spend, 1 = one customer is the whole book), via the sorted-rank
+# identity G = 2*sum(i * x_(i)) / (n * sum(x)) - (n + 1)/n. Ranks come
+# from the scale-safe global row_number (operators/ranking.py — never a
+# single-partition window); revenue is exact integer cents, so BOTH
+# inner sums are exact integers (sum(i*x) ~ 4e17 at sf0.1, inside
+# int64; at corpora where it would overflow, pre-scale x to coarser
+# units — noted here because the overflow would be silent) and the two
+# divisions are evaluated from identical exact integers on both
+# engines — no fold discipline needed.
+# --------------------------------------------------------------------------
+@register(
+    "q160_gini_revenue",
+    oracle="""
+    WITH pc AS (
+      SELECT o_custkey,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    r AS (
+      SELECT rev,
+             ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+      FROM pc
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS BIGINT) AS total_cents,
+           ROUND(2.0 * SUM(i * rev) / (COUNT(*) * SUM(rev))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM r
+    """,
+    doc="Gini coefficient of customer revenue (sorted-rank identity, "
+    "scale-safe global row_number, exact-cents integer sums)",
+)
+def q160_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.ranking import with_global_rank
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(cents).alias("rev"))
+    )
+    ranked = with_global_rank(per_cust, ["rev", "o_custkey"], "i")
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("rev").alias("total"),
+        F.sum(F.col("i") * F.col("rev")).alias("sxi"),
+    )
+    gini = F.round(
+        F.lit(2.0) * F.col("sxi") / (F.col("n") * F.col("total"))
+        - (F.col("n") + 1.0) / F.col("n"),
+        6,
+    )
+    return agg.select(
+        F.col("n").alias("n_customers"),
+        F.col("total").alias("total_cents"),
+        gini.alias("gini"),
+    )
