@@ -16,6 +16,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 
+from reddit_big_data_spark.plans.audit import drop_initial_plan_sections
+
 
 @dataclass(frozen=True)
 class Finding:
@@ -30,6 +32,21 @@ class Finding:
 _ROOT_WRAPPERS = ("AdaptiveSparkPlan", "ResultQueryStage", "==")
 # A physical Sort node with global=true ("Sort [keys], true, offset").
 _GLOBAL_SORT_NODE = re.compile(r"^Sort \[.*\], true, ")
+# Nodes that bound a root sort's input: aggregates collapse the corpus to
+# its group count, limits/top-k to a constant. A root sort with one of
+# these anywhere beneath it is the trailing oracle-stability orderBy on
+# an already-reduced result set (the accepted registry pattern); a root
+# sort with NONE of them is a corpus-sized range shuffle and gets its own
+# informational code (ADVICE r9: the r9 structural exemption waived ANY
+# root sort, silently passing an interactive full-corpus orderBy).
+_BOUNDING_NODES = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+)
 
 
 def _node_text(line: str) -> str:
@@ -62,12 +79,14 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
     # After a DataFrame has EXECUTED, AQE's toString appends an
-    # "== Initial Plan ==" section repeating the pre-adaptive tree; keep
-    # only the final plan so (a) the root-sort exemption below doesn't
-    # false-positive on the Initial-Plan copy of the root Sort sitting at
-    # a non-root line (review r9, empirically confirmed), and (b) every
-    # other check scans the plan that actually ran, once.
-    plan = plan.split("== Initial Plan ==")[0]
+    # "== Initial Plan ==" section repeating the pre-adaptive tree; drop
+    # every such section — one per AdaptiveSparkPlan, so subquery-bearing
+    # plans carry several at arbitrary nesting depths (ADVICE r9) — so
+    # (a) the root-sort exemption below doesn't false-positive on the
+    # Initial-Plan copy of the root Sort sitting at a non-root line
+    # (review r9, empirically confirmed), and (b) every other check scans
+    # the plan that actually ran, once.
+    plan = "\n".join(drop_initial_plan_sections(plan.splitlines()))
     findings: list[Finding] = []
 
     def add(code: str, detail: str) -> None:
@@ -103,27 +122,38 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
                     )
                     break
     # Global Sort (range-shuffle total order). A global sort at the plan
-    # ROOT is the trailing oracle-stability orderBy every registry query
-    # ends with (VERDICT r1 accepted the pattern; r9 made this structural
-    # so new queries can't forget a hand-list entry): it sorts exactly the
-    # result set the caller is about to collect, so its cost is bounded by
-    # the result size, not the corpus. An INTERIOR global sort — feeding
-    # further computation — is a genuine full-shuffle hazard and is still
-    # flagged. ACCEPTED TRADEOFF (review r9): the root position proves
-    # nothing about result size for arbitrary interactive plans — a bare
-    # corpus.orderBy(ts) now passes where the pre-r9 lint flagged it.
-    # The registry sweep is the primary consumer and every registry query
-    # aggregates/limits before its trailing sort; interactive users
-    # sorting a raw corpus see Spark's own range-shuffle cost directly.
+    # ROOT with an aggregate/limit beneath it is the trailing
+    # oracle-stability orderBy every registry query ends with (VERDICT r1
+    # accepted the pattern; r9 made this structural so new queries can't
+    # forget a hand-list entry): it sorts exactly the already-reduced
+    # result set the caller is about to collect, so its cost is bounded
+    # by the result size, not the corpus. A BARE root sort — nothing
+    # beneath it that reduces cardinality — is a corpus-sized range
+    # shuffle; it gets the informational ROOT_SORT code (ADVICE r9
+    # tightening: the r9 exemption waived ANY root sort), distinct from
+    # GLOBAL_SORT so the registry sweep can enforce the hazard class
+    # strictly while interactive lint users still see the warning. An
+    # INTERIOR global sort — feeding further computation — is a genuine
+    # full-shuffle hazard and is flagged as before.
     nodes = [n for n in (_node_text(ln) for ln in plan.splitlines()) if n]
     root_i = next(
         (i for i, n in enumerate(nodes) if not n.startswith(_ROOT_WRAPPERS)), None
     )
     for i, n in enumerate(nodes):
-        if _GLOBAL_SORT_NODE.match(n) and i != root_i:
+        if not _GLOBAL_SORT_NODE.match(n):
+            continue
+        if i != root_i:
             add(
                 "GLOBAL_SORT",
                 "interior global sort without limit — full-shuffle total order",
             )
             break
+        # Root sort: everything after it in the preorder walk is its
+        # subtree (it is the root), so one scan decides boundedness.
+        if not any(m.startswith(_BOUNDING_NODES) for m in nodes[i + 1:]):
+            add(
+                "ROOT_SORT",
+                "bare global sort at plan root over an unaggregated, "
+                "unlimited input — corpus-sized range shuffle",
+            )
     return findings

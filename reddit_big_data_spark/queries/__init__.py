@@ -10,39 +10,48 @@ every query stays covered every round by tests/test_queries_oracle.py,
 the local mirror of the driver check. tests/test_round4_ops.py guards
 the list against typos/duplicates.
 
-Round-9 window composition (the VERDICT r8 #5 rotation, computed from
-CORRECTNESS_r01..r08 exactly like the r6-r8 rotations):
-1. The TWELVE never-driver-green r9 additions — q139 (streaming
-   exactly-once foreachBatch sink, the write-side promotion VERDICT r8
-   #7 ordered), q140 (DSIR-style importance-resampling weights, the
-   data-selection family the LLM-pipeline surface lacked), q141
-   (Zipf-slope vocabulary power-law QA), q142 (degree-ordered
-   triangle counting), q143 (ordered conversion funnel), q144
-   (cohort retention matrix), q145 (co-purchase connected
-   components), q146 (streaming LEFT OUTER interval join — the
-   eighth streaming pillar), q147 (mergeable-bitmap exact distinct
-   rollup), q148 (Markov transition matrix), q149 (PSI distribution
-   drift), and q150 (association rules) — lead unconditionally.
-2. The full r6-STALE cohort: all 38 queries whose last driver-green row
-   is round 6 (q65, q75-q87, q89-q96, q110-q125), ranked by cumulative
-   driver-green count ascending (the sixteen once-green q110-q125
-   first, then the twenty-two twice-green), then name — after this
-   round no registered query's last driver row is older than two rounds
-   (the rotation invariant).
-3. No pre-emption slots remain: the 12 new queries plus the 38-query
-   r6-stale cohort fill the window exactly. Every r7-last-green query
-   (q128-q135, q126, q127, q22) falls past the cap at exactly two
-   rounds stale — within the invariant. Later r9 additions past the
-   cap (q151 rolling time-RANGE window, q152 k-hop BFS, q153 streaming
+THE ROTATION INVARIANT (restated honestly in round 10, VERDICT r9 #2):
+with R registered queries and a 50-slot window, "every query
+driver-green within the last K rounds" needs (K+1)*50 >= R. At 160+
+queries the old <=2-round promise (capacity 150) is arithmetically
+impossible; the contract from round 10 onward is:
+
+  (a) <=3-ROUND STALENESS: every registered query's last driver-green
+      row is at most three rounds old (window capacity 4*50 = 200;
+      registry growth is budgeted against that ceiling — past ~190
+      registered queries, consolidation precedes new breadth);
+  (b) MIRROR-GREEN EVERY ROUND: every registered query — in or out of
+      the window — is hash-verified against its DuckDB oracle every
+      round by tests/test_queries_oracle.py, the local mirror of the
+      driver's t2 check;
+  (c) NEVER-GREEN FIRST: queries with no driver-green row ever lead
+      the next window unconditionally.
+
+Round-10 window composition (the VERDICT r9 #1 rotation, computed from
+CORRECTNESS_r01..r09 exactly like the r6-r9 rotations):
+1. The ELEVEN never-driver-green entries: the ten late-r9 additions
+   (q151 rolling time-RANGE window, q152 k-hop BFS, q153 streaming
    sliding windows, q154 Benford audit, q155 chi-square independence,
    q156 two-sample KS, q157 daily ACF, q158 RFM segmentation, q159
-   Pareto/ABC concentration, q160 Gini coefficient) are mirror-green
-   this round and MUST lead the r10 window as its never-driver-green
-   cohort.
-
-Everything past the cap was driver-green in r7 or r8 windows and stays
-covered by the local oracle mirror (tests/test_queries_oracle.py)
-every round.
+   Pareto/ABC concentration, q160 Gini coefficient) plus q161, the
+   end-to-end corpus-pipeline composition VERDICT r9 #3 ordered
+   (until q161 registers in this round, its slot is held by the next
+   oldest-stale fill, q10_running_aggregates).
+2. The full r7-STALE cohort: all 11 queries whose last driver-green
+   row is round 7 AND whose cumulative green count is lowest (the
+   once-green q128-q135 quintet+streaming five first, then twice-green
+   q22/q126/q127), by count then number.
+3. Oldest-stale fill to 50: the remaining r7-last-green queries ranked
+   cumulative-greens ascending then number — the ten twice-green
+   (q24, q41, q43, q59, q60, q69, q88, q97, q98, q99), the eleven
+   thrice-green (q08, q21, q23, q25, q27, q28, q37, q38, q39, q47,
+   q49), then seven four-times-green (q01-q09 odds and evens by
+   number) to fill exactly.
+After this round the only >=3-round-stale queries are the eleven
+remaining four-times-green r7 cohort members (q10-q18, q20, q26) at
+exactly three rounds — within invariant (a) — and they MUST be in the
+r11 window. Everything else past the cap was driver-green in r8 or r9
+and stays covered by the mirror (b).
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
@@ -79,61 +88,62 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
-    # -- never driver-green: new this round (the write-side exactly-once
-    #    sink promotion VERDICT r8 #7, and the DSIR importance-resampling
-    #    data-selection family)
-    "q139_streaming_idempotent_sink",
-    "q140_dsir_importance",
-    "q141_zipf_slope",
-    "q142_triangle_count",
-    "q143_funnel",
-    "q144_cohort_retention",
-    "q145_copurchase_components",
-    "q146_streaming_outer_attribution",
-    "q147_bitmap_distinct_rollup",
-    "q148_transition_matrix",
-    "q149_psi_drift",
-    "q150_association_rules",
-    # -- the r6-stale cohort (VERDICT r8 #5): every query whose LAST
-    #    driver-green row is round 6, cumulative-greens ascending
-    #    (the sixteen once-green first), then name
-    "q110_constraint_audit",
-    "q111_langid_ngram",
-    "q112_substring_dedup",
-    "q113_shard_manifest",
-    "q114_mixture_weights",
-    "q115_cdc_chunks",
-    "q116_semdedup",
-    "q117_returned_revenue",
-    "q118_large_volume_orders",
-    "q119_disjunctive_revenue",
-    "q120_supplier_diversity",
-    "q121_sole_late_supplier",
-    "q122_kmv_overlap",
-    "q123_bpe_tokenize",
-    "q124_novelty_curve",
-    "q125_label_noise",
-    #    ... then the twenty-two twice-green, by name
-    "q65_grouped_ols",
-    "q75_pii_redaction",
-    "q76_quality_funnel",
-    "q77_boilerplate_shingles",
-    "q78_exists_late_orders",
-    "q79_below_avg_quantity",
-    "q80_dormant_high_balance",
-    "q81_winsorized_stats",
-    "q82_pagerank",
-    "q83_zorder_layout",
-    "q84_bloom_semi_join",
-    "q85_mixture_sample",
-    "q86_local_supplier_volume",
-    "q87_rank_family",
-    "q89_variant_props",
-    "q90_mad_outliers",
-    "q91_k_per_group_sample",
-    "q92_gap_fill",
-    "q93_volume_shipping",
-    "q94_market_share",
-    "q95_scd2_history",
-    "q96_fuzzy_name_match",
+    # -- never driver-green (invariant (c)): the ten late-r9 additions
+    #    that landed past the r9 cap, mirror-green since birth
+    "q151_rolling_revenue",
+    "q152_khop_reachability",
+    "q153_streaming_sliding_windows",
+    "q154_benford_audit",
+    "q155_chi2_independence",
+    "q156_ks_two_sample",
+    "q157_daily_acf",
+    "q158_rfm_segmentation",
+    "q159_pareto_abc",
+    "q160_gini_revenue",
+    # -- the r7-stale cohort (VERDICT r9 #1): every query whose LAST
+    #    driver-green row is round 7, cumulative-greens ascending
+    #    (once-green first), then number
+    "q128_unigram_tokenize",
+    "q129_tokenizer_compare",
+    "q130_neardup_retention",
+    "q131_streaming_windowed_counts",
+    "q132_streaming_dedup",
+    "q133_streaming_enrich",
+    "q134_streaming_attribution",
+    "q135_streaming_sketch_rollup",
+    "q22_approx_distinct_percentiles",
+    "q126_forecast_revenue",
+    "q127_top_supplier",
+    # -- oldest-stale fill (all last-green r7), twice-green first ...
+    "q24_summary_stats",
+    "q41_lsh_ann",
+    "q43_ivf_ann",
+    "q59_sketch_rollup",
+    "q60_rf_pipeline",
+    "q69_cms_heavy_hitters",
+    "q88_kmv_rollup",
+    "q97_tdigest_rollup",
+    "q98_simhash_hamming",
+    "q99_weighted_sample",
+    #    ... then thrice-green ...
+    "q08_histogram_cumulative",
+    "q21_shipping_priority",
+    "q23_epoch_concat",
+    "q25_sentiment",
+    "q27_pricing_summary",
+    "q28_grouping_sets",
+    "q37_repetition_signals",
+    "q38_bm25_topk",
+    "q39_sequence_packing",
+    "q47_stratified_sample",
+    "q49_hybrid_rrf",
+    #    ... then four-times-green by number to fill to 50
+    "q01_top_groups_by_count",
+    "q02_time_slot_histogram",
+    "q04_missing_report",
+    "q05_broadcast_join_chain",
+    "q06_groupby_multi_agg",
+    "q07_correlations",
+    "q09_tfidf_topk",
+    "q10_running_aggregates",
 ]

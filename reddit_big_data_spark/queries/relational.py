@@ -608,10 +608,19 @@ def q159_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     total = bucketed.agg(F.sum("rev").alias("total"))
-    before = F.col("off") + F.col("lc") - F.col("rev")
+    # decimal(38,0) factors: the threshold products (cum_cents*100,
+    # total_cents*80) stay int64 at test SFs but overflow SILENTLY at
+    # large corpora while DuckDB's BIGINT math promotes to HUGEINT —
+    # wrong ABC classes, no error (ADVICE r9). Decimal keeps the
+    # comparison exact at any scale; the compared values never reach the
+    # output schema, so dtypes are unchanged.
+    before = (F.col("off") + F.col("lc") - F.col("rev")).cast(
+        "decimal(38,0)"
+    )
+    total_dec = F.col("total").cast("decimal(38,0)")
     cls = (
-        F.when(before * 100 < F.col("total") * 80, "A")
-        .when(before * 100 < F.col("total") * 95, "B")
+        F.when(before * 100 < total_dec * 80, "A")
+        .when(before * 100 < total_dec * 95, "B")
         .otherwise("C")
     )
     return (
@@ -642,11 +651,12 @@ def q159_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # identity G = 2*sum(i * x_(i)) / (n * sum(x)) - (n + 1)/n. Ranks come
 # from the scale-safe global row_number (operators/ranking.py — never a
 # single-partition window); revenue is exact integer cents, so BOTH
-# inner sums are exact integers (sum(i*x) ~ 4e17 at sf0.1, inside
-# int64; at corpora where it would overflow, pre-scale x to coarser
-# units — noted here because the overflow would be silent) and the two
-# divisions are evaluated from identical exact integers on both
-# engines — no fold discipline needed.
+# inner sums are exact integers and the two divisions are evaluated
+# from identical exact integers on both engines — no fold discipline
+# needed. The rank-weighted sum(i*x) (~4e17 at sf0.1) and the n*total
+# denominator are accumulated in decimal(38,0), matching DuckDB's
+# HUGEINT promotion, so a 100x corpus widens instead of silently
+# wrapping int64 (ADVICE r9).
 # --------------------------------------------------------------------------
 @register(
     "q160_gini_revenue",
@@ -683,10 +693,13 @@ def q160_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("rev").alias("total"),
-        F.sum(F.col("i") * F.col("rev")).alias("sxi"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("rev")
+        ).alias("sxi"),
     )
     gini = F.round(
-        F.lit(2.0) * F.col("sxi") / (F.col("n") * F.col("total"))
+        F.lit(2.0) * F.col("sxi")
+        / (F.col("n").cast("decimal(38,0)") * F.col("total"))
         - (F.col("n") + 1.0) / F.col("n"),
         6,
     )

@@ -206,6 +206,14 @@ _QUERIES = all_queries()
 def test_query_plan_is_scale_clean(spark, name):
     df = _QUERIES[name].fn(spark, SF_SMOKE)
     findings = lint_plan(df, allow=set(_ALLOW.get(name, {})))
+    # ROOT_SORT is INFORMATIONAL (ADVICE r9): it marks a trailing sort
+    # whose input the lint cannot prove bounded — for the twelve registry
+    # queries that trigger it (running/windowed/pair outputs), the result
+    # set is inherently row-shaped and the sort is the oracle-stability
+    # orderBy on exactly the rows returned. Enforcing it here would
+    # resurrect the hand-list r9 removed; interactive lint users still
+    # see the warning. Hazard codes stay strictly enforced.
+    findings = [f for f in findings if f.code != "ROOT_SORT"]
     assert not findings, f"{name}: " + "; ".join(map(str, findings))
 
 
@@ -228,6 +236,32 @@ def test_lint_root_sort_exemption_survives_execution(spark):
     df = spark.range(10).groupBy((F.col("id") % 3).alias("g")).count().orderBy("g")
     df.collect()  # materialize: the plan string now carries both sections
     assert not [f for f in lint_plan(df) if f.code == "GLOBAL_SORT"]
+
+
+def test_lint_flags_bare_root_sort(spark):
+    """ADVICE r9 tightening: a root sort with NOTHING beneath it that
+    reduces cardinality (no aggregate/limit) is a corpus-sized range
+    shuffle — an interactive full-corpus df.orderBy(ts) must surface the
+    informational ROOT_SORT finding instead of passing silently."""
+    df = spark.range(100).withColumn("r", F.col("id") % 7).orderBy("r")
+    findings = lint_plan(df)
+    assert any(f.code == "ROOT_SORT" for f in findings)
+    # ... and it is NOT the hazard-class code: the registry sweep treats
+    # GLOBAL_SORT strictly, ROOT_SORT informationally.
+    assert not any(f.code == "GLOBAL_SORT" for f in findings)
+
+
+def test_lint_root_sort_bounded_by_limit(spark):
+    """A root sort above a LIMIT is bounded — no finding of either code."""
+    df = (
+        spark.range(100)
+        .withColumn("r", F.col("id") % 7)
+        .limit(5)
+        .orderBy("r")
+    )
+    assert not [
+        f for f in lint_plan(df) if f.code in ("GLOBAL_SORT", "ROOT_SORT")
+    ]
 
 
 def test_lint_flags_interior_global_sort(spark):

@@ -58,6 +58,13 @@ _ALLOW: dict[str, dict[str, tuple[int, str]]] = {
         "embeddings": (3, "probe batch + code scan + exact-recall "
                           "branch over the small embeddings table"),
     },
+    "q104_ivfpq_ann": {
+        "embeddings": (3, "same surface as q102: probe batch + coarse-"
+                          "cell/code scan + exact-recall branch (the "
+                          "r10 JVM-tree walker made the third branch "
+                          "visible; the text walker had misattributed "
+                          "it to a cached rendering)"),
+    },
     "q69_cms_heavy_hitters": {
         "events": (4, "CMS shard build + exact heavy-hitter verify + "
                       "total-count scalar"),
@@ -84,6 +91,30 @@ def test_no_unexplained_recompute(spark, name):
         "subtree is probably re-executing per consumer; persist it or "
         "add a reasoned _ALLOW entry"
     )
+
+
+def test_audit_counts_subquery_scans_once_each(spark):
+    """ADVICE r9 regression guard: (a) a scalar subquery's scan is LIVE
+    work and must be counted — the old first-marker truncation could
+    drop main-plan scans printed after a nested '== Initial Plan =='
+    marker; (b) ONE logical subquery referenced from both the Filter and
+    the FileScan it was pushed into counts ONCE, while two DIFFERENT
+    subqueries on the same table count separately."""
+    from reddit_big_data_spark.sources.io import read_table
+
+    orders = read_table(spark, SF_SMOKE, "orders")
+    orders.createOrReplaceTempView("_audit_orders")
+    one_sub = spark.sql(
+        "SELECT count(*) AS n FROM _audit_orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _audit_orders)"
+    )
+    assert live_file_scans(one_sub).get("orders", 0) == 2
+    two_subs = spark.sql(
+        "SELECT count(*) AS n FROM _audit_orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM _audit_orders) "
+        "AND o_totalprice < (SELECT max(o_totalprice) FROM _audit_orders)"
+    )
+    assert live_file_scans(two_subs).get("orders", 0) == 3
 
 
 def test_audit_sees_through_cached_relations(spark):
