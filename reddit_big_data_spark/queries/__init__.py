@@ -34,9 +34,7 @@ CORRECTNESS_r01..r09 exactly like the r6-r9 rotations):
    sliding windows, q154 Benford audit, q155 chi-square independence,
    q156 two-sample KS, q157 daily ACF, q158 RFM segmentation, q159
    Pareto/ABC concentration, q160 Gini coefficient) plus q161, the
-   end-to-end corpus-pipeline composition VERDICT r9 #3 ordered
-   (until q161 registers in this round, its slot is held by the next
-   oldest-stale fill, q10_running_aggregates).
+   end-to-end corpus-pipeline composition VERDICT r9 #3 ordered.
 2. The full r7-STALE cohort: all 11 queries whose last driver-green
    row is round 7 AND whose cumulative green count is lowest (the
    once-green q128-q135 quintet+streaming five first, then twice-green
@@ -84,6 +82,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     streamingq,
     multimodal,
     mlq,
+    pipeline,
 )
 
 # First 50 names = the driver correctness window for THIS round.
@@ -100,6 +99,7 @@ WINDOW_ORDER: list[str] = [
     "q158_rfm_segmentation",
     "q159_pareto_abc",
     "q160_gini_revenue",
+    "q161_corpus_pipeline",
     # -- the r7-stale cohort (VERDICT r9 #1): every query whose LAST
     #    driver-green row is round 7, cumulative-greens ascending
     #    (once-green first), then number
@@ -145,5 +145,4 @@ WINDOW_ORDER: list[str] = [
     "q06_groupby_multi_agg",
     "q07_correlations",
     "q09_tfidf_topk",
-    "q10_running_aggregates",
 ]
