@@ -64,6 +64,38 @@ def test_pq_scan_candidates_linear(spark):
     assert exp < 1.2, f"q102 scan exponent {exp:.2f} at {pts}"
 
 
+def test_triangle_wedge_fanout_within_orientation_bound(spark):
+    """q142's wedge join (VERDICT r9 #4): degree-ordered orientation
+    bounds every out-degree at sqrt(2m), so the wedge fan-out is
+    <= sqrt(2) * m^1.5 at EVERY scale regardless of hub skew. The
+    cross-sf exponent is confounded on this testdata (the support>=2
+    graph gets sparser as the corpus grows), so the pin is the
+    per-scale bound — the claim the orientation actually makes."""
+    for sf_dir in (SF_SMOKE, SF_BIG):
+        rec = scaling.measure_q142(spark, sf_dir)
+        m, wedges = rec["n_input"], rec["candidates"]
+        bound = (2**0.5) * m**1.5
+        assert wedges <= bound, (
+            f"{sf_dir}: {wedges} wedges > sqrt(2)*m^1.5 = {bound:.0f} "
+            f"at m={m}"
+        )
+        spark.catalog.clearCache()
+
+
+def test_bfs_frontier_fanout_linear_in_edges(spark):
+    """q152's frontier BFS (VERDICT r9 #4): anti-join dedup keeps every
+    node in at most one frontier, so the summed per-hop join fan-out is
+    <= hops * |symmetrized edges| at every scale — the linear-work
+    property that separates frontier BFS from path enumeration."""
+    for sf_dir in (SF_SMOKE, SF_BIG):
+        rec = scaling.measure_q152(spark, sf_dir)
+        m2, fanout = rec["n_input"], rec["candidates"]
+        assert fanout <= 3 * m2, (
+            f"{sf_dir}: frontier fan-out {fanout} > 3 * {m2}"
+        )
+        spark.catalog.clearCache()
+
+
 def test_exact_simjoin_prunes_allpairs(spark):
     """q36 is the EXACT join: its asymptotic on a uniform corpus is
     intrinsically ~quadratic (SCALING.json documents the measured
