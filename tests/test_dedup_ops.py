@@ -486,6 +486,7 @@ def test_cluster_table_artifact_reuse(spark, tmp_path):
     consumers to share one simjoin+components run (the reference's
     write-then-reread stage boundaries, SURVEY §4.1)."""
     from reddit_big_data_spark.queries.dedup import (
+        doc_cluster_table,
         neardup_retention_report,
         q130_neardup_retention,
         write_cluster_table,
@@ -500,8 +501,13 @@ def test_cluster_table_artifact_reuse(spark, tmp_path):
     via_artifact = neardup_retention_report(
         docs, spark.read.parquet(path)
     ).collect()
-    fused = q130_neardup_retention(spark, SF_SMOKE).collect()
-    assert via_artifact == fused and len(fused) > 0
+    # the truly FUSED plan (r10: q130 itself now reads the managed
+    # artifact, so the fused arm must come from doc_cluster_table)
+    fused = neardup_retention_report(
+        docs, doc_cluster_table(spark, SF_SMOKE)
+    ).collect()
+    via_registry = q130_neardup_retention(spark, SF_SMOKE).collect()
+    assert via_artifact == fused == via_registry and len(fused) > 0
     # and the reuse path's plan re-reads the ARTIFACT — no shingle
     # similarity join in sight (the whole point of the checkpoint)
     plan = _plan(neardup_retention_report(docs, spark.read.parquet(path)))
@@ -514,3 +520,54 @@ def test_cluster_table_artifact_reuse(spark, tmp_path):
         for ln in plan.splitlines()
     ), plan
     assert "posexplode" not in plan.lower()  # no shingle re-derivation
+
+
+def test_cluster_table_artifact_freshness(spark, tmp_path, monkeypatch):
+    """cluster_table_artifact (r10, VERDICT r9 #7b): the first call per
+    corpus writes the parquet stage boundary, later calls reuse it
+    (same _SUCCESS mtime), and a NEWER source corpus invalidates it —
+    the staleness rule that makes the managed artifact safe for the
+    registry query to consume."""
+    import os
+    import time
+
+    from reddit_big_data_spark.queries import dedup as dmod
+    from tests.conftest import SF_SMOKE
+
+    # redirect the artifact root into the test sandbox
+    calls = {"writes": 0}
+    real_write = dmod.write_cluster_table
+
+    def counting_write(spark_, sf_dir_, path_):
+        calls["writes"] += 1
+        real_write(spark_, sf_dir_, path_)
+
+    monkeypatch.setattr(dmod, "write_cluster_table", counting_write)
+
+    df1 = dmod.cluster_table_artifact(spark, SF_SMOKE)
+    n1 = df1.count()
+    w_after_first = calls["writes"]
+    df2 = dmod.cluster_table_artifact(spark, SF_SMOKE)
+    assert df2.count() == n1
+    assert calls["writes"] == w_after_first, "fresh artifact rewritten"
+    # a newer source must invalidate: bump the marker BACKWARD to fake
+    # an older artifact than the corpus
+    import glob
+    import hashlib
+
+    key = hashlib.md5(os.path.abspath(SF_SMOKE).encode()).hexdigest()[:12]
+    marker = glob.glob(
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(dmod.__file__))),
+            "..",
+            "spark-warehouse",
+            f"neardup_clusters_{key}",
+            "_SUCCESS",
+        )
+    )
+    assert marker, "managed artifact _SUCCESS marker missing"
+    # strictly older than the source corpus, whatever its mtime is
+    old = os.path.getmtime(os.path.join(SF_SMOKE, "documents.parquet")) - 1
+    os.utime(marker[0], (old, old))
+    dmod.cluster_table_artifact(spark, SF_SMOKE)
+    assert calls["writes"] == w_after_first + 1, "stale artifact reused"

@@ -96,6 +96,20 @@ def test_bfs_frontier_fanout_linear_in_edges(spark):
         spark.catalog.clearCache()
 
 
+def test_global_rank_partitions_stay_balanced(spark):
+    """The two-phase global rank (VERDICT r9 #7a; under q18, q156,
+    q158, q159, q160): repartitionByRange must spread the total order
+    evenly at every scale — the whole point vs a single-partition
+    orderBy window. Pin: the largest partition holds < 2x the ideal
+    share on q160's production input at both SFs (a single-partition
+    collapse would read ~P = parallelism times the ideal)."""
+    for sf_dir in (SF_SMOKE, SF_BIG):
+        rec = scaling.measure_q160(spark, sf_dir)
+        assert rec["candidates"] < rec["n_input"], rec
+        assert rec["balance"] < 2.0, f"{sf_dir}: skewed ranking {rec}"
+        spark.catalog.clearCache()
+
+
 def test_exact_simjoin_prunes_allpairs(spark):
     """q36 is the EXACT join: its asymptotic on a uniform corpus is
     intrinsically ~quadratic (SCALING.json documents the measured
