@@ -150,6 +150,11 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
             break
         # Root sort: everything after it in the preorder walk is its
         # subtree (it is the root), so one scan decides boundedness.
+        # Accepted imprecision (review r10): trailing SUBQUERY sections
+        # also print after the root, so an aggregate inside a scalar
+        # subquery can suppress ROOT_SORT for a genuinely unbounded
+        # sort — a false NEGATIVE on an informational code, never a
+        # wrong hazard flag.
         if not any(m.startswith(_BOUNDING_NODES) for m in nodes[i + 1:]):
             add(
                 "ROOT_SORT",

@@ -43,8 +43,9 @@ CORRECTNESS_r01..r09 exactly like the r6-r9 rotations):
    cumulative-greens ascending then number — the ten twice-green
    (q24, q41, q43, q59, q60, q69, q88, q97, q98, q99), the eleven
    thrice-green (q08, q21, q23, q25, q27, q28, q37, q38, q39, q47,
-   q49), then seven four-times-green (q01-q09 odds and evens by
-   number) to fill exactly.
+   q49), then seven four-times-green (q01, q02, q04, q05, q06, q07,
+   q09 — q03 last-greened in r8, q08 is in the thrice-green tier) to
+   fill exactly.
 After this round the only >=3-round-stale queries are the eleven
 remaining four-times-green r7 cohort members (q10-q18, q20, q26) at
 exactly three rounds — within invariant (a) — and they MUST be in the

@@ -41,17 +41,18 @@ tokens = len(split(text, ' ')), the q85/q113 token contract) and detail
 is the stage's own metric: docs dropped (s1-s5), shards used (s6), BPE
 tokens (s7), bins (s8); 0 for s0.
 
-MATERIALIZE-ONCE DISCIPLINE (the scan audit enforces the ceiling): four
-live scans of `documents`, each building a distinct persisted artifact —
-(1) the explode pass for per-doc quality stats + attrs + fingerprint,
-(2) the normalized-text cache for quality SURVIVORS only (feeds both the
-shingle build and the BPE stage), (3) the full-corpus winnowing
-fingerprint table (the probe set must hash ALL of src0, filtered or
-not), (4) `spread`'s row-count probe. Every downstream stage reads those
-caches; the expensive subtrees (explode stats, simjoin, winnowing,
-tokenized vocabulary) each execute exactly once. At 100 TB the survivor
-text cache becomes a written parquet artifact between stages (the q29
-materialized-dedup pattern); persist() is the registry-query surrogate.
+MATERIALIZE-ONCE DISCIPLINE (the scan audit enforces the ceiling):
+three corpus passes over `documents`, each filling a distinct persisted
+artifact — (1) the explode pass for per-doc quality stats + attrs,
+(2) the normalized-text cache for quality SURVIVORS only (feeds the
+dedup fingerprint, the shingle build, AND the BPE stage), (3) the
+full-corpus winnowing fingerprint table (the probe set must hash ALL of
+src0, filtered or not). Every downstream stage reads those caches; the
+expensive subtrees (explode stats, simjoin, winnowing, tokenized
+vocabulary) each execute exactly once. At 100 TB the survivor text
+cache becomes a written parquet artifact between stages (the q29
+materialized-dedup pattern, the managed-artifact path q130 ships);
+persist() is the registry-query surrogate.
 
 Scale posture: no stage joins corpus x corpus (near-dup is the
 prefix-filtered exact simjoin, decontamination a fingerprint equi-join
@@ -80,8 +81,10 @@ from reddit_big_data_spark.operators.dedup import (
 )
 from reddit_big_data_spark.operators.simjoin import similarity_join
 from reddit_big_data_spark.operators.text import normalize
+from reddit_big_data_spark.queries.assembly import _N_SHARDS
 from reddit_big_data_spark.queries.cleaning import _STOPS
 from reddit_big_data_spark.queries.cooc import _Q123_MERGES, _bpe_bracket_expr
+from reddit_big_data_spark.queries.text import _PACK_BUDGET
 from reddit_big_data_spark.registry import register
 from reddit_big_data_spark.sources.io import read_table, spread
 
@@ -90,10 +93,10 @@ _K = 20
 _W = 10
 # Mixture budgets (whitespace tokens per lang) sized to BIND on the
 # post-filter mass of this corpus (s4 carries ~2.5k en tokens at
-# sf0.01); q85's corpus-level budgets would be no-ops here.
+# sf0.01); q85's corpus-level budgets would be no-ops here. The shard
+# and pack contracts are IMPORTED from q113/q39 (review r10: local
+# copies would drift silently if those queries ever retuned).
 _PIPE_BUDGETS = {"en": 1500, "de": 700, "es": 600, "fr": 600, "zh": 400}
-_N_SHARDS = 16  # q113's layout contract
-_PACK_BUDGET = 2048  # q39's packing contract
 
 
 def _norm_sql(src: str) -> str:

@@ -529,7 +529,6 @@ def test_cluster_table_artifact_freshness(spark, tmp_path, monkeypatch):
     the staleness rule that makes the managed artifact safe for the
     registry query to consume."""
     import os
-    import time
 
     from reddit_big_data_spark.queries import dedup as dmod
     from tests.conftest import SF_SMOKE

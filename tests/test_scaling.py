@@ -87,13 +87,18 @@ def test_bfs_frontier_fanout_linear_in_edges(spark):
     node in at most one frontier, so the summed per-hop join fan-out is
     <= hops * |symmetrized edges| at every scale — the linear-work
     property that separates frontier BFS from path enumeration."""
+    from reddit_big_data_spark.plans.cache import release_local_checkpoints
+
     for sf_dir in (SF_SMOKE, SF_BIG):
         rec = scaling.measure_q152(spark, sf_dir)
         m2, fanout = rec["n_input"], rec["candidates"]
         assert fanout <= 3 * m2, (
             f"{sf_dir}: frontier fan-out {fanout} > 3 * {m2}"
         )
+        # the BFS measure localCheckpoints its edge table + hops;
+        # ContextCleaner-owned blocks outlive clearCache
         spark.catalog.clearCache()
+        release_local_checkpoints(spark)
 
 
 def test_global_rank_partitions_stay_balanced(spark):
