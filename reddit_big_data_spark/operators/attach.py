@@ -47,6 +47,19 @@ def map_labels(
     return expr.otherwise(default)
 
 
+def with_constant_key(frame: DataFrame, key_name: str = "__k") -> DataFrame:
+    """Prefix a one-row frame with the int-0 key `attach_constant_row`
+    expects, derived NON-FOLDABLY from the frame's first column — a
+    plain lit(0) constant-folds and degrades the attach to a
+    BroadcastNestedLoopJoin (the q161 lesson, r10). Shared by every
+    scalar-assembly site so the foldability rule lives in one place."""
+    first = frame.columns[0]
+    return frame.select(
+        F.pmod(F.xxhash64(F.col(first)), F.lit(1)).cast("int").alias(key_name),
+        "*",
+    )
+
+
 def attach_constant_row(df: DataFrame, frame: DataFrame, key_col: str) -> DataFrame:
     """Attach a ONE-ROW constants frame (LSH planes, centroids, PQ
     codebooks) to every row of `df` via a constant-key BROADCAST HASH

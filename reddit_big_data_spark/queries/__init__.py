@@ -50,7 +50,10 @@ After this round the only >=3-round-stale queries are the eleven
 remaining four-times-green r7 cohort members (q10-q18, q20, q26) at
 exactly three rounds — within invariant (a) — and they MUST be in the
 r11 window. Everything else past the cap was driver-green in r8 or r9
-and stays covered by the mirror (b).
+and stays covered by the mirror (b). The three late-r10 additions
+past the cap — q162 (Kaplan-Meier survival), q163 (CUSUM
+changepoint), q164 (k-core decomposition) — are never-driver-green
+and lead the r11 window with the eleven, per invariant (c).
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401

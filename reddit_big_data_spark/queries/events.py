@@ -819,3 +819,139 @@ def q158_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — KAPLAN-MEIER survival curve of customer lifetime (round 10): the
+# standard right-censored survival estimator every retention analysis
+# ends with, over the orders table. A customer's lifetime = days between
+# first and last order; the customer is a DEATH (churned) if their last
+# order is >= 365 days before the corpus horizon, CENSORED otherwise
+# (still alive at observation end — exactly what KM exists to handle;
+# naively averaging durations would bias survival DOWN). At each death
+# duration t: S(t) = prod_{t_i <= t} (1 - d_i / n_i), with n_i = everyone
+# whose observed duration >= t_i (a SUFFIX sum — no total-count scalar
+# needed).
+#
+# Float discipline: each factor (1 - d/n) is an exactly-rounded binary64
+# division of two int64s, and the cumulative product is a LEFT FOLD in
+# duration order on BOTH engines — Spark folds the window-ordered
+# collect_list with F.aggregate, the oracle folds list prefixes with
+# list_reduce (deliberately NOT DuckDB's windowed product(), whose
+# segment-tree combination order is not guaranteed to be the left fold —
+# FP multiplication is not associative). Bit-equal products, one final
+# round(6).
+#
+# Scale shape: the per-customer reduce shuffles once on custkey; the two
+# global windows (suffix at-risk sum, cumulative product) run on the
+# per-DURATION aggregate — bounded by the calendar span in days at ANY
+# corpus scale, the q08 pre-aggregated-tiny-window pattern.
+# --------------------------------------------------------------------------
+_KM_CHURN_DAYS = 365
+
+
+@register(
+    "q162_kaplan_meier",
+    oracle=f"""
+    WITH pu AS (
+      SELECT o_custkey,
+             MIN(CAST(o_orderdate AS DATE)) AS fd,
+             MAX(CAST(o_orderdate AS DATE)) AS ld
+      FROM orders GROUP BY 1
+    ),
+    b AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS hd FROM orders),
+    lab AS (
+      SELECT date_diff('day', fd, ld) AS dur,
+             CASE WHEN date_diff('day', ld, hd) >= {_KM_CHURN_DAYS}
+                  THEN 1 ELSE 0 END AS death
+      FROM pu, b
+    ),
+    agg AS (
+      SELECT dur,
+             CAST(SUM(death) AS BIGINT) AS d,
+             CAST(SUM(1 - death) AS BIGINT) AS c
+      FROM lab GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, d, c,
+             CAST(SUM(d + c) OVER (ORDER BY dur
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS BIGINT) AS n
+      FROM agg
+    ),
+    dd AS (SELECT * FROM risk WHERE d > 0),
+    packed AS (
+      SELECT list(dur ORDER BY dur) AS durs,
+             list(n ORDER BY dur) AS ns,
+             list(d ORDER BY dur) AS ds,
+             list(c ORDER BY dur) AS cs,
+             list(1.0 - CAST(d AS DOUBLE) / n ORDER BY dur) AS fs
+      FROM dd
+    )
+    SELECT CAST(unnest(durs) AS BIGINT) AS duration_days,
+           unnest(ns) AS at_risk,
+           unnest(ds) AS deaths,
+           unnest(cs) AS censored_here,
+           ROUND(unnest([list_reduce(fs[1:i], (a, x) -> a * x)
+                         for i in generate_series(1, len(fs))]), 6)
+             AS survival
+    FROM packed
+    ORDER BY duration_days
+    """,
+    doc="Kaplan-Meier survival of customer lifetime (right-censored at "
+    "the corpus horizon; left-fold cumulative product, bit-equal "
+    "factors)",
+)
+def q162_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from reddit_big_data_spark.operators.attach import (
+        attach_constant_row,
+        with_constant_key,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    pu = orders.groupBy("o_custkey").agg(
+        F.min("day").alias("fd"), F.max("day").alias("ld")
+    )
+    horizon = orders.agg(F.max("day").alias("hd"))
+    lab = attach_constant_row(pu, with_constant_key(horizon), "o_custkey")
+    agg = (
+        lab.select(
+            F.datediff("ld", "fd").cast("long").alias("dur"),
+            F.when(
+                F.datediff("hd", "ld") >= _KM_CHURN_DAYS, 1
+            ).otherwise(0).alias("death"),
+        )
+        .groupBy("dur")
+        .agg(
+            F.sum("death").alias("d"),
+            F.sum(F.lit(1) - F.col("death")).alias("c"),
+        )
+    )
+    w_suffix = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = agg.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w_suffix))
+    dd = risk.filter(F.col("d") > 0)
+    factor = F.lit(1.0) - F.col("d").cast("double") / F.col("n")
+    w_cum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = dd.withColumn(
+        "s",
+        F.aggregate(
+            F.collect_list(factor).over(w_cum),
+            F.lit(1.0),
+            lambda acc, x: acc * x,
+        ),
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("n").alias("at_risk"),
+        F.col("d").alias("deaths"),
+        F.col("c").alias("censored_here"),
+        F.round("s", 6).alias("survival"),
+    ).orderBy("duration_days")

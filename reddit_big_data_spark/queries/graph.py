@@ -604,3 +604,113 @@ def q152_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("reached"))
         .orderBy("hop")
     )
+
+
+# --------------------------------------------------------------------------
+# q164 — K-CORE DECOMPOSITION of the co-purchase graph (round 10): the
+# maximal subgraph where every node keeps >= k neighbors — the standard
+# graph-density screen (community cores, spam rings, recommendation
+# seeds). Fifth member of the graph family (q82 PageRank, q142
+# triangles, q145 components, q152 BFS).
+#
+# Iterative peel, the scale-correct formulation: each round computes
+# degrees (one agg over the current edge list), drops nodes under k, and
+# restricts edges to survivors via two semi-shaped joins —
+# localCheckpoint'd so no round re-derives the chain (q152's recipe).
+# The fixpoint (the k-core) is CONFLUENT — peel order cannot change it —
+# so the driver-coordinated loop-until-stable and the oracle's UNROLLED
+# peel chain provably agree whenever the unroll depth covers the peel
+# count (14 here vs a measured 10 at sf0.01; a deeper corpus would
+# surface as a loud count mismatch, never a silent wrong answer). The
+# oracle CTEs are AS MATERIALIZED: each peel references its predecessor
+# three times, so DuckDB's default CTE inlining expands the chain
+# 3^14-fold (measured: it exhausts the process fd limit re-opening the
+# parquet before ever finishing planning).
+# Per-round work is bounded by the CURRENT edge count, monotonically
+# shrinking — total work <= rounds x m, the same linear-in-edges story
+# as q152's frontier.
+# --------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ORACLE_PEELS = 14
+
+
+def _kcore_oracle() -> str:
+    k = _KCORE_K
+    ctes = [
+        """baskets AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )"""
+    ]
+    for i in range(1, _KCORE_ORACLE_PEELS + 1):
+        p = i - 1
+        ctes.append(f"""p{i} AS MATERIALIZED (
+      SELECT node FROM (
+        SELECT node, COUNT(*) AS d FROM (
+          SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p}
+        ) GROUP BY node
+      ) WHERE d >= {k}
+    ),
+    e{i} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{p} e
+      JOIN p{i} a ON a.node = e.u
+      JOIN p{i} b ON b.node = e.v
+    )""")
+    n = _KCORE_ORACLE_PEELS
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p{n}) AS core_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{n}) AS core_edges
+    """
+    )
+
+
+@register(
+    "q164_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core (k=3) of the support-thresholded co-purchase graph via "
+    "iterative degree peeling; node/edge counts of the core",
+)
+def q164_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.attach import (
+        attach_constant_row,
+        with_constant_key,
+    )
+
+    k = _KCORE_K
+    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+    prev = -1
+    keep = None
+    for _ in range(64):
+        deg = degree_table(edges)
+        keep = deg.filter(F.col("d") >= k).select("node").localCheckpoint()
+        n_keep = keep.count()  # driver scalar per round (q152's S9 shape)
+        if n_keep == prev:
+            break
+        prev = n_keep
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    else:  # pragma: no cover - 64 peels never reached on any testdata
+        raise RuntimeError("k-core peel did not converge in 64 rounds")
+    nodes_row = keep.agg(F.count("*").cast("long").alias("core_nodes"))
+    edges_row = edges.agg(F.count("*").cast("long").alias("core_edges"))
+    return (
+        attach_constant_row(
+            nodes_row.select(F.lit(k).cast("long").alias("k"), "core_nodes"),
+            with_constant_key(edges_row),
+            "core_nodes",
+        )
+        .select("k", "core_nodes", "core_edges")
+    )

@@ -468,16 +468,10 @@ def q161_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("ws_tok"), F.lit(0)).cast("long").alias(f"t{i}"),
         )
 
-    def keyed(df_: DataFrame) -> DataFrame:
-        # key derives non-foldably from the aggregate (always 0): a plain
-        # lit(0) constant-folds and degrades every attach to a BNLJ
-        # (q114's build-key note, operators/attach.py).
-        return df_.select(
-            F.pmod(F.xxhash64(F.col(df_.columns[0])), F.lit(1))
-            .cast("int")
-            .alias("__k"),
-            "*",
-        )
+    # key derives non-foldably from the aggregate (always 0): a plain
+    # lit(0) constant-folds and degrades every attach to a BNLJ
+    # (operators/attach.with_constant_key holds the rule).
+    from reddit_big_data_spark.operators.attach import with_constant_key as keyed
 
     wide = m(per_doc, 0)
     for frame in (

@@ -315,3 +315,123 @@ def q157_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — CUSUM CHANGEPOINT on daily revenue (round 10): the classic
+# level-shift detector a pipeline-monitoring stack runs over every daily
+# metric. Method: C_t = cumsum(x - xbar) peaks exactly where the series'
+# mean shifts (Page's CUSUM, offline form); the changepoint estimate is
+# argmax_t |C_t|, reported with the mean before/after the split.
+#
+# EXACT-INTEGER discipline: x is exact cents; instead of subtracting the
+# fractional mean, both engines compare D_t = nd * cumsum(x) - t * total
+# (= nd * C_t scaled by the day count) in decimal(38,0) / HUGEINT — the
+# argmax over |D_t| is an integer comparison, so the chosen changepoint
+# day cannot drift by a ulp. Ties break to the earliest day. The only
+# floats are three final rounded divisions of exact integers.
+#
+# Scale shape: one shuffle to the per-DAY aggregate (calendar-bounded at
+# any corpus scale — the q08 tiny-window pattern for the prefix sums),
+# argmax via orderBy+limit(1) (TakeOrdered, no full sort materialized),
+# scalars attached by constant-key broadcast-hash joins.
+# --------------------------------------------------------------------------
+@register(
+    "q163_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, rev,
+             ROW_NUMBER() OVER (ORDER BY day) AS t,
+             SUM(rev) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cs
+      FROM daily
+    ),
+    tot AS (SELECT COUNT(*) AS nd, SUM(rev) AS total FROM daily),
+    dev AS (
+      SELECT day, nd,
+             ABS(CAST(nd AS HUGEINT) * cs - CAST(t AS HUGEINT) * total)
+               AS ad
+      FROM idx, tot
+    ),
+    peak AS (SELECT day AS cp, nd, ad FROM dev ORDER BY ad DESC, day LIMIT 1)
+    SELECT strftime(peak.cp, '%Y-%m-%d') AS change_day,
+           CAST(peak.nd AS BIGINT) AS n_days,
+           ROUND(CAST(peak.ad AS DOUBLE) / peak.nd / 100.0, 2)
+             AS cusum_peak,
+           ROUND(CAST(SUM(CASE WHEN day <= peak.cp THEN rev END) AS DOUBLE)
+                 / COUNT(CASE WHEN day <= peak.cp THEN 1 END) / 100.0, 2)
+             AS before_mean,
+           ROUND(CAST(SUM(CASE WHEN day > peak.cp THEN rev END) AS DOUBLE)
+                 / COUNT(CASE WHEN day > peak.cp THEN 1 END) / 100.0, 2)
+             AS after_mean
+    FROM daily, peak
+    GROUP BY peak.cp, peak.nd, peak.ad
+    """,
+    doc="offline CUSUM changepoint on daily revenue: integer-exact "
+    "argmax of |nd*cumsum - t*total|, before/after means",
+)
+def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from reddit_big_data_spark.operators.attach import (
+        attach_constant_row,
+        with_constant_key,
+    )
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    daily = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(F.sum(cents).alias("rev"))
+        .persist()  # three consumers: prefix index, totals, side means
+    )
+    w_ord = Window.orderBy("day")
+    idx = daily.select(
+        "day",
+        F.row_number().over(w_ord).alias("t"),
+        F.sum("rev")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cs"),
+    )
+    tot = daily.agg(
+        F.count("*").alias("nd"), F.sum("rev").alias("total")
+    )
+    dev = attach_constant_row(idx, with_constant_key(tot), "t")
+    ad = F.abs(
+        F.col("nd").cast("decimal(38,0)") * F.col("cs")
+        - F.col("t").cast("decimal(38,0)") * F.col("total")
+    )
+    peak = (
+        dev.select(F.col("day").alias("cp"), "nd", ad.alias("ad"))
+        .orderBy(F.desc("ad"), "cp")
+        .limit(1)
+    )
+    sided = attach_constant_row(daily, with_constant_key(peak), "rev")
+    before = F.when(F.col("day") <= F.col("cp"), F.col("rev"))
+    after = F.when(F.col("day") > F.col("cp"), F.col("rev"))
+    return (
+        sided.groupBy("cp", "nd", "ad")
+        .agg(
+            F.sum(before).alias("__bsum"),
+            F.count(before).alias("__bn"),
+            F.sum(after).alias("__asum"),
+            F.count(after).alias("__an"),
+        )
+        .select(
+            F.date_format("cp", "yyyy-MM-dd").alias("change_day"),
+            F.col("nd").cast("long").alias("n_days"),
+            F.round(
+                F.col("ad").cast("double") / F.col("nd") / 100.0, 2
+            ).alias("cusum_peak"),
+            F.round(
+                F.col("__bsum").cast("double") / F.col("__bn") / 100.0, 2
+            ).alias("before_mean"),
+            F.round(
+                F.col("__asum").cast("double") / F.col("__an") / 100.0, 2
+            ).alias("after_mean"),
+        )
+    )

@@ -54,6 +54,17 @@ _ALLOW: dict[str, dict[str, str]] = {
         "PARTIAL-sketch rows (the per-shard bottom-k windows below it "
         "are bounded by one value-hash shard's distinct values)",
     },
+    "q162_kaplan_meier": {
+        "GLOBAL_WINDOW": "the at-risk suffix sum and the survival "
+        "cumulative product both run on the per-DURATION aggregate — "
+        "bounded by the calendar span in days at any corpus scale "
+        "(q08's pre-aggregated-tiny-window pattern)",
+    },
+    "q163_cusum_changepoint": {
+        "GLOBAL_WINDOW": "the day index and prefix sum run on the "
+        "per-DAY revenue aggregate — calendar-bounded at any corpus "
+        "scale (q08's pattern); the argmax itself is orderBy+limit",
+    },
     "q142_triangle_count": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (degree "
         "stats, edge count, triangle count) join on nothing — 1x1 row "
