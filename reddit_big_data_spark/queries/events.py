@@ -903,8 +903,6 @@ _KM_CHURN_DAYS = 365
     "factors)",
 )
 def q162_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from reddit_big_data_spark.operators.attach import (
         attach_constant_row,
         with_constant_key,
@@ -918,18 +916,26 @@ def q162_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     horizon = orders.agg(F.max("day").alias("hd"))
     lab = attach_constant_row(pu, with_constant_key(horizon), "o_custkey")
-    agg = (
-        lab.select(
-            F.datediff("ld", "fd").cast("long").alias("dur"),
-            F.when(
-                F.datediff("hd", "ld") >= _KM_CHURN_DAYS, 1
-            ).otherwise(0).alias("death"),
-        )
-        .groupBy("dur")
-        .agg(
-            F.sum("death").alias("d"),
-            F.sum(F.lit(1) - F.col("death")).alias("c"),
-        )
+    lifetimes = lab.select(
+        F.datediff("ld", "fd").cast("long").alias("dur"),
+        F.when(
+            F.datediff("hd", "ld") >= _KM_CHURN_DAYS, 1
+        ).otherwise(0).alias("death"),
+    )
+    return km_curve(lifetimes)
+
+
+def km_curve(lifetimes: DataFrame) -> DataFrame:
+    """Kaplan-Meier estimator over (dur: long, death: 0/1) observations
+    — the estimator math, factored so the property suite can drive it
+    with arbitrary censoring patterns (tests/test_properties.py) and
+    any lifetime-producing query can reuse it. See the q162 header for
+    the float-fold discipline."""
+    from pyspark.sql import Window
+
+    agg = lifetimes.groupBy("dur").agg(
+        F.sum("death").alias("d"),
+        F.sum(F.lit(1) - F.col("death")).alias("c"),
     )
     w_suffix = Window.orderBy("dur").rowsBetween(
         Window.currentRow, Window.unboundedFollowing

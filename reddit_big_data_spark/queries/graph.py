@@ -673,20 +673,14 @@ def _kcore_oracle() -> str:
     )
 
 
-@register(
-    "q164_kcore",
-    oracle=_kcore_oracle(),
-    doc="k-core (k=3) of the support-thresholded co-purchase graph via "
-    "iterative degree peeling; node/edge counts of the core",
-)
-def q164_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from reddit_big_data_spark.operators.attach import (
-        attach_constant_row,
-        with_constant_key,
-    )
-
-    k = _KCORE_K
-    edges = copurchase_edges(spark, sf_dir).localCheckpoint()
+def kcore_subgraph(edges: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """Iterative degree peel of an undirected (u < v) edge list to the
+    k-core fixpoint: returns (kept nodes, surviving edges). Confluent —
+    peel order cannot change the fixpoint — so the property suite can
+    check it against a pure-Python peel on arbitrary graphs
+    (tests/test_properties.py). localCheckpoint per round (q152's
+    recipe); each round's work is bounded by the CURRENT edge count."""
+    edges = edges.localCheckpoint()
     prev = -1
     keep = None
     for _ in range(64):
@@ -704,6 +698,23 @@ def q164_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     else:  # pragma: no cover - 64 peels never reached on any testdata
         raise RuntimeError("k-core peel did not converge in 64 rounds")
+    return keep, edges
+
+
+@register(
+    "q164_kcore",
+    oracle=_kcore_oracle(),
+    doc="k-core (k=3) of the support-thresholded co-purchase graph via "
+    "iterative degree peeling; node/edge counts of the core",
+)
+def q164_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.attach import (
+        attach_constant_row,
+        with_constant_key,
+    )
+
+    k = _KCORE_K
+    keep, edges = kcore_subgraph(copurchase_edges(spark, sf_dir), k)
     nodes_row = keep.agg(F.count("*").cast("long").alias("core_nodes"))
     edges_row = edges.agg(F.count("*").cast("long").alias("core_edges"))
     return (

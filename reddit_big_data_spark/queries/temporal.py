@@ -375,13 +375,6 @@ def q157_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmax of |nd*cumsum - t*total|, before/after means",
 )
 def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from reddit_big_data_spark.operators.attach import (
-        attach_constant_row,
-        with_constant_key,
-    )
-
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     daily = (
         read_table(spark, sf_dir, "orders")
@@ -389,6 +382,23 @@ def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents).alias("rev"))
         .persist()  # three consumers: prefix index, totals, side means
     )
+    return cusum_changepoint(daily)
+
+
+def cusum_changepoint(daily: DataFrame) -> DataFrame:
+    """Offline CUSUM changepoint over a (day: date, rev: long cents)
+    series — the detector math, factored so the property suite can
+    drive it with arbitrary series (tests/test_properties.py) and any
+    daily metric can reuse it. See the q163 header for the
+    integer-exactness discipline. `daily` should be persisted by the
+    caller when it is derived (three consumers below)."""
+    from pyspark.sql import Window
+
+    from reddit_big_data_spark.operators.attach import (
+        attach_constant_row,
+        with_constant_key,
+    )
+
     w_ord = Window.orderBy("day")
     idx = daily.select(
         "day",

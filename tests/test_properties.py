@@ -394,3 +394,137 @@ def test_zipf_slope_recovers_planted_exponent(spark, tmp_path):
     # integer rounding of the planted freqs perturbs the tail; 5% is far
     # tighter than the word-soup-vs-natural-text gap the metric flags
     assert math.isclose(slope, -s_true, abs_tol=0.05), slope
+
+
+@settings(**_SETTINGS)
+@given(
+    lifetimes=st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 1)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_km_curve_matches_python_reference(spark, lifetimes):
+    """q162's Kaplan-Meier math on arbitrary censoring patterns: the
+    distributed suffix-sum at-risk counts and left-fold survival must
+    equal a pure-Python KM (same binary64 left fold, so equality is
+    EXACT, not approximate)."""
+    from reddit_big_data_spark.queries.events import km_curve
+
+    df = spark.createDataFrame(lifetimes, "dur long, death int")
+    got = {
+        r["duration_days"]: (
+            r["at_risk"],
+            r["deaths"],
+            r["censored_here"],
+            r["survival"],
+        )
+        for r in km_curve(df).collect()
+    }
+    # python reference
+    from collections import Counter
+
+    d = Counter()
+    c = Counter()
+    for dur, death in lifetimes:
+        (d if death else c)[dur] += 1
+    want = {}
+    s = 1.0
+    at_risk = len(lifetimes)
+    for t in sorted(set(d) | set(c)):
+        if d[t] > 0:
+            s = s * (1.0 - d[t] / at_risk)
+            want[t] = (at_risk, d[t], c[t], round(s, 6))
+        at_risk -= d[t] + c[t]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    revs=st.lists(st.integers(1, 10_000_00), min_size=2, max_size=50),
+)
+def test_cusum_changepoint_matches_exact_reference(spark, revs):
+    """q163's CUSUM argmax on arbitrary integer series: the decimal
+    deviation |nd*cumsum - t*total| and the (|D| desc, day asc)
+    tie-break must pick exactly the day a pure-integer Python
+    reference picks, with identical rounded side means."""
+    import datetime as _dt
+
+    from reddit_big_data_spark.queries.temporal import cusum_changepoint
+
+    days = [_dt.date(2020, 1, 1) + _dt.timedelta(days=i) for i in range(len(revs))]
+    df = spark.createDataFrame(
+        list(zip(days, revs)), "day date, rev long"
+    ).persist()
+    row = cusum_changepoint(df).collect()[0]
+    df.unpersist()
+    nd, total = len(revs), sum(revs)
+    best = None
+    cs = 0
+    for t, (day, rev) in enumerate(zip(days, revs), start=1):
+        cs += rev
+        ad = abs(nd * cs - t * total)
+        if best is None or ad > best[0]:
+            best = (ad, day, t)
+    ad, cp, t_cp = best
+    before = revs[:t_cp]
+    after = revs[t_cp:]
+
+    # Both engines round the double's SHORTEST decimal representation
+    # half-away-from-zero (Spark: BigDecimal.valueOf(double) + HALF_UP;
+    # DuckDB matches — round(0.015, 2) = 0.02 on both even though the
+    # exact binary value is below the boundary). Python's round() is
+    # banker's AND uses the exact binary value — wrong on both axes, so
+    # the reference replays the engines' rule via repr() + HALF_UP.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def eng_round(x: float, p: int) -> float:
+        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{p}"), ROUND_HALF_UP))
+
+    assert row["change_day"] == cp.strftime("%Y-%m-%d")
+    assert row["n_days"] == nd
+    assert row["cusum_peak"] == eng_round(ad / nd / 100.0, 2)
+    assert row["before_mean"] == eng_round(sum(before) / len(before) / 100.0, 2)
+    if after:
+        assert row["after_mean"] == eng_round(sum(after) / len(after) / 100.0, 2)
+    else:
+        assert row["after_mean"] is None
+
+
+@settings(**_SETTINGS)
+@given(
+    edge_ids=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)),
+        min_size=0,
+        max_size=40,
+    ),
+    k=st.integers(2, 4),
+)
+def test_kcore_matches_python_peel(spark, edge_ids, k):
+    """q164's distributed peel on arbitrary graphs: the k-core is a
+    confluent fixpoint, so the Spark loop must land on exactly the
+    node/edge set a pure-Python peel produces."""
+    from reddit_big_data_spark.queries.graph import kcore_subgraph
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in edge_ids if a != b})
+    # python reference peel
+    import collections
+
+    adj = collections.defaultdict(set)
+    for u, v in edges:
+        adj[u].add(v)
+        adj[v].add(u)
+    nodes = set(adj)
+    while True:
+        drop = {x for x in nodes if len(adj[x] & nodes) < k}
+        if not drop:
+            break
+        nodes -= drop
+    want_edges = {(u, v) for u, v in edges if u in nodes and v in nodes}
+
+    if not edges:
+        return  # empty frames need explicit schemas; nothing to check
+    df = spark.createDataFrame(edges, "u long, v long")
+    keep, kept_edges = kcore_subgraph(df, k)
+    assert {r["node"] for r in keep.collect()} == nodes
+    assert {(r["u"], r["v"]) for r in kept_edges.collect()} == want_edges
