@@ -43,6 +43,18 @@ def salted_aggregate(
     Phase 1 groups by (keys..., salt) — a hot key's rows split across
     n_salt reducers; phase 2 combines the n_salt partials per key (at most
     n_salt rows per key, trivially balanced).
+
+    CONTRACT (float semantics): results are REASSOCIATION-EQUIVALENT to
+    the plain groupBy, not bit-identical. count/min/max are exact; sums
+    over integer/decimal inputs are exact (addition is associative); a
+    FLOAT sum/avg reassociates additions across salt partials and can
+    differ from the plain plan by up to ~1 ulp of Σ|v| — including a
+    catastrophic cancellation when mixed-sign terms cancel (e.g.
+    [+1.19e-05, -1.19e-05, +1.18e-38] sums to 0.0 under one grouping and
+    1.18e-38 under another). This is exactly the semantics plain Spark's
+    own partial aggregation already has across partitions; callers needing
+    a tolerance should scale it absolutely to the input mass
+    (abs_tol ≈ 1e-9 * Σ|v|), never relatively.
     """
     salt = F.pmod(F.hash(F.struct(*[F.col(c) for c in df.columns])), F.lit(n_salt))
     phase1_exprs = []

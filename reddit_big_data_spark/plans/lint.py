@@ -135,7 +135,17 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
     # strictly while interactive lint users still see the warning. An
     # INTERIOR global sort — feeding further computation — is a genuine
     # full-shuffle hazard and is flagged as before.
-    nodes = [n for n in (_node_text(ln) for ln in plan.splitlines()) if n]
+    # (indent, node) pairs: indent is the column where the node text
+    # starts, which in Spark's tree art IS the tree depth — used below to
+    # skip inline subquery subtrees when deciding root-sort boundedness.
+    entries = []
+    for ln in plan.splitlines():
+        n = _node_text(ln)
+        if n:
+            # indent = where the tree art ends (BEFORE the codegen
+            # "*(n) " marker, whose width would skew sibling depths)
+            entries.append((len(re.match(r"^[+\-:|\s]*", ln).group(0)), n))
+    nodes = [n for _, n in entries]
     root_i = next(
         (i for i, n in enumerate(nodes) if not n.startswith(_ROOT_WRAPPERS)), None
     )
@@ -149,13 +159,31 @@ def lint_plan(df: DataFrame, allow: set[str] = frozenset()) -> list[Finding]:
             )
             break
         # Root sort: everything after it in the preorder walk is its
-        # subtree (it is the root), so one scan decides boundedness.
-        # Accepted imprecision (review r10): trailing SUBQUERY sections
-        # also print after the root, so an aggregate inside a scalar
-        # subquery can suppress ROOT_SORT for a genuinely unbounded
-        # sort — a false NEGATIVE on an informational code, never a
-        # wrong hazard flag.
-        if not any(m.startswith(_BOUNDING_NODES) for m in nodes[i + 1:]):
+        # subtree (it is the root), so one scan decides boundedness —
+        # EXCEPT subquery plans, which also print there and are NOT the
+        # sort's data input. ADVICE r10: an aggregate inside a scalar
+        # subquery used to suppress ROOT_SORT for a genuinely unbounded
+        # corpus-wide root sort. Subqueries print two ways: INLINE
+        # ("Subquery subquery#N" under the hosting node, its subtree at
+        # deeper indent — skipped by indent), or as a TRAILING section
+        # ("===== Subqueries ====="/"Subquery:N Hosting operator" at
+        # root indent — a hard stop).
+        bounded = False
+        skip_deeper_than = None
+        for ind, m in entries[i + 1 :]:
+            if skip_deeper_than is not None:
+                if ind > skip_deeper_than:
+                    continue
+                skip_deeper_than = None
+            if m.startswith(("===== Subqueries", "Subquery:")):
+                break
+            if m.startswith("Subquery"):
+                skip_deeper_than = ind
+                continue
+            if m.startswith(_BOUNDING_NODES):
+                bounded = True
+                break
+        if not bounded:
             add(
                 "ROOT_SORT",
                 "bare global sort at plan root over an unaggregated, "

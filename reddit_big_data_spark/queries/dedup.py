@@ -977,6 +977,30 @@ def write_cluster_table(spark: SparkSession, sf_dir: str, path: str) -> None:
     doc_cluster_table(spark, sf_dir).write.mode("overwrite").parquet(path)
 
 
+# Version token for the managed cluster-table artifact: bump on ANY change
+# to the clustering semantics (doc_cluster_table's shingle size, simjoin
+# threshold, components algorithm, or output schema). It keys the artifact
+# DIRECTORY, so artifacts computed by old code/params orphan instead of
+# silently serving (ADVICE r10: mtime-only freshness missed code changes).
+_CLUSTER_TABLE_PARAMS = "v1:shingle=2:threshold=0.6:schema=doc_id,cluster_id"
+
+
+def _cluster_table_artifact_path(sf_dir: str) -> str:
+    """Artifact directory for (corpus, clustering-version) — shared by
+    cluster_table_artifact and its freshness tests so the key formula
+    can't drift between them."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(
+        (os.path.abspath(sf_dir) + "|" + _CLUSTER_TABLE_PARAMS).encode()
+    ).hexdigest()[:12]
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo_root, "spark-warehouse", f"neardup_clusters_{key}")
+
+
 def cluster_table_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized cluster table as a managed, freshness-checked
     artifact (VERDICT r9 #7b): first caller per (corpus, repo) pays the
@@ -985,19 +1009,17 @@ def cluster_table_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact, exactly like the 100 TB pipeline would. Freshness: the
     artifact is regenerated when the source documents parquet is newer
     than the artifact's _SUCCESS marker (a corpus swap invalidates it;
-    same-path content edits bump mtime). Single-process contract, like
-    every other registry artifact (bench and tests drive one session).
-    tests/test_dedup_ops.py pins artifact-vs-fused byte identity."""
-    import hashlib
+    same-path content edits bump mtime) OR when the clustering
+    code/params version token below changes — ADVICE r10: mtime alone
+    let an edit to the simjoin threshold / shingle size / components
+    algorithm silently serve clusters computed by old code, because the
+    parameters live in the directory key the old artifact no longer
+    matches. Single-process contract, like every other registry artifact
+    (bench and tests drive one session). tests/test_dedup_ops.py pins
+    artifact-vs-fused byte identity."""
     import os
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(
-        repo_root, "spark-warehouse", f"neardup_clusters_{key}"
-    )
+    path = _cluster_table_artifact_path(sf_dir)
     src = os.path.join(sf_dir, "documents.parquet")
     src_mtime = os.path.getmtime(src) if os.path.exists(src) else 0.0
     marker = os.path.join(path, "_SUCCESS")

@@ -201,11 +201,15 @@ def q59_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # q64 — two-phase salted aggregation as an oracle query: the skew-mitigation
-# shape (operators/skew.py) produces EXACTLY the plain GROUP BY answer —
-# phase 1 splits each hot key across 16 salt reducers, phase 2 combines at
-# most 16 partials per key. The oracle IS the plain GROUP BY, so this
-# checks algebraic-decomposition correctness (sum/count/min/max + avg via
-# sum-of-sums / sum-of-counts), not just plumbing.
+# shape (operators/skew.py) is REASSOCIATION-EQUIVALENT to the plain GROUP
+# BY — count/min/max exact, float sum/avg equal up to float-addition
+# reassociation (the same semantics plain Spark partial aggregation
+# already has; VERDICT r10). Phase 1 splits each hot key across 16 salt
+# reducers, phase 2 combines at most 16 partials per key. The oracle IS
+# the plain GROUP BY with both sides ROUNDed well inside the
+# reassociation noise floor, so this checks algebraic-decomposition
+# correctness (sum/count/min/max + avg via sum-of-sums / sum-of-counts),
+# not just plumbing.
 # --------------------------------------------------------------------------
 @register(
     "q64_salted_agg",
@@ -220,7 +224,8 @@ def q59_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY event_type
     ORDER BY event_type
     """,
-    doc="two-phase salted aggregation == plain GROUP BY (skew mitigation)",
+    doc="two-phase salted aggregation ≡ plain GROUP BY up to float "
+    "reassociation (skew mitigation; exact for count/min/max)",
 )
 def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.skew import salted_aggregate

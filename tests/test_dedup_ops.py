@@ -525,9 +525,10 @@ def test_cluster_table_artifact_reuse(spark, tmp_path):
 def test_cluster_table_artifact_freshness(spark, tmp_path, monkeypatch):
     """cluster_table_artifact (r10, VERDICT r9 #7b): the first call per
     corpus writes the parquet stage boundary, later calls reuse it
-    (same _SUCCESS mtime), and a NEWER source corpus invalidates it —
-    the staleness rule that makes the managed artifact safe for the
-    registry query to consume."""
+    (same _SUCCESS mtime), a NEWER source corpus invalidates it, and —
+    ADVICE r10 — a clustering code/params VERSION bump invalidates it
+    too (the version token keys the artifact directory, so old-code
+    artifacts orphan instead of silently serving)."""
     import os
 
     from reddit_big_data_spark.queries import dedup as dmod
@@ -551,22 +552,22 @@ def test_cluster_table_artifact_freshness(spark, tmp_path, monkeypatch):
     assert calls["writes"] == w_after_first, "fresh artifact rewritten"
     # a newer source must invalidate: bump the marker BACKWARD to fake
     # an older artifact than the corpus
-    import glob
-    import hashlib
-
-    key = hashlib.md5(os.path.abspath(SF_SMOKE).encode()).hexdigest()[:12]
-    marker = glob.glob(
-        os.path.join(
-            os.path.dirname(os.path.dirname(os.path.abspath(dmod.__file__))),
-            "..",
-            "spark-warehouse",
-            f"neardup_clusters_{key}",
-            "_SUCCESS",
-        )
+    marker = os.path.join(
+        dmod._cluster_table_artifact_path(SF_SMOKE), "_SUCCESS"
     )
-    assert marker, "managed artifact _SUCCESS marker missing"
+    assert os.path.exists(marker), "managed artifact _SUCCESS marker missing"
     # strictly older than the source corpus, whatever its mtime is
     old = os.path.getmtime(os.path.join(SF_SMOKE, "documents.parquet")) - 1
-    os.utime(marker[0], (old, old))
+    os.utime(marker, (old, old))
     dmod.cluster_table_artifact(spark, SF_SMOKE)
     assert calls["writes"] == w_after_first + 1, "stale artifact reused"
+    # a clustering code/params version bump must also invalidate: the
+    # token keys the directory, so the bumped key has no artifact yet
+    monkeypatch.setattr(
+        dmod, "_CLUSTER_TABLE_PARAMS", dmod._CLUSTER_TABLE_PARAMS + ":bumped"
+    )
+    df3 = dmod.cluster_table_artifact(spark, SF_SMOKE)
+    assert df3.count() == n1
+    assert calls["writes"] == w_after_first + 2, (
+        "params/version bump silently served the old-code artifact"
+    )

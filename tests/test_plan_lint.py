@@ -262,6 +262,26 @@ def test_lint_flags_bare_root_sort(spark):
     assert not any(f.code == "GLOBAL_SORT" for f in findings)
 
 
+def test_lint_root_sort_not_suppressed_by_subquery_aggregate(spark):
+    """ADVICE r10: a scalar subquery's aggregate prints in a trailing
+    "Subquery" plan section — AFTER the root sort — and used to count as
+    a bounding node for it, silently suppressing ROOT_SORT on a genuinely
+    unbounded corpus-wide orderBy. The bounding scan now cuts at the
+    first subquery section header, so a full-corpus sort whose filter
+    carries a scalar-subquery aggregate still surfaces ROOT_SORT."""
+    spark.range(100).withColumn("r", F.col("id") % 7).createOrReplaceTempView(
+        "_lint_subq_t"
+    )
+    df = spark.sql(
+        "SELECT * FROM _lint_subq_t "
+        "WHERE r > (SELECT AVG(r) - 100 FROM _lint_subq_t) ORDER BY r"
+    )
+    df.collect()  # executed plan prints the trailing Subquery section
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Subquery" in plan  # precondition: the trap is actually present
+    assert any(f.code == "ROOT_SORT" for f in lint_plan(df))
+
+
 def test_lint_root_sort_bounded_by_limit(spark):
     """A root sort above a LIMIT is bounded — no finding of either code."""
     df = (

@@ -20,6 +20,22 @@ from reddit_big_data_spark.operators.temporal_joins import sessionize
 _SETTINGS = dict(max_examples=8, deadline=None)
 
 
+def eng_round(x: float, p: int) -> float:
+    """Replay the ENGINES' rounding rule in a pure-Python reference.
+
+    Both Spark (BigDecimal.valueOf(double) + HALF_UP) and DuckDB round
+    the double's SHORTEST decimal representation half-away-from-zero —
+    round(0.015, 2) = 0.02 on both even though the exact binary value
+    sits below the boundary. Python's round() is banker's AND uses the
+    exact binary value — wrong on both axes (ADVICE r10: the KM test
+    used round() and could flake on any survival product whose shortest
+    repr ties at the rounded digit) — so references replay the engines'
+    rule via repr() + HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{p}"), ROUND_HALF_UP))
+
+
 @settings(**_SETTINGS)
 @given(n_rows=st.integers(1, 200), n_buckets=st.integers(1, 12))
 def test_ntile_formula_matches_sql_standard(spark, n_rows, n_buckets):
@@ -184,9 +200,19 @@ def test_similarity_join_equals_brute_force(spark, sets, threshold):
     n_salt=st.sampled_from([1, 2, 16]),
 )
 def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salt):
-    """Property: two-phase salted aggregation is algebraically identical
-    to the plain groupBy for count/sum/min/max (exact) and avg (isclose:
-    sum-of-partials reassociates float addition)."""
+    """Property: two-phase salted aggregation is REASSOCIATION-EQUIVALENT
+    to the plain groupBy — count/min/max are exact, float sum/avg agree
+    up to float-addition reassociation (exactly plain Spark's own
+    partial-aggregation semantics; VERDICT r10 adjudicated the old
+    "sum (exact)" claim overclaimed after hypothesis found a
+    catastrophic-cancellation counterexample: [('c', 1.19e-05),
+    ('c', -1.19e-05), ('c', 1.18e-38)] at n_salt=2 gives salted sum 0.0
+    vs plain 1.18e-38, and rel_tol cannot absorb a cancellation). Float
+    sums therefore compare with an ABSOLUTE tolerance scaled to the
+    input mass, abs_tol = 1e-9 * Σ|v| — the correct ulp-style bound for
+    any reassociated float sum. test_salted_aggregate_exact_on_integers
+    below pins EXACT sum equality on integer inputs, where addition is
+    associative."""
     import math
 
     from reddit_big_data_spark.operators.skew import salted_aggregate
@@ -219,13 +245,47 @@ def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salt):
         )
         .collect()
     }
+    mass = {k: sum(abs(v) for kk, v in rows if kk == k) for k, _ in rows}
     assert set(got) == set(want)
     for k in want:
         assert got[k]["cnt"] == want[k]["cnt"]
         assert got[k]["mn"] == want[k]["mn"]
         assert got[k]["mx"] == want[k]["mx"]
-        assert math.isclose(got[k]["s"], want[k]["s"], rel_tol=1e-9)
-        assert math.isclose(got[k]["a"], want[k]["a"], rel_tol=1e-9)
+        # reassociated float sums: absolute tolerance scaled to Σ|v|
+        tol = 1e-9 * mass[k]
+        assert math.isclose(got[k]["s"], want[k]["s"], rel_tol=1e-9, abs_tol=tol)
+        assert math.isclose(
+            got[k]["a"], want[k]["a"], rel_tol=1e-9, abs_tol=tol / want[k]["cnt"]
+        )
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(-(2**40), 2**40)),
+        min_size=1,
+        max_size=60,
+    ),
+    n_salt=st.sampled_from([1, 2, 16]),
+)
+def test_salted_aggregate_exact_on_integers(spark, rows, n_salt):
+    """Property: on INTEGER inputs — where addition is associative — the
+    salted two-phase sum is bit-exact equal to the plain groupBy sum.
+    This is the exactness half of the salted_aggregate contract; the
+    float half (reassociation-equivalence) is the test above."""
+    from reddit_big_data_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(rows, "k: string, v: long")
+    got = {
+        r["k"]: r["s"]
+        for r in salted_aggregate(df, ["k"], {"s": ("sum", "v")}, n_salt=n_salt)
+        .collect()
+    }
+    want = {
+        r["k"]: r["s"]
+        for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == want
 
 
 @settings(**_SETTINGS)
@@ -408,7 +468,9 @@ def test_km_curve_matches_python_reference(spark, lifetimes):
     """q162's Kaplan-Meier math on arbitrary censoring patterns: the
     distributed suffix-sum at-risk counts and left-fold survival must
     equal a pure-Python KM (same binary64 left fold, so equality is
-    EXACT, not approximate)."""
+    EXACT, not approximate; the reference rounds via eng_round because
+    Spark's F.round is HALF_UP on the shortest repr, not Python's
+    banker's-on-exact-binary — ADVICE r10)."""
     from reddit_big_data_spark.queries.events import km_curve
 
     df = spark.createDataFrame(lifetimes, "dur long, death int")
@@ -434,7 +496,7 @@ def test_km_curve_matches_python_reference(spark, lifetimes):
     for t in sorted(set(d) | set(c)):
         if d[t] > 0:
             s = s * (1.0 - d[t] / at_risk)
-            want[t] = (at_risk, d[t], c[t], round(s, 6))
+            want[t] = (at_risk, d[t], c[t], eng_round(s, 6))
         at_risk -= d[t] + c[t]
     assert got == want
 
@@ -470,17 +532,7 @@ def test_cusum_changepoint_matches_exact_reference(spark, revs):
     before = revs[:t_cp]
     after = revs[t_cp:]
 
-    # Both engines round the double's SHORTEST decimal representation
-    # half-away-from-zero (Spark: BigDecimal.valueOf(double) + HALF_UP;
-    # DuckDB matches — round(0.015, 2) = 0.02 on both even though the
-    # exact binary value is below the boundary). Python's round() is
-    # banker's AND uses the exact binary value — wrong on both axes, so
-    # the reference replays the engines' rule via repr() + HALF_UP.
-    from decimal import ROUND_HALF_UP, Decimal
-
-    def eng_round(x: float, p: int) -> float:
-        return float(Decimal(repr(x)).quantize(Decimal(f"1e-{p}"), ROUND_HALF_UP))
-
+    # engines-rule rounding: see the module-level eng_round helper
     assert row["change_day"] == cp.strftime("%Y-%m-%d")
     assert row["n_days"] == nd
     assert row["cusum_peak"] == eng_round(ad / nd / 100.0, 2)
