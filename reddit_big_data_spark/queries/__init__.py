@@ -27,33 +27,30 @@ impossible; the contract from round 10 onward is:
   (c) NEVER-GREEN FIRST: queries with no driver-green row ever lead
       the next window unconditionally.
 
-Round-10 window composition (the VERDICT r9 #1 rotation, computed from
-CORRECTNESS_r01..r09 exactly like the r6-r9 rotations):
-1. The ELEVEN never-driver-green entries: the ten late-r9 additions
-   (q151 rolling time-RANGE window, q152 k-hop BFS, q153 streaming
-   sliding windows, q154 Benford audit, q155 chi-square independence,
-   q156 two-sample KS, q157 daily ACF, q158 RFM segmentation, q159
-   Pareto/ABC concentration, q160 Gini coefficient) plus q161, the
-   end-to-end corpus-pipeline composition VERDICT r9 #3 ordered.
-2. The full r7-STALE cohort: all 11 queries whose last driver-green
-   row is round 7 AND whose cumulative green count is lowest (the
-   once-green q128-q135 quintet+streaming five first, then twice-green
-   q22/q126/q127), by count then number.
-3. Oldest-stale fill to 50: the remaining r7-last-green queries ranked
-   cumulative-greens ascending then number — the ten twice-green
-   (q24, q41, q43, q59, q60, q69, q88, q97, q98, q99), the eleven
-   thrice-green (q08, q21, q23, q25, q27, q28, q37, q38, q39, q47,
-   q49), then seven four-times-green (q01, q02, q04, q05, q06, q07,
-   q09 — q03 last-greened in r8, q08 is in the thrice-green tier) to
-   fill exactly.
-After this round the only >=3-round-stale queries are the eleven
-remaining four-times-green r7 cohort members (q10-q18, q20, q26) at
-exactly three rounds — within invariant (a) — and they MUST be in the
-r11 window. Everything else past the cap was driver-green in r8 or r9
-and stays covered by the mirror (b). The three late-r10 additions
-past the cap — q162 (Kaplan-Meier survival), q163 (CUSUM
-changepoint), q164 (k-core decomposition) — are never-driver-green
-and lead the r11 window with the eleven, per invariant (c).
+Round-11 window composition (the VERDICT r10 #1 rotation, computed from
+CORRECTNESS_r01..r10 exactly like the r6-r10 rotations):
+1. The FIVE never-driver-green entries: the three late-r10 additions
+   (q162 Kaplan-Meier survival, q163 CUSUM changepoint, q164 k-core
+   decomposition) plus this round's two ML promotions (VERDICT r10 #4:
+   q165 OneVsRest-LinearSVC gives M6/M8 their driver rows, q166
+   CrossValidator gives M10 its driver row).
+2. The full r7-STALE cohort at the 3-round limit: q10-q18, q20, q26
+   (all four-times-green, last driver row r7) — invariant (a) breaks
+   if any slips this round.
+3. Oldest-stale fill to 50 from the r8-last-green cohort, ranked
+   cumulative-greens ascending then number: the once-green trio
+   (q136, q137, q138), the ten twice-green (q100-q109), the seventeen
+   thrice-green (q52-q54, q56-q58, q61-q64, q67, q68, q70-q74), then
+   four four-times-green by number (q03, q19, q29, q30) to fill
+   exactly.
+After this round the only >=3-round-stale queries are the sixteen
+remaining four-times-green r8 cohort members (q31-q36, q40, q42,
+q44-q46, q48, q50, q51, q55, q66) at exactly three rounds — within
+invariant (a) — and they MUST lead the r12 fill. Everything else past
+the cap was driver-green in r9 or r10 and stays covered by the mirror
+(b). Registry is at 166 of the 4x50=200 window capacity (the
+consolidation rule engages past ~190; this round added exactly the
+two VERDICT-sanctioned ML promotions and nothing else).
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
@@ -91,62 +88,63 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
-    # -- never driver-green (invariant (c)): the ten late-r9 additions
-    #    that landed past the r9 cap, mirror-green since birth
-    "q151_rolling_revenue",
-    "q152_khop_reachability",
-    "q153_streaming_sliding_windows",
-    "q154_benford_audit",
-    "q155_chi2_independence",
-    "q156_ks_two_sample",
-    "q157_daily_acf",
-    "q158_rfm_segmentation",
-    "q159_pareto_abc",
-    "q160_gini_revenue",
-    "q161_corpus_pipeline",
-    # -- the r7-stale cohort (VERDICT r9 #1): every query whose LAST
-    #    driver-green row is round 7, cumulative-greens ascending
-    #    (once-green first), then number
-    "q128_unigram_tokenize",
-    "q129_tokenizer_compare",
-    "q130_neardup_retention",
-    "q131_streaming_windowed_counts",
-    "q132_streaming_dedup",
-    "q133_streaming_enrich",
-    "q134_streaming_attribution",
-    "q135_streaming_sketch_rollup",
-    "q22_approx_distinct_percentiles",
-    "q126_forecast_revenue",
-    "q127_top_supplier",
-    # -- oldest-stale fill (all last-green r7), twice-green first ...
-    "q24_summary_stats",
-    "q41_lsh_ann",
-    "q43_ivf_ann",
-    "q59_sketch_rollup",
-    "q60_rf_pipeline",
-    "q69_cms_heavy_hitters",
-    "q88_kmv_rollup",
-    "q97_tdigest_rollup",
-    "q98_simhash_hamming",
-    "q99_weighted_sample",
+    # -- never driver-green (invariant (c)): the three late-r10 additions
+    #    plus this round's two ML promotions (VERDICT r10 #4)
+    "q162_kaplan_meier",
+    "q163_cusum_changepoint",
+    "q164_kcore",
+    "q165_ovr_svc",
+    "q166_cross_validation",
+    # -- the full r7-stale cohort (VERDICT r10 #1): the eleven queries at
+    #    the 3-round staleness limit — invariant (a) breaks if any slips
+    "q10_running_aggregates",
+    "q11_topk_per_group",
+    "q12_top_n_rows",
+    "q13_set_ops",
+    "q14_semi_anti_join",
+    "q15_rollup",
+    "q16_distinct_percentiles",
+    "q17_calendar_features",
+    "q18_lag_ntile",
+    "q20_text_quality",
+    "q26_token_counts",
+    # -- oldest-stale fill to 50: the r8-last-green cohort, cumulative
+    #    greens ascending then number. Once-green first ...
+    "q136_streaming_sessions",
+    "q137_streaming_stateful_profile",
+    "q138_quality_classifier",
+    #    ... then twice-green ...
+    "q100_doc_chunking",
+    "q101_lm_perplexity",
+    "q102_pq_ann",
+    "q103_bpe_merge_pairs",
+    "q104_ivfpq_ann",
+    "q105_incremental_neardup",
+    "q106_group_split",
+    "q107_priority_class_counts",
+    "q108_order_count_distribution",
+    "q109_promo_revenue_share",
     #    ... then thrice-green ...
-    "q08_histogram_cumulative",
-    "q21_shipping_priority",
-    "q23_epoch_concat",
-    "q25_sentiment",
-    "q27_pricing_summary",
-    "q28_grouping_sets",
-    "q37_repetition_signals",
-    "q38_bm25_topk",
-    "q39_sequence_packing",
-    "q47_stratified_sample",
-    "q49_hybrid_rrf",
+    "q52_binary_payloads",
+    "q53_sessionization",
+    "q54_asof_join",
+    "q56_range_join",
+    "q57_pivot",
+    "q58_cube",
+    "q61_string_indexer",
+    "q62_class_weights",
+    "q63_corr_matrix",
+    "q64_salted_agg",
+    "q67_nested_struct",
+    "q68_porter_stems",
+    "q70_pmi_bigrams",
+    "q71_salted_join",
+    "q72_snapshot_diff",
+    "q73_rollup_merge",
+    "q74_udtf_tokens",
     #    ... then four-times-green by number to fill to 50
-    "q01_top_groups_by_count",
-    "q02_time_slot_histogram",
-    "q04_missing_report",
-    "q05_broadcast_join_chain",
-    "q06_groupby_multi_agg",
-    "q07_correlations",
-    "q09_tfidf_topk",
+    "q03_regex_flags",
+    "q19_wordcount_top20",
+    "q29_dedup_materialized",
+    "q30_exact_dedup",
 ]

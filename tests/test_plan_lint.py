@@ -201,6 +201,11 @@ _ALLOW: dict[str, dict[str, str]] = {
         "genuinely non-SQL); per-group output is a fixed-size centroid "
         "array, never raw rows",
     },
+    "q166_cross_validation": {
+        "GLOBAL_WINDOW": "rank runs on the |grid|-row (4) CV-metric "
+        "report assembled driver-side after the folds x grid fits, "
+        "never on corpus rows",
+    },
     "q43_ivf_ann": {
         "NESTED_LOOP": "corpus x broadcast-CENTROIDS (k=16 rows) for cell "
         "assignment — cost is |corpus| x k, the IVF quantization step; the "
