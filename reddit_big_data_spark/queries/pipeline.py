@@ -13,9 +13,14 @@ Stage chain (each consumes the previous stage's survivor set):
                     the full funnel, not a per-gate report)
   s2_exact_dedup    q30/q29's token-set-md5 canonical keep (min doc_id
                     per fingerprint)
-  s3_near_dedup     q35's artifact path: exact prefix-filter similarity
-                    join at Jaccard >= 0.6 -> connected components ->
-                    keep cluster canonicals (min member) + singletons
+  s3_near_dedup     near-dup pairs at Jaccard >= 0.6 -> connected
+                    components -> keep cluster canonicals (min member)
+                    + singletons. TWO ENGINES (near_dup_mode, VERDICT
+                    r10 #3): "exact" = q35's prefix-filter similarity
+                    join (the registered/oracle mode), "banded" = q31's
+                    MinHash-LSH + exact verify (the 100 TB deployment
+                    mode, exponent 0.98 vs exact's 2.18); test-pinned
+                    equal on the testdata
   s4_decontaminated q66's winnowing-fingerprint screen against the src0
                     probe set, at the composition's own (k=20, w=10)
                     contract — guaranteed catch of any verbatim overlap
@@ -54,9 +59,11 @@ cache becomes a written parquet artifact between stages (the q29
 materialized-dedup pattern, the managed-artifact path q130 ships);
 persist() is the registry-query surrogate.
 
-Scale posture: no stage joins corpus x corpus (near-dup is the
-prefix-filtered exact simjoin, decontamination a fingerprint equi-join
-whose probe side AQE broadcasts), every window is partitioned (lang /
+Scale posture: no stage joins corpus x corpus (near-dup runs banded
+MinHash-LSH at deployment scale — the registered query keeps the exact
+simjoin only so the oracle can replay it; decontamination is a
+fingerprint equi-join whose probe side AQE broadcasts), every window is
+partitioned (lang /
 source / fingerprint), and the per-stage report aggregates are attached
 via constant-key broadcast-hash joins (operators/attach.py), never a
 nested-loop scalar join.
@@ -75,6 +82,7 @@ from reddit_big_data_spark.operators.attach import attach_constant_row
 from reddit_big_data_spark.operators.bpe import bpe_encode
 from reddit_big_data_spark.operators.components import dedup_clusters
 from reddit_big_data_spark.operators.dedup import (
+    near_duplicates,
     token_set_fingerprint,
     winnowing_fingerprints,
     word_shingles,
@@ -289,6 +297,39 @@ def _oracle() -> str:
     "per-stage attrition",
 )
 def q161_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_pipeline(spark, sf_dir, near_dup_mode="exact")
+
+
+def corpus_pipeline(
+    spark: SparkSession, sf_dir: str, near_dup_mode: str = "banded"
+) -> DataFrame:
+    """The composition with a selectable s3 near-dup engine (VERDICT r10
+    #3). near_dup_mode:
+
+    - "exact": q35/q36's prefix-filtered exact similarity join — the
+      family whose measured all-pairs exponent is 2.18 (SCALING.json);
+      the REGISTERED q161 runs this mode so the oracle compares against
+      the brute-force CTE chain.
+    - "banded": q31's MinHash-LSH (8 bands x 8 rows) candidate
+      generation + exact-Jaccard verify — measured exponent 0.98; the
+      mode the 100 TB DEPLOYMENT runs. Verification keeps precision at
+      1.0; recall is 1-(1-j^8)^8 per pair of similarity j (≈1 for the
+      near-identical duplicates dedup targets; q31's recall oracle pins
+      it on this corpus). tests/test_pipeline_query.py pins the banded
+      composition's full 9-row report EQUAL to the exact mode's at
+      threshold 0.6 on the testdata.
+
+    Why s3 does NOT read q130's managed cluster-table artifact
+    (VERDICT r10 #7b, probed and declined): the artifact clusters the
+    WHOLE corpus, while s3 clusters the s1/s2 SURVIVOR subgraph — a
+    corpus-wide component can merge two survivors through a dropped
+    intermediate document, changing the canonical-keep decision, so the
+    artifact is not a drop-in for the composition's semantics (the
+    oracle's CTE chain computes on survivors). The banded mode is the
+    sanctioned scale path instead.
+    """
+    if near_dup_mode not in ("exact", "banded"):
+        raise ValueError(f"unknown near_dup_mode {near_dup_mode!r}")
     docs = spread(read_table(spark, sf_dir, "documents"))
 
     # -- artifact 1: per-doc stats + attrs + fingerprint, ONE explode
@@ -372,7 +413,12 @@ def q161_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles = s1_txt.join(s2.select("doc_id"), "doc_id").select(
         "doc_id", word_shingles(F.split("t", " "), 2).alias("shingles")
     )
-    pairs = similarity_join(shingles, "doc_id", "shingles", threshold=0.6)
+    if near_dup_mode == "exact":
+        pairs = similarity_join(shingles, "doc_id", "shingles", threshold=0.6)
+    else:
+        pairs = near_duplicates(
+            shingles, "doc_id", "shingles", threshold=0.6, bands=8, rows=8
+        ).select("id_a", "id_b")
     drop3 = (
         dedup_clusters(pairs)
         .filter(F.col("doc_id") != F.col("cluster_id"))

@@ -67,3 +67,33 @@ def test_layout_stage_metrics_are_sane(stages):
     assert stages["s7_tokenize"]["detail"] >= n5
     # bins: at least one per non-empty source group, at most one per doc
     assert 0 < stages["s8_pack"]["detail"] <= n5
+
+
+def test_banded_mode_equals_exact_mode(spark):
+    """VERDICT r10 #3: the composition's BANDED s3 (MinHash-LSH 8x8 +
+    exact-Jaccard verify — the 100 TB deployment mode, measured exponent
+    0.98) produces exactly the same 9-row per-stage report as the EXACT
+    prefix-filter mode (the registered/oracle mode, exponent 2.18) at
+    threshold 0.6 on the testdata. Verification makes banded precision
+    1.0, so equality holds whenever LSH recall covers every >=0.6 pair —
+    which q31's recall oracle already pins for this corpus; this test
+    pins it THROUGH the composition (survivor-subgraph input, canonical
+    keep decisions, downstream attrition all identical)."""
+    from reddit_big_data_spark.queries.pipeline import corpus_pipeline
+
+    exact = {
+        r["stage"]: (r["docs"], r["ws_tokens"], r["detail"])
+        for r in corpus_pipeline(spark, SF_SMOKE, near_dup_mode="exact").collect()
+    }
+    banded = {
+        r["stage"]: (r["docs"], r["ws_tokens"], r["detail"])
+        for r in corpus_pipeline(spark, SF_SMOKE, near_dup_mode="banded").collect()
+    }
+    assert banded == exact
+
+
+def test_unknown_near_dup_mode_rejected(spark):
+    from reddit_big_data_spark.queries.pipeline import corpus_pipeline
+
+    with pytest.raises(ValueError, match="near_dup_mode"):
+        corpus_pipeline(spark, SF_SMOKE, near_dup_mode="fuzzy")
