@@ -20,6 +20,13 @@ compatibility. Full per-pass detail {min, runs, spread} goes to
 BENCH_DETAIL.json next to this file — kept OUT of the stdout line because
 the driver captures a bounded stdout tail (round 2's full-name keys
 already overflowed it once).
+
+CROSS-ROUND SOURCE OF TRUTH (VERDICT r10 #7a): the driver's BENCH_rN.json
+stores only the LAST ~2 KB of this script's stdout — at 160+ queries the
+JSON line no longer fits, so BENCH_rN.json holds a truncated fragment.
+Per-query cross-round diffs must read BENCH_DETAIL.json (written whole,
+every run, with per-pass runs and spread); BENCH_rN.json is only good for
+the headline total in the line's tail.
 """
 
 from __future__ import annotations

@@ -48,7 +48,7 @@ def salted_aggregate(
     the plain groupBy, not bit-identical. count/min/max are exact; sums
     over integer/decimal inputs are exact (addition is associative); a
     FLOAT sum/avg reassociates additions across salt partials and can
-    differ from the plain plan by up to ~1 ulp of Σ|v| — including a
+    differ from the plain plan by O(n·eps) of Σ|v| — including a
     catastrophic cancellation when mixed-sign terms cancel (e.g.
     [+1.19e-05, -1.19e-05, +1.18e-38] sums to 0.0 under one grouping and
     1.18e-38 under another). This is exactly the semantics plain Spark's

@@ -2,8 +2,12 @@
 SQL oracle pinning StringIndexer's frequencyDesc semantics), class-weight
 derivation (oracle), a native pairwise correlation matrix (A8 with an
 oracle — stronger than the reference's collect-based matrix), and the
-end-to-end RF pipeline -> Spark-side confusion matrix (rows-only: tree
-training isn't SQL).
+trainable surface under the seeded-snapshot oracle discipline (training
+is not SQL-expressible, but every pipeline here is a fixed function of
+the sf0.01 data, so the oracle is a VALUES snapshot verified
+byte-identical across sessions and cpu counts): q60 RF pipeline, q138
+hashed-feature quality classifier, q165 OneVsRest-LinearSVC (M6/M8),
+q166 CrossValidator grid search (M10).
 """
 
 from __future__ import annotations

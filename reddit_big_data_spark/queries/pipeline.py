@@ -315,7 +315,7 @@ def corpus_pipeline(
       mode the 100 TB DEPLOYMENT runs. Verification keeps precision at
       1.0; recall is 1-(1-j^8)^8 per pair of similarity j (≈1 for the
       near-identical duplicates dedup targets; q31's recall oracle pins
-      it on this corpus). tests/test_pipeline_query.py pins the banded
+      it on this corpus). tests/test_pipeline.py pins the banded
       composition's full 9-row report EQUAL to the exact mode's at
       threshold 0.6 on the testdata.
 

@@ -72,8 +72,14 @@ def shuffle_write_records(spark) -> int:
     """Cluster-lifetime total of shuffle records WRITTEN, summed over the
     stages retained by the AppStatusStore. Measure deltas around a
     bounded region (the store retains spark.ui.retainedStages stages;
-    deltas spanning eviction are clamped at 0 by callers)."""
+    deltas spanning eviction are clamped at 0 by callers).
+
+    The store is fed ASYNCHRONOUSLY by the listener bus — reading right
+    after a job finishes can miss its stages entirely (the synthetic
+    families' first SCALING.json run read 0 shuffle records for jobs
+    that demonstrably shuffled) — so drain the bus first."""
     sc = spark.sparkContext
+    sc._jsc.sc().listenerBus().waitUntilEmpty()
     gw = sc._gateway
     store = sc._jsc.sc().statusStore()
     seq = store.stageList(
@@ -376,6 +382,164 @@ def measure_q160(spark, sf_dir: str) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# Density-controlled SYNTHETIC graph measurements (VERDICT r10 #5): the
+# co-purchase graph's density FALLS as sf grows (the support>=2 threshold
+# thins it: edge count near-flat while lineitem rows grow 10x), so the
+# cross-sf exponents for the graph family are confounded and SCALING.json
+# pins only per-scale bounds there. These measures run the SAME production
+# builders (degree_table / orient_edges / the q152 frontier loop / the
+# q164 peel loop) on a planted generator with FIXED density, so the
+# fitted slopes are honest:
+#
+#   ring (connectivity) + d=6 hash-chords per node (fixed density,
+#   m ~ 7n) + a planted HUB adjacent to every 10th node (the skew the
+#   orientation and hub-seeded BFS must survive) + a planted 32-clique
+#   (a nontrivial k-core fixpoint the peel must NOT erode).
+#
+# Deterministic by construction (xxhash64 chords), pure DataFrame
+# expressions — no driver-side edge list, so the generator itself scales.
+# ---------------------------------------------------------------------------
+SYNTHETIC_SIZES = [1000, 4000, 16000]
+_SYN_KCORE_K = 12
+
+
+def synthetic_graph(spark, n: int, d: int = 6) -> "DataFrame":
+    nodes = spark.range(n).select(F.col("id").alias("u"))
+    ring = nodes.select("u", ((F.col("u") + 1) % n).alias("v"))
+    chords = nodes.select(
+        "u", F.explode(F.sequence(F.lit(1), F.lit(d))).alias("c")
+    ).select("u", (F.abs(F.xxhash64("u", "c")) % n).alias("v"))
+    hub = spark.range(0, n, 10).select(
+        F.lit(0).cast("long").alias("u"), F.col("id").alias("v")
+    )
+    clique = (
+        spark.range(32)
+        .select(F.col("id").alias("u"))
+        .crossJoin(spark.range(32).select(F.col("id").alias("v")))
+        .filter("u < v")
+    )
+    edges = ring.unionAll(chords).unionAll(hub).unionAll(clique)
+    return (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def measure_synthetic_wedges(spark, n: int) -> dict:
+    """q142's wedge join on the fixed-density graph: with degrees bounded
+    by a constant (plus one hub the orientation defuses), wedge fan-out
+    must grow ~linearly in m — the honest slope the co-purchase confound
+    hides."""
+    from reddit_big_data_spark.queries.graph import degree_table, orient_edges
+
+    edges = synthetic_graph(spark, n).persist()
+    m = edges.count()
+    oriented = orient_edges(edges, degree_table(edges)).persist()
+    e2 = oriented.select(F.col("lo").alias("hi"), F.col("hi").alias("w"))
+    wedges = oriented.join(e2, "hi").count()
+    edges.unpersist()
+    oriented.unpersist()
+    return {"n_nodes": n, "n_input": m, "candidates": wedges}
+
+
+def measure_synthetic_bfs(spark, n: int) -> dict:
+    """q152's 3-hop frontier BFS seeded at the planted hub: hop-1 fan-out
+    alone is ~n/10, so total fan-out grows ~linearly in m — and stays
+    under the hops * 2m anti-join bound at every size."""
+    edges = synthetic_graph(spark, n)
+    und = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint()
+    )
+    m2 = und.count()
+    visited = frontier = spark.createDataFrame([(0, 0)], "node long, hop int")
+    fanout = 0
+    for h in (1, 2, 3):
+        joined = frontier.join(und, frontier["node"] == und["u"])
+        fanout += joined.count()
+        new = (
+            joined.select(und["v"].alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        visited = visited.unionAll(new)
+        frontier = new
+    return {"n_nodes": n, "n_input": m2, "candidates": fanout}
+
+
+def measure_synthetic_kcore(spark, n: int) -> dict:
+    """q164's iterative peel at k=12 (typical degree ~14, so the cascade
+    peels everything EXCEPT the planted 32-clique): candidates = total
+    edge rows examined across rounds (sum of each round's current m —
+    the real work). At fixed density the round count is CONSTANT across
+    n (measured: 6 at every size), so total work grows ~linearly in m."""
+    from reddit_big_data_spark.queries.graph import degree_table
+
+    edges = synthetic_graph(spark, n).localCheckpoint()
+    m = edges.count()
+    prev = -1
+    rounds = 0
+    work = 0
+    while rounds <= 64:
+        work += edges.count()
+        rounds += 1
+        keep = (
+            degree_table(edges)
+            .filter(F.col("d") >= _SYN_KCORE_K)
+            .select("node")
+            .localCheckpoint()
+        )
+        n_keep = keep.count()
+        if n_keep == prev:
+            break
+        prev = n_keep
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    return {
+        "n_nodes": n,
+        "n_input": m,
+        "candidates": work,
+        "peel_rounds": rounds,
+        "core_nodes": prev,
+    }
+
+
+SYNTHETIC_MEASURES = {
+    "synthetic_wedges": measure_synthetic_wedges,
+    "synthetic_bfs_fanout": measure_synthetic_bfs,
+    "synthetic_kcore_peel": measure_synthetic_kcore,
+}
+
+SYNTHETIC_NOTES = {
+    "synthetic_wedges": (
+        "q142's degree-ordered wedge join on the planted fixed-density "
+        "graph (ring + 6 hash-chords + hub + 32-clique): the honest "
+        "cross-size slope the co-purchase density confound hides — "
+        "~linear in m with bounded degrees, hub defused by orientation"
+    ),
+    "synthetic_bfs_fanout": (
+        "q152's 3-hop frontier BFS seeded at the planted hub (degree "
+        "n/10): fan-out grows ~linearly in m and stays under the "
+        "hops * 2m anti-join bound at every size"
+    ),
+    "synthetic_kcore_peel": (
+        "q164's peel at k=12 on the planted graph: round count constant "
+        "(6) at every size — fixed density pins the cascade depth — so "
+        "total edge rows examined grow ~linearly in m; the planted "
+        "32-clique survives as the exact fixpoint at every size"
+    ),
+}
+
+
 MEASURES = {
     "q31_minhash_neardup": measure_q31,
     "q36_prefix_simjoin": measure_q36,
@@ -556,6 +720,33 @@ def run(spark, sf_dirs: list[str], with_shuffle: bool = True) -> dict:
         fam["banded"] = name in BANDED
         if name in NOTES:
             fam["note"] = NOTES[name]
+        out["families"][name] = fam
+    # Synthetic density-controlled graph families (VERDICT r10 #5): no
+    # sf_dir and no registered query to re-run. NO shuffle column either:
+    # the iterative measures (6-round peel, 3-hop BFS) run hundreds of
+    # stages late in the harness session, and the AppStatusStore's
+    # retained-stage eviction makes cumulative deltas unreliable there
+    # (observed: clamped zeros and a shrinking wedge total on reruns) —
+    # recording a known-bad number would read as signal, so candidates
+    # (counted exactly, in-plan) carry the claim alone.
+    out["synthetic_sizes"] = SYNTHETIC_SIZES
+    for name, measure in SYNTHETIC_MEASURES.items():
+        rows = []
+        for n in SYNTHETIC_SIZES:
+            rec = measure(spark, n)
+            spark.catalog.clearCache()
+            from reddit_big_data_spark.plans.cache import (
+                release_local_checkpoints,
+            )
+
+            release_local_checkpoints(spark)
+            rows.append(rec)
+        fam = {"scales": rows}
+        fam["candidate_exponent"] = fit_exponent(
+            [(r["n_input"], r["candidates"]) for r in rows]
+        )
+        fam["banded"] = False
+        fam["note"] = SYNTHETIC_NOTES[name]
         out["families"][name] = fam
     return out
 

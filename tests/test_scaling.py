@@ -262,3 +262,56 @@ def test_degree_orientation_bounds_wedge_work(spark):
         .count()
     )
     assert tri == n * (n - 1) * (n - 2) // 6
+
+
+def _synthetic_exponent(spark, measure, sizes=(1000, 8000)):
+    from reddit_big_data_spark.plans.cache import release_local_checkpoints
+
+    pts = []
+    recs = []
+    for n in sizes:
+        rec = measure(spark, n)
+        recs.append(rec)
+        pts.append((rec["n_input"], rec["candidates"]))
+        spark.catalog.clearCache()
+        release_local_checkpoints(spark)
+    exp = scaling.fit_exponent(pts)
+    assert exp is not None, pts
+    return exp, recs
+
+
+def test_synthetic_wedges_linear_at_fixed_density(spark):
+    """VERDICT r10 #5: on the planted FIXED-density graph the wedge-join
+    slope is honest (no support-threshold confound) — with bounded
+    degrees and the hub defused by orientation, wedge fan-out must grow
+    ~linearly in m, far under the sqrt(2)*m^1.5 worst-case bound that
+    still holds per scale."""
+    exp, recs = _synthetic_exponent(spark, scaling.measure_synthetic_wedges)
+    assert exp < 1.3, f"synthetic wedge exponent {exp:.2f} at {recs}"
+    for rec in recs:
+        m, wedges = rec["n_input"], rec["candidates"]
+        assert wedges <= (2**0.5) * m**1.5
+
+
+def test_synthetic_bfs_fanout_linear_at_fixed_density(spark):
+    """Hub-seeded 3-hop BFS on the planted graph: fan-out ~linear in m
+    (hop 1 alone is ~n/10 via the planted hub) and under hops * 2m."""
+    exp, recs = _synthetic_exponent(spark, scaling.measure_synthetic_bfs)
+    assert exp < 1.3, f"synthetic BFS exponent {exp:.2f} at {recs}"
+    for rec in recs:
+        assert rec["candidates"] <= 3 * rec["n_input"]
+
+
+def test_synthetic_kcore_work_linear_at_fixed_density(spark):
+    """q164's peel on the planted graph: the cascade depth is pinned by
+    density, not size — constant rounds across n, total edge rows
+    examined ~linear in m, and the planted 32-clique is the exact
+    fixpoint at every size (peeling must neither erode nor miss it)."""
+    exp, recs = _synthetic_exponent(spark, scaling.measure_synthetic_kcore)
+    assert exp < 1.3, f"synthetic peel-work exponent {exp:.2f} at {recs}"
+    rounds = {rec["peel_rounds"] for rec in recs}
+    assert len(rounds) == 1, f"peel rounds vary with size: {recs}"
+    assert max(rounds) <= 16, recs
+    for rec in recs:
+        assert rec["core_nodes"] == 32, rec
+        assert rec["candidates"] <= rec["peel_rounds"] * rec["n_input"]
