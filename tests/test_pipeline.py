@@ -97,3 +97,17 @@ def test_unknown_near_dup_mode_rejected(spark):
 
     with pytest.raises(ValueError, match="near_dup_mode"):
         corpus_pipeline(spark, SF_SMOKE, near_dup_mode="fuzzy")
+
+
+def test_banded_mode_plan_is_scale_clean(spark):
+    """The banded composition is not a registered query, so the lint
+    sweep in test_plan_lint.py never sees it — lint it here with q161's
+    own (empty) allowance: the deployment mode must clear the same
+    hazard bar as the oracle mode (no cartesian, no row-at-a-time UDF,
+    no global window, no interior global sort)."""
+    from reddit_big_data_spark.plans.lint import lint_plan
+    from reddit_big_data_spark.queries.pipeline import corpus_pipeline
+
+    df = corpus_pipeline(spark, SF_SMOKE, near_dup_mode="banded")
+    findings = [f for f in lint_plan(df) if f.code != "ROOT_SORT"]
+    assert not findings, "; ".join(map(str, findings))
