@@ -562,10 +562,16 @@ def test_cluster_table_artifact_freshness(spark, tmp_path, monkeypatch):
     dmod.cluster_table_artifact(spark, SF_SMOKE)
     assert calls["writes"] == w_after_first + 1, "stale artifact reused"
     # a clustering code/params version bump must also invalidate: the
-    # token keys the directory, so the bumped key has no artifact yet
+    # token keys the directory, so the bumped key has no artifact yet —
+    # remove any leftover from a PREVIOUS run of this test first (the
+    # bump string is deterministic, so rerunning the suite would
+    # otherwise find the last run's bumped artifact fresh)
+    import shutil
+
     monkeypatch.setattr(
         dmod, "_CLUSTER_TABLE_PARAMS", dmod._CLUSTER_TABLE_PARAMS + ":bumped"
     )
+    shutil.rmtree(dmod._cluster_table_artifact_path(SF_SMOKE), ignore_errors=True)
     df3 = dmod.cluster_table_artifact(spark, SF_SMOKE)
     assert df3.count() == n1
     assert calls["writes"] == w_after_first + 2, (
