@@ -474,6 +474,12 @@ def q165_ovr_svc(spark: SparkSession, sf_dir: str) -> DataFrame:
             # "Resetting history" message is part of the deterministic
             # iteration sequence, not a nondeterminism source.)
             scaler("features", "features_scaled"),
+            # max_iter=10 probed and kept (the q138 precedent): trimming
+            # to 5/8 iterations halves the ~14s sf0.1 bench cost but
+            # degrades the demonstration — at 5 the model collapses to a
+            # constant predictor (5-cell matrix), at 8 it predicts only
+            # 3 of 5 classes; at 10 it spreads over 4. The cost is the
+            # inherent 5-fit OVR treeAggregate loop, not plan waste.
             ovr_linear_svc(
                 label_col="c_mktsegment_idx",
                 features_col="features_scaled",
