@@ -48,9 +48,13 @@ remaining four-times-green r8 cohort members (q31-q36, q40, q42,
 q44-q46, q48, q50, q51, q55, q66) at exactly three rounds — within
 invariant (a) — and they MUST lead the r12 fill. Everything else past
 the cap was driver-green in r9 or r10 and stays covered by the mirror
-(b). Registry is at 166 of the 4x50=200 window capacity (the
-consolidation rule engages past ~190; this round added exactly the
-two VERDICT-sanctioned ML promotions and nothing else).
+(b). Registry is at 168 of the 4x50=200 window capacity (the
+consolidation rule engages past ~190; this round added four queries,
+all within VERDICT r10 #4's <=5 cap and all ML-surface promotions:
+q165/q166 lead THIS window; the late-round q167 boosted-trees and
+q168 one-hot-semantics landed past the 50-slot cap, are
+never-driver-green, and lead the r12 window with the sixteen
+r8-stale, per invariant (c)).
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401

@@ -607,3 +607,164 @@ def q166_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("num_trees", "max_depth")
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — gradient-boosted trees (M9), promoted from tests-only to an
+# oracle query: the reference's XGBoost classifier slot (reference
+# code/ml/ML_Modeling.py:202-207 imports xgboost.spark), which this repo
+# fills with the SURVEY §7 fallback contract — SparkXGB when the optional
+# dep exists, GBTClassifier otherwise (this container: GBT). Binary task
+# (GBT is binary-only): does the customer belong to a BUILDING/AUTOMOBILE
+# segment, from (nationkey, acctbal) — deliberately weak features; the
+# surface under demonstration is the boosted-ensemble fit mechanics.
+#
+# Oracle: q60's seeded-snapshot pattern (fixed function of the sf0.01
+# data; verified byte-identical across separate sessions and cpus
+# {4, 32}). 100 TB posture: each boosting iteration fits one tree =
+# one pass of distributed impurity aggregation; 10 iterations = 10
+# sequential tree fits, embarrassingly parallel WITHIN each tree.
+# --------------------------------------------------------------------------
+_Q167_SNAPSHOT = """
+    SELECT CAST(col0 AS INTEGER) AS label,
+           CAST(col1 AS INTEGER) AS prediction,
+           CAST(col2 AS BIGINT) AS cnt
+    FROM (VALUES
+      (0,0,142),(0,1,59),
+      (1,0,91),(1,1,37)
+    ) t(col0, col1, col2)
+    ORDER BY label, prediction
+    """
+
+
+@register(
+    "q167_boosted_trees",
+    oracle=_Q167_SNAPSHOT,
+    doc="gradient-boosted trees binary classifier (M9, GBT fallback for "
+    "the optional XGBoost slot), seeded-deterministic snapshot oracle",
+)
+def q167_boosted_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.ml.eval import confusion_matrix
+    from reddit_big_data_spark.ml.features import assembler
+    from reddit_big_data_spark.ml.models import boosted_trees, train_test_split
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.col("c_mktsegment")
+        .isin("BUILDING", "AUTOMOBILE")
+        .cast("double")
+        .alias("label"),
+    )
+    train, test = train_test_split(cust, 0.75, seed=42)
+    pipe = Pipeline(
+        stages=[
+            assembler(["c_nationkey", "c_acctbal"]),
+            boosted_trees(kind="classifier", label_col="label", max_iter=10),
+        ]
+    )
+    model = pipe.fit(train)
+    preds = model.transform(test)
+    return (
+        confusion_matrix(preds, "label", "prediction")
+        .select(
+            F.col("label").cast("int").alias("label"),
+            F.col("prediction").cast("int").alias("prediction"),
+            "cnt",
+        )
+        .orderBy("label", "prediction")
+    )
+
+
+# --------------------------------------------------------------------------
+# q168 — OneHotEncoder + IndexToString semantics (M2 + M3), promoted from
+# tests-only to an oracle query with a GENUINE SQL oracle (no snapshot
+# needed — one-hot encoding is just a GROUP BY in disguise, which is the
+# point this query pins): index c_mktsegment (frequencyDesc, ties
+# alphabetical), one-hot encode, explode the vector, and report the
+# one-hot COLUMN SUMS per nation — slot j's sum over a nation's rows IS
+# the count of that nation's customers in segment-rank j. IndexToString
+# decodes each slot back to its label (the M3 round-trip), so a wrong
+# labels array or slot order breaks the hash. Zero cells are kept
+# (posexplode emits every slot for every row), pinning the VECTOR SIZE:
+# with the indexer's handleInvalid="keep", the encoder's category count
+# includes the unknown slot and default dropLast=True drops exactly
+# that, so all 5 real labels keep slots 0-4 (a dropped real label would
+# shrink the report to 4 slots and hash-mismatch).
+#
+# Reference anchor: ML_Sentiment.py:170-174 (OHE), 189-191
+# (IndexToString). 100 TB posture: the encode is row-local (no shuffle);
+# the report is one groupBy over (nation, slot) — 25 x 5 cells.
+# --------------------------------------------------------------------------
+@register(
+    "q168_onehot_semantics",
+    oracle="""
+    WITH ranks AS (
+      SELECT c_mktsegment,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) - 1
+               AS slot
+      FROM customer GROUP BY c_mktsegment
+    ),
+    cells AS (
+      SELECT n.c_nationkey, r.slot, r.c_mktsegment
+      FROM (SELECT DISTINCT c_nationkey FROM customer) n, ranks r
+    ),
+    counts AS (
+      SELECT c.c_nationkey, r.slot, COUNT(*) AS oh_count
+      FROM customer c JOIN ranks r USING (c_mktsegment)
+      GROUP BY 1, 2
+    )
+    SELECT cells.c_nationkey,
+           CAST(cells.slot AS INTEGER) AS slot,
+           cells.c_mktsegment AS segment,
+           CAST(COALESCE(counts.oh_count, 0) AS BIGINT) AS oh_count
+    FROM cells LEFT JOIN counts USING (c_nationkey, slot)
+    ORDER BY c_nationkey, slot
+    """,
+    doc="OneHotEncoder column sums per nation == GROUP BY counts (M2), "
+    "IndexToString slot->label round-trip (M3); zero cells pin the "
+    "dropLast/unknown-slot vector size",
+)
+def q168_onehot_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    from reddit_big_data_spark.ml.features import (
+        index_to_string,
+        one_hot_encoders,
+        string_indexers,
+    )
+
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    pipe = Pipeline(
+        stages=[
+            *string_indexers(["c_mktsegment"]),
+            *one_hot_encoders(["c_mktsegment"]),
+        ]
+    )
+    model = pipe.fit(cust)
+    labels = model.stages[0].labels
+    cells = (
+        model.transform(cust)
+        .select(
+            "c_nationkey",
+            F.posexplode(vector_to_array("c_mktsegment_oh")).alias(
+                "slot", "v"
+            ),
+        )
+        .groupBy("c_nationkey", "slot")
+        .agg(F.sum("v").cast("long").alias("oh_count"))
+    )
+    decode = index_to_string("slot_d", "segment", labels)
+    return (
+        decode.transform(cells.withColumn("slot_d", F.col("slot").cast("double")))
+        .select(
+            "c_nationkey",
+            F.col("slot").cast("int").alias("slot"),
+            "segment",
+            "oh_count",
+        )
+        .orderBy("c_nationkey", "slot")
+    )
