@@ -621,7 +621,11 @@ def q166_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Oracle: q60's seeded-snapshot pattern (fixed function of the sf0.01
 # data; verified byte-identical across separate sessions and cpus
-# {4, 32}). 100 TB posture: each boosting iteration fits one tree =
+# {4, 32}). NB the snapshot pins the GBT FALLBACK's trees — in an
+# environment with the optional xgboost.spark dep installed,
+# boosted_trees returns SparkXGB and this row goes red by design (the
+# M9 optional-extra contract; swap the snapshot when pinning that
+# environment). 100 TB posture: each boosting iteration fits one tree =
 # one pass of distributed impurity aggregation; 10 iterations = 10
 # sequential tree fits, embarrassingly parallel WITHIN each tree.
 # --------------------------------------------------------------------------
