@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import functions as F
 
@@ -198,6 +198,14 @@ def test_similarity_join_equals_brute_force(spark, sets, threshold):
         max_size=60,
     ),
     n_salt=st.sampled_from([1, 2, 16]),
+)
+# The VERDICT r10 catastrophic-cancellation counterexample, pinned
+# explicitly: the .hypothesis example database is gitignored, so a fresh
+# checkout would otherwise have to rediscover it.
+@example(
+    rows=[("c", 1.1920928955078125e-05), ("c", -1.1920928955078125e-05),
+          ("c", 1.1754943508222875e-38)],
+    n_salt=2,
 )
 def test_salted_aggregate_equals_plain_groupby(spark, rows, n_salt):
     """Property: two-phase salted aggregation is REASSOCIATION-EQUIVALENT
