@@ -27,6 +27,12 @@ impossible; the contract from round 10 onward is:
   (c) NEVER-GREEN FIRST: queries with no driver-green row ever lead
       the next window unconditionally.
 
+FROM ROUND 12 ON, COMPUTE THE WINDOW MECHANICALLY: `python rotation.py`
+prints the next window from the CORRECTNESS_r*.json history and the
+registry (total order: last-green-round asc, cumulative-greens asc,
+number asc — tests/test_rotation.py pins that it reproduces THIS
+hand-derived r11 list byte-for-byte, and the synthetic-history clauses).
+
 Round-11 window composition (the VERDICT r10 #1 rotation, computed from
 CORRECTNESS_r01..r10 exactly like the r6-r10 rotations):
 1. The FIVE never-driver-green entries: the three late-r10 additions
