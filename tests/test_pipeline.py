@@ -105,9 +105,14 @@ def test_banded_mode_plan_is_scale_clean(spark):
     own (empty) allowance: the deployment mode must clear the same
     hazard bar as the oracle mode (no cartesian, no row-at-a-time UDF,
     no global window, no interior global sort)."""
+    from reddit_big_data_spark.plans.audit import live_file_scans
     from reddit_big_data_spark.plans.lint import lint_plan
     from reddit_big_data_spark.queries.pipeline import corpus_pipeline
 
     df = corpus_pipeline(spark, SF_SMOKE, near_dup_mode="banded")
     findings = [f for f in lint_plan(df) if f.code != "ROOT_SORT"]
     assert not findings, "; ".join(map(str, findings))
+    # materialize-once holds in deployment mode too: the report plan
+    # reads only the persisted stage caches, zero live corpus scans
+    # (same shape the registered exact mode shows in test_scan_audit)
+    assert live_file_scans(df) == {}
