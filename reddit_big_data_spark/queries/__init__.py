@@ -27,40 +27,37 @@ impossible; the contract from round 10 onward is:
   (c) NEVER-GREEN FIRST: queries with no driver-green row ever lead
       the next window unconditionally.
 
-FROM ROUND 12 ON, COMPUTE THE WINDOW MECHANICALLY: `python rotation.py`
+THE WINDOW IS COMPUTED MECHANICALLY (round 12 on): `python rotation.py`
 prints the next window from the CORRECTNESS_r*.json history and the
 registry (total order: last-green-round asc, cumulative-greens asc,
-number asc — tests/test_rotation.py pins that it reproduces THIS
-hand-derived r11 list byte-for-byte, and the synthetic-history clauses).
+number asc). tests/test_rotation.py pins that the committed list below
+IS `compute_window(all_queries, history r01..r11)` byte-for-byte, and
+tests/test_rotation.py::test_no_query_exceeds_staleness_limit turns
+invariant (a) into CI: it fails if running this window next round would
+leave any registered query >3 rounds driver-stale (VERDICT r11 #5).
 
-Round-11 window composition (the VERDICT r10 #1 rotation, computed from
-CORRECTNESS_r01..r10 exactly like the r6-r10 rotations):
-1. The FIVE never-driver-green entries: the three late-r10 additions
-   (q162 Kaplan-Meier survival, q163 CUSUM changepoint, q164 k-core
-   decomposition) plus this round's two ML promotions (VERDICT r10 #4:
-   q165 OneVsRest-LinearSVC gives M6/M8 their driver rows, q166
-   CrossValidator gives M10 its driver row).
-2. The full r7-STALE cohort at the 3-round limit: q10-q18, q20, q26
-   (all four-times-green, last driver row r7) — invariant (a) breaks
-   if any slips this round.
-3. Oldest-stale fill to 50 from the r8-last-green cohort, ranked
-   cumulative-greens ascending then number: the once-green trio
-   (q136, q137, q138), the ten twice-green (q100-q109), the seventeen
-   thrice-green (q52-q54, q56-q58, q61-q64, q67, q68, q70-q74), then
-   four four-times-green by number (q03, q19, q29, q30) to fill
+Round-12 window composition (the first fully mechanical rotation —
+VERDICT r11 #1 — this list is the verbatim `python rotation.py` output
+over CORRECTNESS_r01..r11 and the 168-query registry; diff is empty):
+1. The TWO never-driver-green entries (invariant (c)): q167
+   boosted-trees and q168 one-hot-semantics, which landed past the
+   r11 cap.
+2. The full r8-STALE cohort at the 3-round limit (invariant (a)
+   breaks if any slips): q31-q36, q40, q42, q44-q46, q48, q50, q51,
+   q55, q66 — sixteen queries, all four-times-green, last driver row
+   r8.
+3. Oldest-stale fill to 50 from the r9-last-green cohort, cumulative
+   greens ascending then number: the twice-green twelve (q139-q150),
+   then thrice-green by number (q110-q125, q65, q75-q77) to fill
    exactly.
-After this round the only >=3-round-stale queries are the sixteen
-remaining four-times-green r8 cohort members (q31-q36, q40, q42,
-q44-q46, q48, q50, q51, q55, q66) at exactly three rounds — within
-invariant (a) — and they MUST lead the r12 fill. Everything else past
-the cap was driver-green in r9 or r10 and stays covered by the mirror
-(b). Registry is at 168 of the 4x50=200 window capacity (the
-consolidation rule engages past ~190; this round added four queries,
-all within VERDICT r10 #4's <=5 cap and all ML-surface promotions:
-q165/q166 lead THIS window; the late-round q167 boosted-trees and
-q168 one-hot-semantics landed past the 50-slot cap, are
-never-driver-green, and lead the r12 window with the sixteen
-r8-stale, per invariant (c)).
+After this round the >=3-round-stale set is the remaining r9 cohort,
+which MUST lead the r13 fill (rotation.py computes it). Registry holds
+at 168 of the 4x50=200 window capacity — ZERO net new queries this
+round per VERDICT r11 #2's consolidation posture (2 never-green + 16
+forced-stale leaves 32 fill slots; at 168 registered the staleness
+arithmetic (K+1)*50=200 >= 168 stays comfortable, and every query not
+in the window was driver-green in r9-r11 and stays covered by the
+mirror (b)).
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
@@ -98,63 +95,60 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 WINDOW_ORDER: list[str] = [
-    # -- never driver-green (invariant (c)): the three late-r10 additions
-    #    plus this round's two ML promotions (VERDICT r10 #4)
-    "q162_kaplan_meier",
-    "q163_cusum_changepoint",
-    "q164_kcore",
-    "q165_ovr_svc",
-    "q166_cross_validation",
-    # -- the full r7-stale cohort (VERDICT r10 #1): the eleven queries at
-    #    the 3-round staleness limit — invariant (a) breaks if any slips
-    "q10_running_aggregates",
-    "q11_topk_per_group",
-    "q12_top_n_rows",
-    "q13_set_ops",
-    "q14_semi_anti_join",
-    "q15_rollup",
-    "q16_distinct_percentiles",
-    "q17_calendar_features",
-    "q18_lag_ntile",
-    "q20_text_quality",
-    "q26_token_counts",
-    # -- oldest-stale fill to 50: the r8-last-green cohort, cumulative
-    #    greens ascending then number. Once-green first ...
-    "q136_streaming_sessions",
-    "q137_streaming_stateful_profile",
-    "q138_quality_classifier",
-    #    ... then twice-green ...
-    "q100_doc_chunking",
-    "q101_lm_perplexity",
-    "q102_pq_ann",
-    "q103_bpe_merge_pairs",
-    "q104_ivfpq_ann",
-    "q105_incremental_neardup",
-    "q106_group_split",
-    "q107_priority_class_counts",
-    "q108_order_count_distribution",
-    "q109_promo_revenue_share",
-    #    ... then thrice-green ...
-    "q52_binary_payloads",
-    "q53_sessionization",
-    "q54_asof_join",
-    "q56_range_join",
-    "q57_pivot",
-    "q58_cube",
-    "q61_string_indexer",
-    "q62_class_weights",
-    "q63_corr_matrix",
-    "q64_salted_agg",
-    "q67_nested_struct",
-    "q68_porter_stems",
-    "q70_pmi_bigrams",
-    "q71_salted_join",
-    "q72_snapshot_diff",
-    "q73_rollup_merge",
-    "q74_udtf_tokens",
-    #    ... then four-times-green by number to fill to 50
-    "q03_regex_flags",
-    "q19_wordcount_top20",
-    "q29_dedup_materialized",
-    "q30_exact_dedup",
+    # -- never driver-green (invariant (c)): the two post-cap r11 additions
+    "q167_boosted_trees",
+    "q168_onehot_semantics",
+    # -- the full r8-stale cohort (invariant (a)): sixteen queries at the
+    #    3-round staleness limit — the invariant breaks if any slips
+    "q31_minhash_neardup",
+    "q32_simhash",
+    "q33_ngram_jaccard",
+    "q34_winnowing",
+    "q35_dedup_clusters",
+    "q36_prefix_simjoin",
+    "q40_cosine_topk",
+    "q42_label_centroids",
+    "q44_cosine_neardup",
+    "q45_kmeans",
+    "q46_int8_quantization",
+    "q48_embedding_dedup_clusters",
+    "q50_json_props",
+    "q51_tumbling_windows",
+    "q55_time_rollup",
+    "q66_decontamination",
+    # -- oldest-stale fill to 50: the r9-last-green cohort, cumulative
+    #    greens ascending then number. Twice-green first ...
+    "q139_streaming_idempotent_sink",
+    "q140_dsir_importance",
+    "q141_zipf_slope",
+    "q142_triangle_count",
+    "q143_funnel",
+    "q144_cohort_retention",
+    "q145_copurchase_components",
+    "q146_streaming_outer_attribution",
+    "q147_bitmap_distinct_rollup",
+    "q148_transition_matrix",
+    "q149_psi_drift",
+    "q150_association_rules",
+    #    ... then thrice-green by number to fill to 50
+    "q110_constraint_audit",
+    "q111_langid_ngram",
+    "q112_substring_dedup",
+    "q113_shard_manifest",
+    "q114_mixture_weights",
+    "q115_cdc_chunks",
+    "q116_semdedup",
+    "q117_returned_revenue",
+    "q118_large_volume_orders",
+    "q119_disjunctive_revenue",
+    "q120_supplier_diversity",
+    "q121_sole_late_supplier",
+    "q122_kmv_overlap",
+    "q123_bpe_tokenize",
+    "q124_novelty_curve",
+    "q125_label_noise",
+    "q65_grouped_ols",
+    "q75_pii_redaction",
+    "q76_quality_funnel",
+    "q77_boilerplate_shingles",
 ]

@@ -1,11 +1,19 @@
 """Pin the mechanical window-rotation calculator (rotation.py) against
-the hand-derived round-11 rotation: computed from CORRECTNESS_r01..r10
-and the current registry, it must reproduce queries/__init__.WINDOW_ORDER
-byte-for-byte. Future rounds derive their window by running rotation.py
-instead of redoing the cohort arithmetic by hand."""
+the committed driver window: computed from the CORRECTNESS_r*.json
+history the window was derived from and the current registry, it must
+reproduce queries/__init__.WINDOW_ORDER byte-for-byte. From round 12 on
+the window IS rotation.py's output (VERDICT r11 #1), so this pin is the
+"diff is empty" proof the changelog claims.
+
+Also turns the <=3-round staleness invariant (a) into CI (VERDICT r11
+#5): test_no_query_exceeds_staleness_limit fails when any registered
+query would exceed 3 rounds of driver-staleness if the committed
+WINDOW_ORDER ran green next round — the invariant used to live only in
+changelog prose."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import rotation
@@ -14,22 +22,45 @@ from reddit_big_data_spark.registry import all_queries
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The round whose window is committed: the r12 window was computed from
+# CORRECTNESS_r01..r11. Bump alongside WINDOW_ORDER each round; later
+# CORRECTNESS files, once the driver writes them, feed the NEXT
+# rotation, not this pin.
+WINDOW_ROUND = 12
 
-def test_rotation_reproduces_round11_window():
-    # Restrict history to the rounds the r11 rotation was derived from
-    # (r01..r10); later CORRECTNESS files, once the driver writes them,
-    # feed the NEXT rotation, not this pin.
-    history = {
-        name: [r for r in rounds if r <= 10]
+
+def _history_through(last_round: int) -> dict[str, list[int]]:
+    return {
+        name: [r for r in rounds if r <= last_round]
         for name, rounds in rotation.load_green_history(REPO).items()
     }
-    # q167/q168 landed past the r11 cap AFTER the window froze; the r11
-    # rotation was computed over the 166-query registry of that moment.
-    registered = [
-        n for n in sorted(all_queries())
-        if n not in ("q167_boosted_trees", "q168_onehot_semantics")
-    ]
+
+
+def test_rotation_reproduces_committed_window():
+    history = _history_through(WINDOW_ROUND - 1)
+    registered = sorted(all_queries())
     assert rotation.compute_window(registered, history) == WINDOW_ORDER
+
+
+def test_no_query_exceeds_staleness_limit():
+    """Invariant (a) as CI: if the committed window runs (green) in
+    round WINDOW_ROUND, every registered query's driver-staleness stays
+    <= 3 rounds — i.e. every query NOT in the window must already have
+    a driver-green row in one of the three preceding rounds, and every
+    never-green query must be IN the window."""
+    history = _history_through(WINDOW_ROUND - 1)
+    window = set(WINDOW_ORDER)
+    violations = []
+    for name in sorted(all_queries()):
+        if name in window:
+            continue  # green at WINDOW_ROUND => staleness 0
+        last_green = max(history.get(name, []), default=0)
+        if last_green < WINDOW_ROUND - 3:
+            violations.append((name, last_green))
+    assert not violations, (
+        f"queries >3 rounds driver-stale if WINDOW_ORDER runs next: "
+        f"{violations}"
+    )
 
 
 def test_rotation_clauses():
@@ -53,9 +84,34 @@ def test_rotation_clauses():
 
 def test_green_semantics_match_verdict_tally():
     """hash_match null (rows-only check) still counts as green;
-    hash_match false does not."""
+    hash_match false does not — via compute_window over a pre-built
+    history (parsing itself is pinned by test_load_green_history...)."""
     assert rotation.compute_window(
         ["q01_x", "q02_y"],
         {"q01_x": [1]},  # as if q02_y's rows were never green
         cap=1,
     ) == ["q02_y"]
+
+
+def test_load_green_history_parses_hash_match_semantics(tmp_path):
+    """ADVICE r11: exercise load_green_history's actual JSON parsing —
+    hash_match true and null (rows-only check) count as green, false
+    and rows/schema mismatches do not, and rounds accumulate across
+    files in round order."""
+    row = {"rows_match": True, "schema_match": True, "spark_rows": 1,
+           "oracle_rows": 1, "err": None}
+    r1 = {
+        "q01_full_green": {**row, "hash_match": True},
+        "q02_rows_only_green": {**row, "hash_match": None},
+        "q03_hash_red": {**row, "hash_match": False},
+        "q04_rows_red": {**row, "rows_match": False, "hash_match": True},
+        "q05_schema_red": {**row, "schema_match": False, "hash_match": True},
+    }
+    r2 = {"q01_full_green": {**row, "hash_match": True}}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    hist = rotation.load_green_history(str(tmp_path))
+    assert hist == {
+        "q01_full_green": [1, 2],
+        "q02_rows_only_green": [1],
+    }
