@@ -19,8 +19,9 @@ Stage chain (each consumes the previous stage's survivor set):
                     r10 #3): "exact" = q35's prefix-filter similarity
                     join (the registered/oracle mode), "banded" = q31's
                     MinHash-LSH + exact verify (the 100 TB deployment
-                    mode, exponent 0.98 vs exact's 2.18); test-pinned
-                    equal on the testdata
+                    mode, exponent 0.98 vs exact's 2.18; band config
+                    threshold-matched, ADVICE r11); test-pinned equal
+                    on the testdata
   s4_decontaminated q66's winnowing-fingerprint screen against the src0
                     probe set, at the composition's own (k=20, w=10)
                     contract — guaranteed catch of any verbatim overlap
@@ -301,7 +302,11 @@ def q161_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def corpus_pipeline(
-    spark: SparkSession, sf_dir: str, near_dup_mode: str = "banded"
+    spark: SparkSession,
+    sf_dir: str,
+    near_dup_mode: str = "banded",
+    near_dup_bands: int = 32,
+    near_dup_rows: int = 4,
 ) -> DataFrame:
     """The composition with a selectable s3 near-dup engine (VERDICT r10
     #3). near_dup_mode:
@@ -310,14 +315,27 @@ def corpus_pipeline(
       family whose measured all-pairs exponent is 2.18 (SCALING.json);
       the REGISTERED q161 runs this mode so the oracle compares against
       the brute-force CTE chain.
-    - "banded": q31's MinHash-LSH (8 bands x 8 rows) candidate
-      generation + exact-Jaccard verify — measured exponent 0.98; the
-      mode the 100 TB DEPLOYMENT runs. Verification keeps precision at
-      1.0; recall is 1-(1-j^8)^8 per pair of similarity j (≈1 for the
-      near-identical duplicates dedup targets; q31's recall oracle pins
-      it on this corpus). tests/test_pipeline.py pins the banded
-      composition's full 9-row report EQUAL to the exact mode's at
-      threshold 0.6 on the testdata.
+    - "banded": q31's MinHash-LSH candidate generation + exact-Jaccard
+      verify — measured exponent 0.98; the mode the 100 TB DEPLOYMENT
+      runs. Verification keeps precision at 1.0; per-pair recall at
+      similarity j is 1-(1-j^rows)^bands, so the band config MUST be
+      matched to the stage's threshold (ADVICE r11): the default
+      32 bands x 4 rows puts the S-curve midpoint at (1/32)^(1/4) ≈ 0.42
+      < 0.6 and recall at the threshold itself at 1-(1-0.6^4)^32 ≈ 0.988
+      (0.9998 at j=0.7). The PREVIOUS 8x8 default (midpoint ~0.77,
+      recall ~13% at j=0.6) silently under-dedupped pairs with Jaccard
+      in [0.6, ~0.75) — it effectively raised the operative threshold to
+      ~0.75 at scale, which the equality test could not see because the
+      testdata's duplicates are near-identical. A low midpoint is safe
+      in THIS shingle space (2-word shingles: random-pair Jaccard ≈ 0 on
+      this corpus, so candidate admission below the threshold stays
+      negligible); see near_duplicates' docstring for the
+      single-token-vocabulary counterexample where it is not.
+      `near_dup_bands`/`near_dup_rows` are exposed so a deployment can
+      re-match the curve if it changes the threshold.
+      tests/test_pipeline.py pins the banded composition's full 9-row
+      report EQUAL to the exact mode's at threshold 0.6 on the testdata,
+      and pins the default config's midpoint/recall arithmetic.
 
     Why s3 does NOT read q130's managed cluster-table artifact
     (VERDICT r10 #7b, probed and declined): the artifact clusters the
@@ -417,7 +435,12 @@ def corpus_pipeline(
         pairs = similarity_join(shingles, "doc_id", "shingles", threshold=0.6)
     else:
         pairs = near_duplicates(
-            shingles, "doc_id", "shingles", threshold=0.6, bands=8, rows=8
+            shingles,
+            "doc_id",
+            "shingles",
+            threshold=0.6,
+            bands=near_dup_bands,
+            rows=near_dup_rows,
         ).select("id_a", "id_b")
     drop3 = (
         dedup_clusters(pairs)

@@ -70,15 +70,19 @@ def test_layout_stage_metrics_are_sane(stages):
 
 
 def test_banded_mode_equals_exact_mode(spark):
-    """VERDICT r10 #3: the composition's BANDED s3 (MinHash-LSH 8x8 +
-    exact-Jaccard verify — the 100 TB deployment mode, measured exponent
-    0.98) produces exactly the same 9-row per-stage report as the EXACT
-    prefix-filter mode (the registered/oracle mode, exponent 2.18) at
-    threshold 0.6 on the testdata. Verification makes banded precision
-    1.0, so equality holds whenever LSH recall covers every >=0.6 pair —
-    which q31's recall oracle already pins for this corpus; this test
-    pins it THROUGH the composition (survivor-subgraph input, canonical
-    keep decisions, downstream attrition all identical)."""
+    """VERDICT r10 #3: the composition's BANDED s3 (MinHash-LSH with the
+    threshold-matched 32x4 default + exact-Jaccard verify — the 100 TB
+    deployment mode, measured exponent 0.98) produces exactly the same
+    9-row per-stage report as the EXACT prefix-filter mode (the
+    registered/oracle mode, exponent 2.18) at threshold 0.6 on the
+    testdata. Verification makes banded precision 1.0, so equality holds
+    whenever LSH recall covers every >=0.6 pair; this test pins it
+    THROUGH the composition (survivor-subgraph input, canonical keep
+    decisions, downstream attrition all identical). NB equality on this
+    corpus alone cannot distinguish band configs (its duplicate pairs
+    are near-identical, where even 8x8's recall is ~1) — the per-pair
+    recall arithmetic at the threshold is pinned separately by
+    test_banded_default_band_config_matches_threshold."""
     from reddit_big_data_spark.queries.pipeline import corpus_pipeline
 
     exact = {
@@ -90,6 +94,28 @@ def test_banded_mode_equals_exact_mode(spark):
         for r in corpus_pipeline(spark, SF_SMOKE, near_dup_mode="banded").collect()
     }
     assert banded == exact
+
+
+def test_banded_default_band_config_matches_threshold():
+    """ADVICE r11: the deployment default's LSH S-curve must be matched
+    to the stage's threshold (0.6) — midpoint below the threshold and
+    per-pair recall >= 0.98 AT the threshold, i.e. the config must not
+    silently raise the operative near-dup threshold the way the old 8x8
+    default did (midpoint ~0.77, recall ~13% at j=0.6)."""
+    import inspect
+
+    from reddit_big_data_spark.queries.pipeline import corpus_pipeline
+
+    sig = inspect.signature(corpus_pipeline)
+    bands = sig.parameters["near_dup_bands"].default
+    rows = sig.parameters["near_dup_rows"].default
+    threshold = 0.6  # the s3 stage's hard-coded threshold
+    midpoint = (1.0 / bands) ** (1.0 / rows)
+    recall_at_t = 1.0 - (1.0 - threshold**rows) ** bands
+    assert midpoint < threshold, (bands, rows, midpoint)
+    assert recall_at_t >= 0.98, (bands, rows, recall_at_t)
+    # and the old default really was broken — keep the counterexample
+    assert 1.0 - (1.0 - threshold**8) ** 8 < 0.15
 
 
 def test_unknown_near_dup_mode_rejected(spark):
