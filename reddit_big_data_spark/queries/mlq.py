@@ -623,9 +623,11 @@ def q166_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data; verified byte-identical across separate sessions and cpus
 # {4, 32}). NB the snapshot pins the GBT FALLBACK's trees — in an
 # environment with the optional xgboost.spark dep installed,
-# boosted_trees returns SparkXGB and this row goes red by design (the
-# M9 optional-extra contract; swap the snapshot when pinning that
-# environment). 100 TB posture: each boosting iteration fits one tree =
+# boosted_trees would return SparkXGB whose trees the snapshot does NOT
+# pin, so the query build detects the backend and FAILS LOUDLY there
+# (VERDICT r11 #4: a named error beats an opaque driver hash mismatch;
+# swap the snapshot when pinning an xgboost environment).
+# 100 TB posture: each boosting iteration fits one tree =
 # one pass of distributed impurity aggregation; 10 iterations = 10
 # sequential tree fits, embarrassingly parallel WITHIN each tree.
 # --------------------------------------------------------------------------
@@ -650,7 +652,21 @@ _Q167_SNAPSHOT = """
 def q167_boosted_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.ml.eval import confusion_matrix
     from reddit_big_data_spark.ml.features import assembler
-    from reddit_big_data_spark.ml.models import boosted_trees, train_test_split
+    from reddit_big_data_spark.ml.models import (
+        boosted_trees,
+        boosted_trees_backend,
+        train_test_split,
+    )
+
+    backend = boosted_trees_backend()
+    if backend != "gbt":
+        raise RuntimeError(
+            "q167_boosted_trees: snapshot oracle is pinned for the GBT "
+            f"fallback, but boosted_trees resolves to the {backend!r} "
+            "backend in this environment (optional xgboost.spark is "
+            "installed). Re-pin _Q167_SNAPSHOT against the xgboost "
+            "backend's seeded output before registering it here."
+        )
 
     cust = read_table(spark, sf_dir, "customer").select(
         "c_custkey",

@@ -90,6 +90,47 @@ def test_boosted_trees_fallback_binary(spark):
     assert acc > 0.9  # x1 alone separates perfectly
 
 
+def test_boosted_trees_backend_detection_both_ways(monkeypatch, spark):
+    """VERDICT r11 #4: q167's snapshot pins the GBT fallback's trees, so
+    the backend must be DETECTED at query-build time — with a fake
+    xgboost.spark installed, boosted_trees_backend() reports 'xgboost',
+    boosted_trees() returns the fake class, and q167 fails with a loud
+    named error INSTEAD of an opaque driver hash mismatch; with the dep
+    absent (forced, matching this container), everything resolves to the
+    GBT fallback and the guard is a no-op."""
+    import sys
+    import types
+
+    import pytest
+    from pyspark.ml.classification import GBTClassifier
+
+    from reddit_big_data_spark.ml import models
+    from reddit_big_data_spark.queries.mlq import q167_boosted_trees
+
+    class FakeXGB:
+        def __init__(self, **kwargs):
+            self.kwargs = kwargs
+
+    fake_root = types.ModuleType("xgboost")
+    fake_spark = types.ModuleType("xgboost.spark")
+    fake_spark.SparkXGBClassifier = FakeXGB
+    fake_spark.SparkXGBRegressor = FakeXGB
+    fake_root.spark = fake_spark
+    monkeypatch.setitem(sys.modules, "xgboost", fake_root)
+    monkeypatch.setitem(sys.modules, "xgboost.spark", fake_spark)
+    assert models.boosted_trees_backend() == "xgboost"
+    assert isinstance(models.boosted_trees("classifier"), FakeXGB)
+    with pytest.raises(RuntimeError, match="pinned for the GBT"):
+        # the guard fires before any table read — sf_dir never touched
+        q167_boosted_trees(spark, "unused")
+
+    # dep absent (a None sys.modules entry forces ImportError): GBT path
+    monkeypatch.setitem(sys.modules, "xgboost", None)
+    monkeypatch.setitem(sys.modules, "xgboost.spark", None)
+    assert models.boosted_trees_backend() == "gbt"
+    assert isinstance(models.boosted_trees("classifier"), GBTClassifier)
+
+
 def test_boosted_trees_fallback_regressor(spark):
     # M9's other half: the regressor also auto-falls-back to GBT when the
     # xgboost.spark extra is absent (this container), and learns a linear
