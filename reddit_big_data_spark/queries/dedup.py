@@ -988,17 +988,51 @@ _CLUSTER_TABLE_PARAMS = "v1:shingle=2:threshold=0.6:schema=doc_id,cluster_id"
 def _cluster_table_artifact_path(sf_dir: str) -> str:
     """Artifact directory for (corpus, clustering-version) — shared by
     cluster_table_artifact and its freshness tests so the key formula
-    can't drift between them."""
+    can't drift between them. The corpus and params hash SEPARATELY
+    (``neardup_clusters_{corpus}_{params}``) so a params/code version
+    bump can recognize — and prune — the same corpus's stale sibling
+    directories (ADVICE r11: the old single-hash key orphaned every
+    superseded version, growing spark-warehouse unboundedly)."""
     import hashlib
     import os
 
-    key = hashlib.md5(
-        (os.path.abspath(sf_dir) + "|" + _CLUSTER_TABLE_PARAMS).encode()
-    ).hexdigest()[:12]
+    corpus_key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    params_key = hashlib.md5(_CLUSTER_TABLE_PARAMS.encode()).hexdigest()[:8]
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    return os.path.join(repo_root, "spark-warehouse", f"neardup_clusters_{key}")
+    return os.path.join(
+        repo_root,
+        "spark-warehouse",
+        f"neardup_clusters_{corpus_key}_{params_key}",
+    )
+
+
+def _prune_stale_artifact_versions(current_path: str) -> None:
+    """Remove superseded cluster-table artifact directories once a fresh
+    one is in place (ADVICE r11): siblings for the SAME corpus under any
+    other params/code version, plus old-format single-hash directories
+    (``neardup_clusters_`` + 12 hex chars — a shape the current key can
+    never produce, so they are stale by construction; their hash mixed
+    corpus+params and cannot be matched to a corpus). Called AFTER a
+    successful write so a failed rewrite never destroys the only good
+    artifact."""
+    import os
+    import re
+    import shutil
+
+    parent = os.path.dirname(current_path)
+    base = os.path.basename(current_path)
+    corpus_prefix = base.rsplit("_", 1)[0] + "_"
+    if not os.path.isdir(parent):
+        return
+    for name in os.listdir(parent):
+        if name == base:
+            continue
+        stale_sibling = name.startswith(corpus_prefix)
+        old_format = re.fullmatch(r"neardup_clusters_[0-9a-f]{12}", name)
+        if stale_sibling or old_format:
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
 def cluster_table_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1027,6 +1061,7 @@ def cluster_table_artifact(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.exists(marker) and os.path.getmtime(marker) >= src_mtime
     ):
         write_cluster_table(spark, sf_dir, path)
+        _prune_stale_artifact_versions(path)
     return spark.read.parquet(path)
 
 

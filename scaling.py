@@ -485,6 +485,7 @@ def measure_synthetic_kcore(spark, n: int) -> dict:
     prev = -1
     rounds = 0
     work = 0
+    converged = False
     while rounds <= 64:
         work += edges.count()
         rounds += 1
@@ -496,6 +497,7 @@ def measure_synthetic_kcore(spark, n: int) -> dict:
         )
         n_keep = keep.count()
         if n_keep == prev:
+            converged = True
             break
         prev = n_keep
         edges = (
@@ -504,12 +506,18 @@ def measure_synthetic_kcore(spark, n: int) -> dict:
             .select("u", "v")
             .localCheckpoint()
         )
+    # ADVICE r11: exiting via the 64-round cap instead of the fixpoint
+    # would truncate work/core_nodes; the flag makes such a row
+    # self-identify in SCALING.json rather than read as a valid point
+    # (the fixed-density corpus converges in ~6 rounds, so converged
+    # should always be True — a False here is the signal to investigate).
     return {
         "n_nodes": n,
         "n_input": m,
         "candidates": work,
         "peel_rounds": rounds,
         "core_nodes": prev,
+        "converged": converged,
     }
 
 

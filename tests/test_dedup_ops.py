@@ -568,12 +568,50 @@ def test_cluster_table_artifact_freshness(spark, tmp_path, monkeypatch):
     # otherwise find the last run's bumped artifact fresh)
     import shutil
 
+    real_path = dmod._cluster_table_artifact_path(SF_SMOKE)
     monkeypatch.setattr(
         dmod, "_CLUSTER_TABLE_PARAMS", dmod._CLUSTER_TABLE_PARAMS + ":bumped"
     )
-    shutil.rmtree(dmod._cluster_table_artifact_path(SF_SMOKE), ignore_errors=True)
+    bumped_path = dmod._cluster_table_artifact_path(SF_SMOKE)
+    shutil.rmtree(bumped_path, ignore_errors=True)
     df3 = dmod.cluster_table_artifact(spark, SF_SMOKE)
     assert df3.count() == n1
     assert calls["writes"] == w_after_first + 2, (
         "params/version bump silently served the old-code artifact"
     )
+    # the bump's write PRUNES the superseded real-params sibling
+    # (ADVICE r11: version bumps used to orphan old directories forever)
+    assert not os.path.exists(real_path), (
+        "superseded artifact version not pruned on rewrite"
+    )
+    # don't leave the ':bumped' artifact behind either (ADVICE r11); the
+    # monkeypatch is gone after this test, so nothing would prune it
+    shutil.rmtree(bumped_path, ignore_errors=True)
+
+
+def test_cluster_table_artifact_prune_scope(tmp_path, monkeypatch):
+    """_prune_stale_artifact_versions removes ONLY same-corpus siblings
+    under other params versions and old-format single-hash directories —
+    never the current artifact, other corpora's artifacts, or unrelated
+    warehouse content."""
+    import os
+
+    from reddit_big_data_spark.queries import dedup as dmod
+
+    parent = tmp_path / "warehouse"
+    current = parent / "neardup_clusters_aaaaaaaaaaaa_11111111"
+    same_corpus_old_params = parent / "neardup_clusters_aaaaaaaaaaaa_22222222"
+    other_corpus = parent / "neardup_clusters_bbbbbbbbbbbb_11111111"
+    old_format = parent / "neardup_clusters_cfc1c0f83032"
+    unrelated = parent / "some_table"
+    for d in (current, same_corpus_old_params, other_corpus, old_format, unrelated):
+        os.makedirs(d)
+
+    dmod._prune_stale_artifact_versions(str(current))
+    assert os.path.exists(current)
+    assert os.path.exists(other_corpus)
+    assert os.path.exists(unrelated)
+    assert not os.path.exists(same_corpus_old_params)
+    assert not os.path.exists(old_format)
+    # missing parent is a no-op, not an error
+    dmod._prune_stale_artifact_versions(str(tmp_path / "nope" / "x_1_2"))

@@ -315,3 +315,6 @@ def test_synthetic_kcore_work_linear_at_fixed_density(spark):
     for rec in recs:
         assert rec["core_nodes"] == 32, rec
         assert rec["candidates"] <= rec["peel_rounds"] * rec["n_input"]
+        # ADVICE r11: a row produced by the 64-round cap instead of the
+        # degree fixpoint must self-identify — and never happen here
+        assert rec["converged"] is True, rec
