@@ -21,12 +21,15 @@ BENCH_DETAIL.json next to this file — kept OUT of the stdout line because
 the driver captures a bounded stdout tail (round 2's full-name keys
 already overflowed it once).
 
-CROSS-ROUND SOURCE OF TRUTH (VERDICT r10 #7a): the driver's BENCH_rN.json
-stores only the LAST ~2 KB of this script's stdout — at 160+ queries the
-JSON line no longer fits, so BENCH_rN.json holds a truncated fragment.
-Per-query cross-round diffs must read BENCH_DETAIL.json (written whole,
-every run, with per-pass runs and spread); BENCH_rN.json is only good for
-the headline total in the line's tail.
+CROSS-ROUND SOURCE OF TRUTH (VERDICT r10 #7a, r11 #3): the driver's
+BENCH_rN.json stores only the LAST ~2 KB of this script's stdout — at
+160+ queries the JSON line no longer fits, so BENCH_rN.json holds a
+truncated fragment. Per-query cross-round diffs must read the detail
+files: BENCH_DETAIL.json (the latest run, overwritten every time) and
+BENCH_DETAIL_r{N}.json (the same payload persisted per round, N = max
+existing BENCH_r*.json + 1 — i.e. the round the driver is about to
+record; the driver's own sweep is the round's last run and therefore
+the copy that survives). Both carry every query's {min, runs, spread}.
 """
 
 from __future__ import annotations
@@ -40,6 +43,21 @@ import time
 def _force(df) -> None:
     # noop datasource: full computation, zero sink cost.
     df.write.mode("overwrite").format("noop").save()
+
+
+def current_round(repo_root: str) -> int:
+    """The round the driver is about to record = max existing
+    BENCH_r*.json + 1 (the driver writes BENCH_rN.json AFTER running
+    this script). Names the per-round detail copy (VERDICT r11 #3)."""
+    import glob
+    import re
+
+    recorded = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(repo_root, "BENCH_r*.json"))
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
+    ]
+    return max(recorded, default=0) + 1
 
 
 def main() -> int:
@@ -123,14 +141,30 @@ def main() -> int:
         for name, r in sorted(runs.items())
         if r
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
-    try:
-        with open(detail_path, "w") as f:
-            json.dump({"sf": sf, "cpus": cpus, "reps": reps,
-                       "queries": detail}, f, indent=1, sort_keys=True)
-    except OSError as exc:
-        print(f"bench: could not write {detail_path}: {exc}", file=sys.stderr)
+    repo_root = os.path.dirname(os.path.abspath(__file__))
+    detail_payload = {"sf": sf, "cpus": cpus, "reps": reps,
+                      "queries": detail}
+    detail_paths = [os.path.join(repo_root, "BENCH_DETAIL.json")]
+    # VERDICT r11 #3: BENCH_DETAIL.json is overwritten every run and the
+    # driver's BENCH_rN.json keeps only a ~2 KB stdout tail, so per-query
+    # cross-round diffs silently lost the first ~47 queries. Also write a
+    # per-round copy (BENCH_DETAIL_r{N}.json, N = the round the driver is
+    # about to record = max existing BENCH_r*.json + 1) so every round's
+    # full {min, runs, spread} table survives; repeated runs within a
+    # round overwrite the same file, so the driver's own sweep — the last
+    # run of the round — is what persists.
+    detail_paths.append(
+        os.path.join(
+            repo_root, f"BENCH_DETAIL_r{current_round(repo_root):02d}.json"
+        )
+    )
+    for detail_path in detail_paths:
+        try:
+            with open(detail_path, "w") as f:
+                json.dump(detail_payload, f, indent=1, sort_keys=True)
+        except OSError as exc:
+            print(f"bench: could not write {detail_path}: {exc}",
+                  file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     # The round-2 baseline subset (VERDICT r6 #6): BENCH_r02 timed exactly
