@@ -70,8 +70,18 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
-def get_spark(app_name: str = "reddit_big_data_spark", cpus: int | None = None) -> SparkSession:
-    """Create (or fetch) a local session sized for `cpus` threads."""
+def get_spark(
+    app_name: str = "reddit_big_data_spark",
+    cpus: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) a local session sized for `cpus` threads.
+
+    `extra_confs` lets a harness set confs that must be in place at
+    session CREATION (static confs like spark.ui.retainedStages — the
+    scaling harness disables stage eviction so cumulative
+    AppStatusStore deltas stay exact, VERDICT r11 #7a). No effect on an
+    already-created session: getOrCreate returns the existing one."""
     n = cpus or default_parallelism()
     builder = (
         SparkSession.builder.appName(app_name)
@@ -89,5 +99,7 @@ def get_spark(app_name: str = "reddit_big_data_spark", cpus: int | None = None) 
         )
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_confs or {}).items():
         builder = builder.config(k, v)
     return apply_runtime_confs(builder.getOrCreate())

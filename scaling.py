@@ -68,6 +68,14 @@ import os
 from pyspark.sql import functions as F
 
 
+# Retained-stage floor that rules out AppStatusStore eviction for a full
+# harness run (a complete sweep submits ~2-3k stages; 200k is two orders
+# of magnitude of headroom). main() creates its session with this value;
+# run() records the synthetic families' shuffle column only when the
+# live session meets it (VERDICT r11 #7a).
+_NO_EVICTION_RETAINED_STAGES = 200_000
+
+
 def shuffle_write_records(spark) -> int:
     """Cluster-lifetime total of shuffle records WRITTEN, summed over the
     stages retained by the AppStatusStore. Measure deltas around a
@@ -730,18 +738,31 @@ def run(spark, sf_dirs: list[str], with_shuffle: bool = True) -> dict:
             fam["note"] = NOTES[name]
         out["families"][name] = fam
     # Synthetic density-controlled graph families (VERDICT r10 #5): no
-    # sf_dir and no registered query to re-run. NO shuffle column either:
-    # the iterative measures (6-round peel, 3-hop BFS) run hundreds of
-    # stages late in the harness session, and the AppStatusStore's
-    # retained-stage eviction makes cumulative deltas unreliable there
-    # (observed: clamped zeros and a shrinking wedge total on reruns) —
-    # recording a known-bad number would read as signal, so candidates
-    # (counted exactly, in-plan) carry the claim alone.
+    # sf_dir and no registered query to re-run. The shuffle column is
+    # recorded ONLY when the session cannot evict stages: the iterative
+    # measures (6-round peel, 3-hop BFS) run hundreds of stages late in
+    # the harness session, and the AppStatusStore's retained-stage
+    # eviction makes cumulative deltas unreliable there (observed in the
+    # first run: clamped zeros and a shrinking wedge total on reruns).
+    # VERDICT r11 #7a: main() now creates the session with
+    # spark.ui.retainedStages high enough that nothing is evicted across
+    # the whole harness, restoring exact deltas; sessions without that
+    # guarantee (tests reusing a default session) still omit the column
+    # rather than record a known-bad number that reads as signal.
+    synthetic_shuffle = with_shuffle and (
+        int(spark.conf.get("spark.ui.retainedStages", "1000"))
+        >= _NO_EVICTION_RETAINED_STAGES
+    )
     out["synthetic_sizes"] = SYNTHETIC_SIZES
     for name, measure in SYNTHETIC_MEASURES.items():
         rows = []
         for n in SYNTHETIC_SIZES:
+            before = shuffle_write_records(spark) if synthetic_shuffle else 0
             rec = measure(spark, n)
+            if synthetic_shuffle:
+                rec["shuffle_records"] = max(
+                    0, shuffle_write_records(spark) - before
+                )
             spark.catalog.clearCache()
             from reddit_big_data_spark.plans.cache import (
                 release_local_checkpoints,
@@ -753,6 +774,10 @@ def run(spark, sf_dirs: list[str], with_shuffle: bool = True) -> dict:
         fam["candidate_exponent"] = fit_exponent(
             [(r["n_input"], r["candidates"]) for r in rows]
         )
+        if synthetic_shuffle:
+            fam["shuffle_exponent"] = fit_exponent(
+                [(r["n_input"], r.get("shuffle_records", 0)) for r in rows]
+            )
         fam["banded"] = False
         fam["note"] = SYNTHETIC_NOTES[name]
         out["families"][name] = fam
@@ -766,7 +791,15 @@ def main() -> int:
         "SPARK_GRAFT_SCALING_SFS",
         "/root/testdata/sf0.001,/root/testdata/sf0.01,/root/testdata/sf0.1",
     ).split(",")
-    spark = get_spark(app_name="scaling")
+    spark = get_spark(
+        app_name="scaling",
+        extra_confs={
+            # static conf, must be set at session creation: disable
+            # stage eviction so cumulative shuffle deltas stay exact
+            # across the whole harness (VERDICT r11 #7a)
+            "spark.ui.retainedStages": str(_NO_EVICTION_RETAINED_STAGES),
+        },
+    )
     result = run(spark, sf_dirs)
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
