@@ -107,6 +107,11 @@ _W = 10
 # copies would drift silently if those queries ever retuned).
 _PIPE_BUDGETS = {"en": 1500, "de": 700, "es": 600, "fr": 600, "zh": 400}
 
+# s3's near-dup Jaccard threshold — module-level so the banded mode's
+# default band config can be validated against it (the S-curve midpoint
+# must sit below it; tests/test_pipeline.py pins the arithmetic).
+_NEARDUP_THRESHOLD = 0.6
+
 
 def _norm_sql(src: str) -> str:
     """The proven _ORACLE_NORM normalization (queries/dedup.py) over an
@@ -432,13 +437,15 @@ def corpus_pipeline(
         "doc_id", word_shingles(F.split("t", " "), 2).alias("shingles")
     )
     if near_dup_mode == "exact":
-        pairs = similarity_join(shingles, "doc_id", "shingles", threshold=0.6)
+        pairs = similarity_join(
+            shingles, "doc_id", "shingles", threshold=_NEARDUP_THRESHOLD
+        )
     else:
         pairs = near_duplicates(
             shingles,
             "doc_id",
             "shingles",
-            threshold=0.6,
+            threshold=_NEARDUP_THRESHOLD,
             bands=near_dup_bands,
             rows=near_dup_rows,
         ).select("id_a", "id_b")

@@ -104,12 +104,14 @@ def test_banded_default_band_config_matches_threshold():
     default did (midpoint ~0.77, recall ~13% at j=0.6)."""
     import inspect
 
+    from reddit_big_data_spark.queries.pipeline import (
+        _NEARDUP_THRESHOLD as threshold,
+    )
     from reddit_big_data_spark.queries.pipeline import corpus_pipeline
 
     sig = inspect.signature(corpus_pipeline)
     bands = sig.parameters["near_dup_bands"].default
     rows = sig.parameters["near_dup_rows"].default
-    threshold = 0.6  # the s3 stage's hard-coded threshold
     midpoint = (1.0 / bands) ** (1.0 / rows)
     recall_at_t = 1.0 - (1.0 - threshold**rows) ** bands
     assert midpoint < threshold, (bands, rows, midpoint)
