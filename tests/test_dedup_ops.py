@@ -206,6 +206,49 @@ def test_connected_components_distributed_path_matches_driver(spark):
     }
 
 
+def test_lsh_recall_matches_s_curve_on_planted_pairs(spark):
+    """Empirical validation of the band-matching arithmetic the r12
+    pipeline fix rests on (ADVICE r11): on 200 planted pairs at EXACTLY
+    the deployment threshold's Jaccard (|A|=|B|=40, intersection 30 ->
+    j = 30/50 = 0.6), measured lsh_candidate_pairs recall must track
+    the 1-(1-j^rows)^bands S-curve — high for the threshold-matched
+    32x4 deployment default, and demonstrably broken for the old 8x8
+    (theory 0.988 vs 0.127; measured 0.980 vs 0.155 — deterministic,
+    since MinHash here is md5 over fixed token strings). This is the
+    formula test_banded_default_band_config_matches_threshold pins,
+    proven against the operator instead of assumed."""
+    from reddit_big_data_spark.operators.dedup import lsh_candidate_pairs
+
+    n_pairs, shared, only = 200, 30, 10
+    rows = []
+    for p in range(n_pairs):
+        sh = [f"p{p}_s{k}" for k in range(shared)]
+        rows.append((2 * p, sh + [f"p{p}_a{k}" for k in range(only)]))
+        rows.append((2 * p + 1, sh + [f"p{p}_b{k}" for k in range(only)]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, shingles array<string>"
+    ).persist()
+    try:
+        measured = {}
+        for bands, rws in [(32, 4), (8, 8)]:
+            found = (
+                lsh_candidate_pairs(df, "doc_id", "shingles", bands, rws)
+                .filter("id_b = id_a + 1 and id_a % 2 = 0")
+                .count()
+            )
+            measured[(bands, rws)] = found / n_pairs
+            theory = 1 - (1 - 0.6**rws) ** bands
+            assert abs(measured[(bands, rws)] - theory) < 0.08, (
+                bands, rws, measured[(bands, rws)], theory
+            )
+        # the deployment default actually delivers at the threshold ...
+        assert measured[(32, 4)] >= 0.95, measured
+        # ... and the old default really was broken there
+        assert measured[(8, 8)] <= 0.30, measured
+    finally:
+        df.unpersist()
+
+
 def test_q31_corpus_gap(duck):
     """Pin the corpus-gap assumption that makes q31's Spark==oracle equality
     deterministic: 8x8 LSH has material miss probability for pairs in
