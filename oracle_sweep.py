@@ -1,0 +1,97 @@
+"""Cross-sf oracle robustness sweep: run EVERY registered query
+dtype-strict against its DuckDB oracle at an arbitrary scale factor —
+the driver's t2 gate only ever checks sf0.01, so corpus-scale
+assumptions (rounding-boundary ties, interpolation conventions,
+corpus-gap recall assumptions) can hide until a testdata regeneration
+flips them. This sweep is the detector: its round-12 debut at sf0.001
+caught three latent cross-engine rounding hazards (q22/q90's
+interpolated-median 2dp tie, q73's /8 4dp tie — Spark rounds a double's
+shortest decimal repr HALF_UP while DuckDB rounds in binary, so the
+SAME double can round differently at an exact tie).
+
+Queries registered with ``sf_pinned=True`` (the seeded-ML VALUES
+snapshots, fixed functions of the sf0.01 corpus) are skipped as
+legitimately scale-bound, not failures.
+
+Usage:
+    python oracle_sweep.py                      # sf0.001 (default)
+    python oracle_sweep.py /root/testdata/sf0.1
+Exit code 0 iff every non-pinned query matches.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def sweep(sf_dir: str) -> int:
+    import duckdb
+
+    from reddit_big_data_spark.registry import all_queries
+    from reddit_big_data_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_sweep")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
+        )
+    ok = skipped = rows_only = 0
+    failures: list[str] = []
+    for name, q in sorted(all_queries().items()):
+        if q.sf_pinned:
+            skipped += 1
+            print(f"{name}: SKIP (sf_pinned snapshot)", flush=True)
+            continue
+        try:
+            sdf = q.fn(spark, sf_dir).toPandas()
+            if q.oracle is None:
+                rows_only += 1
+                print(f"{name}: rows-only ({len(sdf)} rows)", flush=True)
+                continue
+            ddf = con.execute(q.oracle).fetchdf()
+            cols = sorted(sdf.columns)
+            a = sdf[cols].sort_values(cols).reset_index(drop=True)
+            b = ddf[cols].sort_values(cols).reset_index(drop=True)
+            if a.equals(b):
+                ok += 1
+                print(f"{name}: OK ({len(a)} rows)", flush=True)
+            else:
+                failures.append(name)
+                print(
+                    f"{name}: MISMATCH rows {len(a)} vs {len(b)}",
+                    flush=True,
+                )
+        except Exception as exc:  # keep sweeping
+            failures.append(name)
+            print(
+                f"{name}: ERROR {type(exc).__name__}: {str(exc)[:200]}",
+                flush=True,
+            )
+        spark.catalog.clearCache()
+        from reddit_big_data_spark.plans.cache import release_local_checkpoints
+
+        release_local_checkpoints(spark)
+    print(
+        f"\nORACLE SWEEP {sf_dir}: {ok} hash-green + {rows_only} rows-only, "
+        f"{skipped} sf-pinned skipped, failures: {failures}",
+        flush=True,
+    )
+    return 1 if failures else 0
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    return sweep(sf_dir)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -38,8 +38,17 @@ from reddit_big_data_spark.sources.io import read_table
     SELECT l_returnflag,
            CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_nd_parts,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_nd_supps,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS exact_median,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS exact_p90,
+           -- ROUND at 3dp, not 2 (r12 sf0.001 sweep): an interpolated
+           -- quantile of 2dp prices TERMINATES at 3 decimals, so 2dp
+           -- rounding discards a possibly-exactly-5 third digit — and the
+           -- engines disagree on double rounding at exact ties (Spark
+           -- rounds the shortest decimal repr HALF_UP, DuckDB rounds in
+           -- binary: the sf0.001 R-group median 52724.245 rounded to
+           -- .25 vs .24). At 3dp nothing is discarded, so both engines
+           -- land on the same canonical double and cross-engine ulp
+           -- noise (5e-4 boundary vs 1e-11 ulp) cannot flip it.
+           ROUND(quantile_cont(l_extendedprice, 0.5), 3) AS exact_median,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 3) AS exact_p90,
            TRUE AS nd_parts_ok,
            TRUE AS nd_supps_ok,
            TRUE AS median_in_band,
@@ -90,8 +99,10 @@ def q22_approx_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
             "l_returnflag",
             "exact_nd_parts",
             "exact_nd_supps",
-            F.round(p(2), 2).alias("exact_median"),
-            F.round(p(5), 2).alias("exact_p90"),
+            # 3dp: the no-discard rounding scale for interpolated
+            # quantiles of 2dp prices (see the oracle comment)
+            F.round(p(2), 3).alias("exact_median"),
+            F.round(p(5), 3).alias("exact_p90"),
             rel("a_nd_p", "exact_nd_parts").alias("nd_parts_ok"),
             rel("a_nd_s", "exact_nd_supps").alias("nd_supps_ok"),
             F.element_at("__apx", 1).between(p(1), p(3)).alias("median_in_band"),

@@ -149,13 +149,21 @@ def q72_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q73_rollup_merge",
     oracle="""
+    -- sum/avg via CENTS INTEGERS (r12 sf0.001 sweep): event values are
+    -- exact 2dp, so FLOOR(sum*100 + 0.5) absorbs the engines' float-sum
+    -- ulp (1e-10 against a 0.5 boundary) into one exact BIGINT; the
+    -- emitted doubles are then IDENTICAL-OPERAND divisions, which IEEE
+    -- makes bit-equal on both engines. The previous ROUND(sum/cnt, 4)
+    -- hit an exact 5th-decimal-5 tie at sf0.001 (307.03/8 = 38.37875),
+    -- where Spark's shortest-repr HALF_UP and DuckDB's binary rounding
+    -- disagree.
     SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
            event_type,
            COUNT(value) AS cnt,
-           ROUND(SUM(value), 2) AS sum_value,
-           -- avg derived from the ROUNDED sum: the raw sum differs between
-           -- engines in the last ulp, which flips ROUND at exact .5 cells
-           ROUND(ROUND(SUM(value), 2) / COUNT(value), 4) AS avg_value,
+           CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) / 100.0
+             AS sum_value,
+           CAST(FLOOR(SUM(value) * 100 + 0.5) AS BIGINT) / 100.0
+             / COUNT(value) AS avg_value,
            ROUND(MIN(value), 4) AS min_value,
            ROUND(MAX(value), 4) AS max_value
     FROM events
@@ -175,15 +183,17 @@ def q73_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "ts", keys=["event_type"], value_col="value", grain="hour"
     )
     daily = merge_rollup(hourly, keys=["event_type"], grain="day")
+    # cents-integer emission, mirroring the oracle expression-for-
+    # expression so every float op runs on identical operands (comment
+    # on the oracle above)
+    cents = F.floor(F.col("sum_v") * 100 + 0.5).cast("long")
     return (
         daily.select(
             F.date_format("bucket", "yyyy-MM-dd").alias("day"),
             "event_type",
             "cnt",
-            F.round("sum_v", 2).alias("sum_value"),
-            F.round(F.round(F.col("sum_v"), 2) / F.col("cnt"), 4).alias(
-                "avg_value"
-            ),
+            (cents / 100.0).alias("sum_value"),
+            (cents / 100.0 / F.col("cnt")).alias("avg_value"),
             F.round("min_v", 4).alias("min_value"),
             F.round("max_v", 4).alias("max_value"),
         )

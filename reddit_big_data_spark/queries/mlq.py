@@ -166,6 +166,7 @@ _Q60_SNAPSHOT = """
 @register(
     "q60_rf_pipeline",
     oracle=_Q60_SNAPSHOT,
+    sf_pinned=True,
     doc="StringIndexer->VectorAssembler->weighted RF->confusion matrix (M*), "
     "seeded-deterministic snapshot oracle",
 )
@@ -341,6 +342,7 @@ _Q138_SNAPSHOT = """
 @register(
     "q138_quality_classifier",
     oracle=_Q138_SNAPSHOT,
+    sf_pinned=True,
     doc="fastText-style quality classifier: hashed char-3-gram features "
     "-> LogisticRegression distilling the Gopher stopword-ratio rule "
     "(q76's stop_ratio >= 0.03 stage); "
@@ -446,6 +448,7 @@ _Q165_SNAPSHOT = """
 @register(
     "q165_ovr_svc",
     oracle=_Q165_SNAPSHOT,
+    sf_pinned=True,
     doc="OneVsRest LinearSVC with class weights (M8), seeded-deterministic "
     "confusion-matrix snapshot oracle",
 )
@@ -549,6 +552,7 @@ _Q166_SNAPSHOT = """
 @register(
     "q166_cross_validation",
     oracle=_Q166_SNAPSHOT,
+    sf_pinned=True,
     doc="CrossValidator 3-fold x 2x2 RF grid (M10), seeded-deterministic "
     "fold-averaged-f1 snapshot oracle",
 )
@@ -653,6 +657,7 @@ _Q167_SNAPSHOT = """
 @register(
     "q167_boosted_trees",
     oracle=_Q167_SNAPSHOT,
+    sf_pinned=True,
     doc="gradient-boosted trees binary classifier (M9, GBT fallback for "
     "the optional XGBoost slot), seeded-deterministic snapshot oracle",
 )

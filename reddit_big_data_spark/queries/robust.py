@@ -102,8 +102,16 @@ def q81_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dev d JOIN med m USING (l_returnflag) GROUP BY d.l_returnflag
     )
     SELECT x.l_returnflag, COUNT(*) AS n,
-           ROUND(ANY_VALUE(m.med), 2) AS med,
-           ROUND(ANY_VALUE(m.mad), 2) AS mad,
+           -- no-discard rounding scales (r12 sf0.001 sweep; the q22
+           -- principle): the interpolated median of 2dp prices
+           -- terminates at 3dp, the MAD — a midpoint of two 3dp
+           -- absolute deviations — at 4dp. Rounding AT the terminating
+           -- scale discards nothing, so both engines produce the same
+           -- canonical double; rounding one digit shy (2dp) hit an
+           -- exact .xx5 tie at sf0.001, where Spark (shortest-repr
+           -- HALF_UP) and DuckDB (binary) disagree.
+           ROUND(ANY_VALUE(m.med), 3) AS med,
+           ROUND(ANY_VALUE(m.mad), 4) AS mad,
            CAST(SUM(CASE WHEN ABS(x.l_extendedprice - m.med) > 1.4826 * m.mad
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_1s
     FROM lineitem x JOIN mad m USING (l_returnflag)
@@ -129,8 +137,9 @@ def q90_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.first("med"), 2).alias("med"),
-            F.round(F.first("mad"), 2).alias("mad"),
+            # 3dp/4dp: no-discard scales for these stats (oracle comment)
+            F.round(F.first("med"), 3).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
             F.sum(
                 (
                     F.abs(F.col("l_extendedprice") - F.col("med"))

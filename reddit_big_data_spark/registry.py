@@ -29,12 +29,23 @@ class Query:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     doc: str = ""
+    # True when the oracle is a VALUES snapshot of one specific corpus
+    # (the seeded-ML confusion matrices pinned at sf0.01): such a query
+    # is only oracle-comparable AT that corpus, and cross-sf robustness
+    # sweeps (oracle_sweep.py) must skip it rather than report a
+    # legitimate scale-bound mismatch as a failure.
+    sf_pinned: bool = False
 
 
 _REGISTRY: dict[str, Query] = {}
 
 
-def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    sf_pinned: bool = False,
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_runtime_confs(spark)
@@ -42,7 +53,9 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[QueryFn]
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = Query(name=name, fn=wrapped, oracle=oracle, doc=doc)
+        _REGISTRY[name] = Query(
+            name=name, fn=wrapped, oracle=oracle, doc=doc, sf_pinned=sf_pinned
+        )
         # Return the wrapper so direct imports also get the UTC/AQE conf
         # pinning, not just registry-mediated calls.
         return wrapped

@@ -199,6 +199,43 @@ def test_window_order_is_well_formed():
     assert not no_oracle, f"oracle-less queries occupy window slots: {no_oracle}"
 
 
+def test_sf_pinned_marks_exactly_the_values_snapshots():
+    """sf_pinned (r12, consumed by oracle_sweep.py) must be set on
+    precisely the queries whose oracle is a VALUES snapshot of the
+    sf0.01 corpus — i.e. every oracle that embeds a VALUES literal as
+    its data source rather than reading the parquet views. A VALUES
+    oracle without the flag would make the cross-sf sweep report a
+    legitimate scale-bound row as a failure; the flag on a genuine SQL
+    oracle would silently exempt it from the sweep."""
+    from reddit_big_data_spark.registry import all_queries
+
+    import re
+
+    tables = (
+        "region|nation|customer|supplier|part|orders|lineitem|events|"
+        "documents|embeddings"
+    )
+    flagged = set()
+    values_oracles = set()
+    for name, q in all_queries().items():
+        if q.sf_pinned:
+            flagged.add(name)
+        # a data-snapshot oracle reads ONLY its VALUES literal; genuine
+        # oracles may use VALUES parameter tables (q47's sample rates)
+        # but always also read at least one of the ten parquet views
+        if (
+            q.oracle
+            and "FROM (VALUES" in q.oracle
+            and not re.search(rf"\b(FROM|JOIN)\s+({tables})\b", q.oracle)
+        ):
+            values_oracles.add(name)
+    assert flagged == values_oracles, (
+        f"sf_pinned vs FROM-(VALUES) oracles diverge: "
+        f"only-flagged={sorted(flagged - values_oracles)}, "
+        f"only-values={sorted(values_oracles - flagged)}"
+    )
+
+
 def test_weighted_sample_overrepresents_heavy_weights(spark):
     """Efraimidis-Spirakis property on the q99 scoring rule: with weight
     ratio 10:1 between two equal-sized classes, the top-100 of 2000 must
