@@ -14,9 +14,16 @@ snapshots, fixed functions of the sf0.01 corpus) are skipped as
 legitimately scale-bound, not failures.
 
 Usage:
-    python oracle_sweep.py                      # sf0.001 (default)
-    python oracle_sweep.py /root/testdata/sf0.1
+    python oracle_sweep.py                        # sf0.001 (default)
+    python oracle_sweep.py /root/testdata/sf0.01  # the driver's corpus
 Exit code 0 iff every non-pinned query matches.
+
+SENSIBLE DOMAIN: sf0.001 and sf0.01. Several oracles are deliberately
+brute-force (q130's all-pairs similarity CTE, the q31-q36 simjoin
+truths) — correct at any scale but quadratic in DuckDB, so an sf0.1
+sweep spends HOURS in single-box oracle evaluation for no extra
+assurance (the driver gate never reads sf0.1; measured: q130's oracle
+alone exceeded 15 min there before being killed).
 """
 
 from __future__ import annotations
