@@ -505,8 +505,11 @@ def q29_dedup_materialized(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS train_docs,
            CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
              AS contaminated_docs,
-           ROUND(AVG(CASE WHEN c.doc_id IS NOT NULL THEN 1.0 ELSE 0.0 END), 4)
-             AS contamination_rate
+           -- unrounded integer ratio (r12): identical integer operands
+           -- divide to bit-equal doubles; ROUND@4 was a structural tie
+           -- whenever the group count is 2,5-smooth
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS contamination_rate
     FROM documents d LEFT JOIN contaminated c USING (doc_id)
     WHERE d.source <> 'src0'
     GROUP BY d.lang
@@ -544,7 +547,10 @@ def q66_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("train_docs"),
             F.sum(hit.cast("long")).alias("contaminated_docs"),
-            F.round(F.avg(hit), 4).alias("contamination_rate"),
+            # unrounded integer ratio (see the oracle comment)
+            (F.sum(hit.cast("long")).cast("double") / F.count("*")).alias(
+                "contamination_rate"
+            ),
         )
         .orderBy("lang")
     )
@@ -803,11 +809,14 @@ def q112_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_chunks,
-           ROUND(AVG(clen), 2) AS avg_chunk_len,
+           -- unrounded integer ratios (r12): identical integer operands
+           -- divide to bit-equal doubles; the ROUNDs were structural
+           -- ties for 2,5-smooth counts
+           CAST(SUM(clen) AS DOUBLE) / COUNT(clen) AS avg_chunk_len,
            CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS dup_chunks,
-           ROUND(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
-             AS dup_ratio
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
     FROM chunks JOIN hashes USING (h)
     GROUP BY lang ORDER BY lang
     """,
@@ -844,9 +853,12 @@ def q115_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count("*").alias("n_chunks"),
-            F.round(F.avg("chunk_len"), 2).alias("avg_chunk_len"),
+            # unrounded integer ratios (see the oracle comments)
+            (
+                F.sum("chunk_len").cast("double") / F.count("chunk_len")
+            ).alias("avg_chunk_len"),
             F.sum(dup).alias("dup_chunks"),
-            F.round(F.sum(dup) / F.count("*"), 4).alias("dup_ratio"),
+            (F.sum(dup).cast("double") / F.count("*")).alias("dup_ratio"),
         )
         .orderBy("lang")
     )

@@ -34,7 +34,11 @@ PROPS_SCHEMA = T.StructType([T.StructField("k", T.IntegerType())])
     SELECT event_type,
            COUNT(*) AS cnt,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INTEGER)), 4) AS avg_k,
+           -- unrounded integer-ratio avg (r12): both engines divide the
+           -- same exact integers, so the doubles are bit-equal; ROUND@4
+           -- was a structural tie for 2,5-smooth group counts
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS avg_k,
            CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
                       THEN 1 END) AS BIGINT) AS high_k,
            CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS INTEGER) AS max_k
@@ -54,7 +58,10 @@ def q50_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("p.k")).alias("sum_k"),
-            F.round(F.avg(F.col("p.k")), 4).alias("avg_k"),
+            # unrounded integer-ratio avg (see the oracle comment)
+            (F.sum(F.col("p.k")).cast("double") / F.count(F.col("p.k"))).alias(
+                "avg_k"
+            ),
             F.count(F.when(k_json > 50, True)).alias("high_k"),
             F.max(F.col("p.k")).alias("max_k"),
         )
@@ -217,7 +224,12 @@ def q59_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS cnt,
            ROUND(SUM(value), 2) AS sum_value,
-           ROUND(AVG(value), 4) AS avg_value,
+           -- avg derived UNROUNDED from the 2dp-rounded sum (r12): the
+           -- 2dp sum is on-grid and engine-identical (noise << half a
+           -- cent), so the division runs on identical operands; rounding
+           -- the quotient itself was a structural tie whenever the group
+           -- count is 2,5-smooth (the q73 lesson)
+           ROUND(SUM(value), 2) / COUNT(*) AS avg_value,
            ROUND(MIN(value), 4) AS min_value,
            ROUND(MAX(value), 4) AS max_value
     FROM events
@@ -246,7 +258,8 @@ def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "cnt",
         F.round("sum_value", 2).alias("sum_value"),
-        F.round("avg_value", 4).alias("avg_value"),
+        # unrounded quotient of the 2dp sum (see the oracle comment)
+        (F.round("sum_value", 2) / F.col("cnt")).alias("avg_value"),
         F.round("min_value", 4).alias("min_value"),
         F.round("max_value", 4).alias("max_value"),
     ).orderBy("event_type")
@@ -270,8 +283,11 @@ def q64_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS active_users,
            CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
              AS new_users,
-           ROUND(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS novelty
+           -- unrounded integer ratio (r12): identical integer operands
+           -- divide to bit-equal doubles; ROUND@4 was a structural tie
+           -- for 2,5-smooth daily actives (e.g. 3/32 = 0.09375)
+           CAST(SUM(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
     FROM d JOIN fs USING (user_id)
     GROUP BY day ORDER BY day
     """,
@@ -288,7 +304,8 @@ def q124_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("active_users"),
             F.sum(new).alias("new_users"),
-            F.round(F.sum(new) / F.count("*"), 4).alias("novelty"),
+            # unrounded integer ratio (see the oracle comment)
+            (F.sum(new).cast("double") / F.count("*")).alias("novelty"),
         )
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),

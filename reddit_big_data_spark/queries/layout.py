@@ -28,6 +28,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from reddit_big_data_spark.operators.exact import exact_sum
 from reddit_big_data_spark.registry import register
 from reddit_big_data_spark.sources.io import read_table
 
@@ -187,7 +188,10 @@ def bloom_might_contain(key_sql: str, bloom_col: str = "bloom") -> Column:
     "q84_bloom_semi_join",
     oracle=f"""
     SELECT s_nationkey, COUNT(*) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- exact-unit revenue (operators/exact.py): 4dp product, no
+           -- 2dp ROUND tie
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
     WHERE s_acctbal > {_PREMIUM_BAL}
     GROUP BY s_nationkey ORDER BY s_nationkey
@@ -215,9 +219,9 @@ def q84_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_nationkey")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            ),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+            ).alias("revenue"),
         )
         .orderBy("s_nationkey")
     )

@@ -243,8 +243,10 @@ def q60_rf_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END)
                 AS BIGINT) AS flagged,
-           ROUND(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 4) AS flag_rate
+           -- unrounded integer ratio (r12): bit-equal by construction;
+           -- ROUND@4 was a structural tie for 2,5-smooth label counts
+           CAST(SUM(CASE WHEN pred_label <> label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS flag_rate
     FROM pred
     GROUP BY label ORDER BY label
     """,
@@ -283,7 +285,8 @@ def q125_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_vecs"),
             F.sum(flagged).alias("flagged"),
-            F.round(F.sum(flagged) / F.count("*"), 4).alias("flag_rate"),
+            # unrounded integer ratio (see the oracle comment)
+            (F.sum(flagged).cast("double") / F.count("*")).alias("flag_rate"),
         )
         .orderBy("label")
     )

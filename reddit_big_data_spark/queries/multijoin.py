@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from reddit_big_data_spark.operators.exact import exact_sum
 from reddit_big_data_spark.registry import register
 from reddit_big_data_spark.sources.io import read_table
 
@@ -34,7 +35,13 @@ from reddit_big_data_spark.sources.io import read_table
 @register(
     "q86_local_supplier_volume",
     oracle="""
-    SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    -- revenue via exact integer units (operators/exact.py, r12): the
+    -- 4dp-terminating product rounded at 2dp was a cross-engine tie
+    -- lottery per group (Spark rounds shortest-repr HALF_UP, DuckDB in
+    -- binary)
+    SELECT n_name,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
     FROM customer JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -85,8 +92,8 @@ def q86_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -158,7 +165,11 @@ def q87_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q93_volume_shipping",
     oracle="""
-    SELECT supp_nation, cust_nation, l_year, ROUND(SUM(volume), 2) AS revenue
+    -- revenue via exact integer units (operators/exact.py): volume
+    -- terminates at 4dp, so ROUND at 2 was a cross-engine tie lottery
+    SELECT supp_nation, cust_nation, l_year,
+           SUM(CAST(FLOOR(volume * 10000 + 0.5) AS BIGINT)) / 10000.0
+             AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -208,8 +219,8 @@ def q93_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -440,8 +451,11 @@ def q109_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q117_returned_revenue",
     oracle="""
+    -- exact-unit revenue (operators/exact.py): per-customer groups are
+    -- small, so the 2dp ROUND tie would corrupt the top-20 SELECTION too
     SELECT c_custkey, c_name, n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -470,7 +484,7 @@ def q117_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+        .agg(exact_sum(rev, 4).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
@@ -544,7 +558,10 @@ def q118_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand,
            CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           -- exact-unit revenue (operators/exact.py): 4dp product, no
+           -- 2dp ROUND tie
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 20)
@@ -581,7 +598,7 @@ def q119_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum(rev), 2).alias("revenue"),
+            exact_sum(rev, 4).alias("revenue"),
         )
         .orderBy("p_brand")
     )
@@ -604,7 +621,10 @@ def q119_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q126_forecast_revenue",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
-           ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue_delta
+           -- exact-unit revenue delta (operators/exact.py): price*disc
+           -- terminates at 4dp, no 2dp ROUND tie
+           SUM(CAST(FLOOR(l_extendedprice * l_discount * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue_delta
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -626,8 +646,8 @@ def q126_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            exact_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), 4
             ).alias("revenue_delta"),
         )
     )

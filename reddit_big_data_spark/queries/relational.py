@@ -135,12 +135,21 @@ def q05_broadcast_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_groupby_multi_agg",
     oracle="""
+    -- revenue/avg terms via exact integer units (r12, operators/exact.py):
+    -- the 4dp-terminating discount product rounded at 2dp was a ~1%-per-
+    -- group cross-engine tie lottery on every testdata regeneration, and
+    -- AVG over a 2,5-smooth group count terminates just past 4dp. sum_qty
+    -- stays ROUNDed: integer quantities sum exactly in doubles, so both
+    -- engines round the identical value.
     SELECT l_returnflag, l_linestatus,
            COUNT(*)                                              AS cnt,
            ROUND(SUM(l_quantity), 2)                             AS sum_qty,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)     AS sum_disc_price,
-           ROUND(AVG(l_quantity), 4)                             AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                        AS avg_price
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0                        AS sum_disc_price,
+           SUM(CAST(FLOOR(l_quantity * 1 + 0.5) AS BIGINT)) / 1.0
+             / COUNT(l_quantity)                                 AS avg_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0
+             / COUNT(l_extendedprice)                            AS avg_price
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-01'
     GROUP BY l_returnflag, l_linestatus
@@ -149,18 +158,19 @@ def q05_broadcast_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="2-key groupBy with count/sum/avg mix (A2+A3+A4+A5, TPC-H Q1 shape)",
 )
 def q06_groupby_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.exact import exact_avg, exact_sum
+
     li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("cnt"),
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_avg(F.col("l_quantity"), 0).alias("avg_qty"),
+            exact_avg(F.col("l_extendedprice"), 2).alias("avg_price"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -388,11 +398,17 @@ def q16_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q27_pricing_summary",
     oracle="""
+    -- disc_price/charge via exact integer units (operators/exact.py):
+    -- the products terminate at 4/6 decimals, so ROUND at 2 was a
+    -- structural cross-engine tie lottery; qty and base_price sums
+    -- terminate at <=2dp and stay ROUNDed (no information discarded).
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS sum_disc_price,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                          * 1000000 + 0.5) AS BIGINT)) / 1000000.0
              AS sum_charge,
            COUNT(*) AS count_order
     FROM lineitem
@@ -403,6 +419,8 @@ def q16_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q1-shape pricing summary (scan-heavy partial-agg pass)",
 )
 def q27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.exact import exact_sum
+
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -411,8 +429,8 @@ def q27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias(
+            exact_sum(disc_price, 4).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax")), 6).alias(
                 "sum_charge"
             ),
             F.count("*").alias("count_order"),
@@ -428,14 +446,20 @@ def q27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # customer side is 1/5th of a dimension after the segment filter, which
 # AQE broadcasts at small SF and shuffle-joins at scale (no manual
 # broadcast hint: VERDICT r1 flagged force-broadcasting fact-fractions).
-# Top-10 orders by ROUNDED revenue (ties broken by orderkey) so ordering
+# Top-10 orders by EXACT-UNIT revenue (ties broken by orderkey) so ordering
 # is identical across engines, via TakeOrdered — no global sort.
 # --------------------------------------------------------------------------
 @register(
     "q21_shipping_priority",
     oracle="""
+    -- revenue via exact integer units (operators/exact.py): per-ORDER
+    -- groups are tiny (<=7 lineitems), so ROUND at 2dp of the
+    -- 4dp-terminating product was a ~1%-per-group tie that would corrupt
+    -- the top-10 SELECTION as well as the value; the exact 4dp revenue
+    -- also makes the DESC ranking engine-deterministic.
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)) / 10000.0 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -451,6 +475,8 @@ def q27_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q3-shape 3-way join + top-N revenue (AQE-chosen join strategy)",
 )
 def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reddit_big_data_spark.operators.exact import exact_sum
+
     cust = read_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
@@ -467,8 +493,8 @@ def q21_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
             ).alias("revenue")
         )
         .select(

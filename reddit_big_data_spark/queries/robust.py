@@ -38,11 +38,18 @@ from reddit_big_data_spark.sources.io import read_table
              quantile_cont(l_extendedprice, 0.95) AS p95
       FROM lineitem GROUP BY l_returnflag
     )
+    -- tie-free emissions (r12, the q22/q73 lesson): the interpolated
+    -- p05/p95 of 2dp prices terminate at 4dp, so ROUND at 4 discards
+    -- nothing; mean_raw derives UNROUNDED from the on-grid 2dp sum;
+    -- mean_winsorized goes through exact 4dp integer units per row
+    -- (clamped values terminate at 4dp, and the unit conversion absorbs
+    -- the engines' ulp disagreement on the clamp bounds).
     SELECT l.l_returnflag, COUNT(*) AS n,
-           ROUND(ANY_VALUE(b.p05), 2) AS p05,
-           ROUND(ANY_VALUE(b.p95), 2) AS p95,
-           ROUND(AVG(l_extendedprice), 2) AS mean_raw,
-           ROUND(AVG(LEAST(GREATEST(l_extendedprice, b.p05), b.p95)), 2)
+           ROUND(ANY_VALUE(b.p05), 4) AS p05,
+           ROUND(ANY_VALUE(b.p95), 4) AS p95,
+           ROUND(SUM(l_extendedprice), 2) / COUNT(*) AS mean_raw,
+           SUM(CAST(FLOOR(LEAST(GREATEST(l_extendedprice, b.p05), b.p95)
+                          * 10000 + 0.5) AS BIGINT)) / 10000.0 / COUNT(*)
              AS mean_winsorized
     FROM lineitem l JOIN b USING (l_returnflag)
     GROUP BY l.l_returnflag
@@ -62,15 +69,21 @@ def q81_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     clamped = F.least(
         F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
     )
+    from reddit_big_data_spark.operators.exact import exact_avg
+
     return (
         li.join(F.broadcast(bounds), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.first("p05"), 2).alias("p05"),
-            F.round(F.first("p95"), 2).alias("p95"),
-            F.round(F.avg("l_extendedprice"), 2).alias("mean_raw"),
-            F.round(F.avg(clamped), 2).alias("mean_winsorized"),
+            # 4dp: the no-discard scale for interpolated quantiles of
+            # 2dp prices; means per the oracle comment
+            F.round(F.first("p05"), 4).alias("p05"),
+            F.round(F.first("p95"), 4).alias("p95"),
+            (F.round(F.sum("l_extendedprice"), 2) / F.count("*")).alias(
+                "mean_raw"
+            ),
+            exact_avg(clamped, 4).alias("mean_winsorized"),
         )
         .orderBy("l_returnflag")
     )
