@@ -18,18 +18,24 @@ Usage:
     python oracle_sweep.py /root/testdata/sf0.01  # the driver's corpus
 Exit code 0 iff every non-pinned query matches.
 
-SENSIBLE DOMAIN: sf0.001 and sf0.01. Several oracles are deliberately
-brute-force (q130's all-pairs similarity CTE, the q31-q36 simjoin
-truths) — correct at any scale but quadratic in DuckDB, so an sf0.1
-sweep spends HOURS in single-box oracle evaluation for no extra
-assurance (the driver gate never reads sf0.1; measured: q130's oracle
-alone exceeded 15 min there before being killed).
+SENSIBLE DOMAIN: sf0.001 and sf0.01 run every oracle to completion.
+Several oracles are deliberately brute-force (q130's all-pairs
+similarity CTE, the q31-q36 simjoin truths) — correct at any scale but
+quadratic in DuckDB, so an unbounded sf0.1 sweep spends HOURS in
+single-box oracle evaluation (measured: q130's oracle alone exceeded
+15 min there before being killed). ``--timeout SECS`` makes sf0.1
+feasible: a watchdog interrupts any oracle past the budget and reports
+it as ORACLE-TIMEOUT (out of the sweep's domain, NOT a failure — the
+Spark side still executed to completion at that corpus), so the ~95%
+of oracles that ARE linear still get the full dtype-strict compare at
+the 10x corpus where rounding-tie exposure is highest.
 """
 
 from __future__ import annotations
 
 import os
 import sys
+import threading
 
 
 TABLES = [
@@ -38,7 +44,31 @@ TABLES = [
 ]
 
 
-def sweep(sf_dir: str) -> int:
+def _fetch_oracle(con, sql: str, timeout_s: float | None):
+    """Run one oracle, interrupting past the budget.
+
+    DuckDB's ``Connection.interrupt()`` is thread-safe and aborts the
+    in-flight ``execute`` with duckdb.InterruptException, which the
+    caller maps to an ORACLE-TIMEOUT verdict.
+    """
+    if not timeout_s:
+        return con.execute(sql).fetchdf()
+    done = threading.Event()
+
+    def watchdog() -> None:
+        if not done.wait(timeout_s):
+            con.interrupt()
+
+    t = threading.Thread(target=watchdog, daemon=True)
+    t.start()
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        done.set()
+        t.join()
+
+
+def sweep(sf_dir: str, timeout_s: float | None = None) -> int:
     import duckdb
 
     from reddit_big_data_spark.registry import all_queries
@@ -53,6 +83,7 @@ def sweep(sf_dir: str) -> int:
         )
     ok = skipped = rows_only = 0
     failures: list[str] = []
+    timeouts: list[str] = []
     for name, q in sorted(all_queries().items()):
         if q.sf_pinned:
             skipped += 1
@@ -64,7 +95,16 @@ def sweep(sf_dir: str) -> int:
                 rows_only += 1
                 print(f"{name}: rows-only ({len(sdf)} rows)", flush=True)
                 continue
-            ddf = con.execute(q.oracle).fetchdf()
+            try:
+                ddf = _fetch_oracle(con, q.oracle, timeout_s)
+            except duckdb.InterruptException:
+                timeouts.append(name)
+                print(
+                    f"{name}: ORACLE-TIMEOUT >{timeout_s}s "
+                    f"(spark side ran: {len(sdf)} rows)",
+                    flush=True,
+                )
+                continue
             cols = sorted(sdf.columns)
             a = sdf[cols].sort_values(cols).reset_index(drop=True)
             b = ddf[cols].sort_values(cols).reset_index(drop=True)
@@ -89,15 +129,22 @@ def sweep(sf_dir: str) -> int:
         release_local_checkpoints(spark)
     print(
         f"\nORACLE SWEEP {sf_dir}: {ok} hash-green + {rows_only} rows-only, "
-        f"{skipped} sf-pinned skipped, failures: {failures}",
+        f"{skipped} sf-pinned skipped, "
+        f"{len(timeouts)} oracle-timeout {timeouts}, failures: {failures}",
         flush=True,
     )
     return 1 if failures else 0
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    return sweep(sf_dir)
+    args = [a for a in sys.argv[1:]]
+    timeout_s: float | None = None
+    if "--timeout" in args:
+        i = args.index("--timeout")
+        timeout_s = float(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    return sweep(sf_dir, timeout_s=timeout_s)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,51 @@
+"""oracle_sweep.py watchdog contract (round 12).
+
+The cross-sf sweep's --timeout mode is what makes an sf0.1 pass feasible
+(the q130/q31-q36 brute-force oracles are quadratic in DuckDB there), so
+the interrupt semantics must hold: a too-slow oracle raises
+InterruptException inside the budget's neighborhood, a fast oracle is
+untouched, and the SAME connection keeps serving later oracles — the
+sweep reuses one connection with all ten table views registered.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from oracle_sweep import _fetch_oracle  # noqa: E402
+
+_SLOW_SQL = (
+    "WITH RECURSIVE r(i) AS (SELECT 1 UNION ALL SELECT i+1 FROM r "
+    "WHERE i < 2000000000) SELECT max(i) AS m FROM r"
+)
+
+
+def test_fetch_oracle_times_out_and_connection_survives():
+    con = duckdb.connect()
+    t0 = time.monotonic()
+    with pytest.raises(duckdb.InterruptException):
+        _fetch_oracle(con, _SLOW_SQL, timeout_s=0.5)
+    # Interrupt fired near the budget, not at the query's natural end
+    # (the recursive CTE would run for minutes).
+    assert time.monotonic() - t0 < 30
+    # The connection must keep serving the rest of the sweep.
+    assert con.execute("SELECT 41 + 1").fetchone() == (42,)
+
+
+def test_fetch_oracle_fast_query_unaffected_by_budget():
+    con = duckdb.connect()
+    df = _fetch_oracle(con, "SELECT 7 AS x", timeout_s=5.0)
+    assert df["x"].tolist() == [7]
+
+
+def test_fetch_oracle_no_timeout_path():
+    con = duckdb.connect()
+    df = _fetch_oracle(con, "SELECT 3 AS x", timeout_s=None)
+    assert df["x"].tolist() == [3]
