@@ -68,7 +68,11 @@ def _fetch_oracle(con, sql: str, timeout_s: float | None):
         t.join()
 
 
-def sweep(sf_dir: str, timeout_s: float | None = None) -> int:
+def sweep(
+    sf_dir: str,
+    timeout_s: float | None = None,
+    only: set[str] | None = None,
+) -> int:
     import duckdb
 
     from reddit_big_data_spark.registry import all_queries
@@ -85,6 +89,8 @@ def sweep(sf_dir: str, timeout_s: float | None = None) -> int:
     failures: list[str] = []
     timeouts: list[str] = []
     for name, q in sorted(all_queries().items()):
+        if only is not None and name not in only:
+            continue
         if q.sf_pinned:
             skipped += 1
             print(f"{name}: SKIP (sf_pinned snapshot)", flush=True)
@@ -139,12 +145,17 @@ def sweep(sf_dir: str, timeout_s: float | None = None) -> int:
 def main() -> int:
     args = [a for a in sys.argv[1:]]
     timeout_s: float | None = None
+    only: set[str] | None = None
     if "--timeout" in args:
         i = args.index("--timeout")
         timeout_s = float(args[i + 1])
         del args[i : i + 2]
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
-    return sweep(sf_dir, timeout_s=timeout_s)
+    return sweep(sf_dir, timeout_s=timeout_s, only=only)
 
 
 if __name__ == "__main__":
