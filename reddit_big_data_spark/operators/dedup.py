@@ -137,6 +137,30 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def signature_jaccard_estimate(sig_a: Column, sig_b: Column) -> Column:
+    """Unbiased MinHash Jaccard estimate: the fraction of equal signature
+    components (each component matches with probability exactly j, so the
+    estimate is Binomial(k, j)/k over k = bands*rows hashes).
+
+    This is the cheap middle gate between banding and exact verify: a
+    threshold-matched band config (midpoint at/below the verify
+    threshold) necessarily admits the corpus's ENTIRE similarity mass
+    near the midpoint as candidates — on template-heavy corpora that is
+    a constant fraction of all pairs — but estimating j from the
+    signatures the banding already computed costs one long-array
+    comparison per pair, no shingle-set fetch. At k=128 the estimate's
+    std is sqrt(j(1-j)/128) <= 0.044, so a cut 0.2 BELOW the verify
+    threshold (>=4.6 sigma) keeps a true threshold pair with
+    P(drop) ~ 2e-6 while discarding the j~0.3 background mass. Avoid
+    cuts where cut*k is an integer (exact ties); 0.4*128 = 51.2 cannot
+    tie."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, v: acc + v).cast("double")
+        / F.size(sig_a)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, shingle_col: str, num_hashes: int = 64
 ) -> DataFrame:
@@ -178,6 +202,7 @@ def lsh_candidate_pairs(
     shingle_col: str,
     bands: int = 8,
     rows: int = 8,
+    est_cut: float | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs sharing >=1 LSH bucket, id_a < id_b.
 
@@ -185,8 +210,17 @@ def lsh_candidate_pairs(
     bands -> shuffle on (band_idx, band_hash) -> hash self-join inside
     buckets -> distinct. No cartesian product anywhere; the unit test
     asserts the plan has no CartesianProduct. Signatures are persisted
-    across the two join branches (5000 docs x 64 longs per 0.01 SF — tiny
+    across the two join branches (5000 docs x bands*rows longs per 0.01 SF — tiny
     relative to the corpus).
+
+    `est_cut`: when set, candidates are additionally pruned by the
+    signature Jaccard estimate (signature_jaccard_estimate) before being
+    returned — the pairs rejoin the PERSISTED signature table, never the
+    shingle sets, so a threshold-matched band config's background
+    candidate mass (constant allpairs-fraction on template-heavy
+    corpora) is cut to the near-threshold pairs the exact verify
+    actually needs to see. Pick cut <= threshold - 0.2 at 128 hashes
+    (see signature_jaccard_estimate for the sigma arithmetic).
     """
     sigs = minhash_signatures(df, id_col, shingle_col, bands * rows).persist()
     banded = sigs.select(
@@ -197,12 +231,29 @@ def lsh_candidate_pairs(
     )
     left = banded.withColumnsRenamed({"__id": "id_a"})
     right = banded.withColumnsRenamed({"__id": "id_b"})
-    return (
+    pairs = (
         left.join(right, ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if est_cut is not None:
+        sig_a = sigs.select(
+            F.col(id_col).alias("id_a"), F.col("signature").alias("__sig_a")
+        )
+        sig_b = sigs.select(
+            F.col(id_col).alias("id_b"), F.col("signature").alias("__sig_b")
+        )
+        pairs = (
+            pairs.join(sig_a, "id_a")
+            .join(sig_b, "id_b")
+            .filter(
+                signature_jaccard_estimate(F.col("__sig_a"), F.col("__sig_b"))
+                >= est_cut
+            )
+            .select("id_a", "id_b")
+        )
+    return pairs
 
 
 def cross_set_lsh_candidates(
@@ -213,11 +264,15 @@ def cross_set_lsh_candidates(
     index_value: str,
     bands: int = 8,
     rows: int = 8,
+    est_cut: float | None = None,
 ) -> DataFrame:
     """CROSS-SET banded MinHash candidates: rows whose `source_col` is
     NOT `index_value` (the ingest batch) probe rows that ARE (the stored
     index) — never index-vs-index, never batch-vs-batch. Returns
-    distinct (new_id, index_id) pairs sharing >= 1 LSH bucket.
+    distinct (new_id, index_id) pairs sharing >= 1 LSH bucket; with
+    `est_cut` set, pairs are additionally pruned by the signature
+    Jaccard estimate against the persisted signatures (see
+    lsh_candidate_pairs) before the caller's exact verify.
 
     This is the candidate stage of q105 (incremental ingest-vs-index
     screen), factored out in r9 so the scaling harness measures the
@@ -225,12 +280,14 @@ def cross_set_lsh_candidates(
 
     Plan shape: one signature computation + one band explosion, persisted
     and filtered into the two join sides (the persist matters — without
-    it each side re-runs the whole explode -> 64-min-agg signature
+    it each side re-runs the whole explode -> bands*rows-min-agg signature
     pipeline from the source scan). At 100 TB the index side's band table
     is the precomputed, bucketed artifact a deployment stores; each
     ingest touches only colliding buckets."""
-    sigs = minhash_signatures(sh, id_col, shingle_col, bands * rows).join(
-        sh.select(id_col, source_col), id_col
+    sigs = (
+        minhash_signatures(sh, id_col, shingle_col, bands * rows)
+        .join(sh.select(id_col, source_col), id_col)
+        .persist()  # consumed by banding and (with est_cut) both est sides
     )
     banded = sigs.select(
         id_col,
@@ -245,11 +302,29 @@ def cross_set_lsh_candidates(
     idx_b = banded.filter(F.col(source_col) == index_value).select(
         F.col(id_col).alias("index_id"), "band_idx", "band_hash"
     )
-    return (
+    pairs = (
         new_b.join(idx_b, ["band_idx", "band_hash"])
         .select("new_id", "index_id")
         .distinct()
     )
+    if est_cut is not None:
+        sig_n = sigs.select(
+            F.col(id_col).alias("new_id"), F.col("signature").alias("__sig_n")
+        )
+        sig_i = sigs.select(
+            F.col(id_col).alias("index_id"),
+            F.col("signature").alias("__sig_i"),
+        )
+        pairs = (
+            pairs.join(sig_n, "new_id")
+            .join(sig_i, "index_id")
+            .filter(
+                signature_jaccard_estimate(F.col("__sig_n"), F.col("__sig_i"))
+                >= est_cut
+            )
+            .select("new_id", "index_id")
+        )
+    return pairs
 
 
 def near_duplicates(
@@ -257,8 +332,9 @@ def near_duplicates(
     id_col: str,
     shingle_col: str,
     threshold: float = 0.6,
-    bands: int = 8,
-    rows: int = 8,
+    bands: int = 32,
+    rows: int = 4,
+    est_cut: float | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification:
     (id_a, id_b, jaccard) for pairs >= threshold. The LSH stage prunes the
@@ -266,14 +342,27 @@ def near_duplicates(
     so precision is 1.0 and recall is 1-(1-j^rows)^bands at similarity j.
 
     Band tuning matters enormously: the S-curve midpoint is roughly
-    (1/bands)^(1/rows). The b=8/r=8 default centers at ~0.77 with a steep
-    slope — on a corpus whose random-pair similarity hovers near 0.3
-    (small shared vocab), a shallow 16x2 curve admits ~80% of ALL pairs
-    as candidates (measured: 250k of 312k at sf0.1) while 8x8 admits a
-    few thousand and still misses a 0.9-similarity pair with prob ~8e-10.
+    (1/bands)^(1/rows), and it must sit AT OR BELOW the verify threshold
+    or the operator silently under-recalls right where it claims to work
+    (ADVICE r11; the r12 cross-sf sweep caught 8x8 — midpoint ~0.77 —
+    missing a j=0.818 pair with 16.7% probability and a j=0.9 pair with
+    1.1%). The 32x4 default matches the 0.6 threshold default: midpoint
+    ~0.42, recall 0.988 at j=0.6 and 1-1.4e-15 at j=0.9. The cost of a
+    lower midpoint is candidate volume — a too-shallow 16x2 curve
+    (midpoint 0.25) admits ~80% of ALL pairs on this corpus (measured:
+    250k of 312k at sf0.1) where 32x4 admits thousands — so when raising
+    `threshold`, re-match bands/rows instead of inheriting the default
+    (e.g. 8x8 is the right shape for threshold ~0.8).
+
+    `est_cut` (recommended: threshold - 0.2 at >= 128 hashes) prunes the
+    banded candidates by the signature Jaccard estimate BEFORE the
+    shingle-set verify joins — the threshold-matched curve's background
+    admissions (j ~ 0.3 template mass) never touch the shingle sets.
     """
     df = df.persist()  # consumed by 3 branches (banding + both set joins)
-    pairs = lsh_candidate_pairs(df, id_col, shingle_col, bands, rows)
+    pairs = lsh_candidate_pairs(
+        df, id_col, shingle_col, bands, rows, est_cut=est_cut
+    )
     sets_a = df.select(
         F.col(id_col).alias("id_a"), F.col(shingle_col).alias("__sh_a")
     )

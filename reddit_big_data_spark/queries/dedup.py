@@ -5,15 +5,18 @@ Not present in the reference (its corpora are id-keyed Reddit dumps); this
 is the LLM-pipeline extension from the builder brief. Every step is
 SQL-expressible (md5 exists in both engines), so each query carries a full
 DuckDB oracle — including the LSH one, whose oracle is the brute-force
-all-pairs truth. q31 runs 8 bands x 8 rows (S-curve midpoint
-(1/8)^(1/8) ~= 0.77), so Spark-vs-oracle EQUALITY additionally assumes a
-corpus gap: no qualifying pair may fall in the ~[0.6, 0.9) band where
-8x8 LSH has material miss probability. The sf0.01 testdata satisfies it —
-every brute-force pair >= 0.909 Jaccard, where the miss probability is
-<1% and the seeded MinHash permutations make the outcome a fixed
-function of the data. tests/test_dedup_ops.py::test_q31_corpus_gap
-pins the assumption so a testdata change fails THERE, not as an opaque
-driver hash mismatch.
+all-pairs truth. q31/q105 run 32 bands x 4 rows, the THRESHOLD-MATCHED
+config (S-curve midpoint (1/32)^(1/4) ~= 0.42, per-pair recall 0.988 AT
+the 0.6 threshold) — they originally ran 8x8 (midpoint ~0.77), whose
+corpus-gap assumption "no qualifying pair below 0.9 Jaccard" held at
+sf0.01 but BROKE at sf0.1, where the r12 cross-sf sweep caught two true
+pairs missed (j=0.818: 16.7% miss at 8x8, now 5.6e-9; j=0.9: 1.1% miss,
+now 1.4e-15). Spark-vs-oracle EQUALITY still assumes a (much smaller)
+corpus gap: no qualifying pair in ~[0.6, 0.7), where even 32x4 has
+miss probability above ~1e-4; the seeded MinHash permutations make the
+outcome a fixed function of the data.
+tests/test_dedup_ops.py::test_q31_corpus_gap pins the assumption so a
+testdata change fails THERE, not as an opaque driver hash mismatch.
 
 Alignment notes:
 - tokens = normalize -> split(' ') (no stopword/stem: dedup wants raw
@@ -97,8 +100,9 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q31 — MinHash-LSH near-duplicate pairs (word 2-shingles, 64 hashes in 8
-# bands x 8 rows, exact-Jaccard verify at 0.6). The Spark side NEVER forms
+# q31 — MinHash-LSH near-duplicate pairs (word 2-shingles, 128 hashes in
+# 32 bands x 4 rows — threshold-matched to the 0.6 verify, see module
+# docstring — exact-Jaccard verify at 0.6). The Spark side NEVER forms
 # the all-pairs space; the oracle IS the all-pairs brute force, so this
 # checks LSH recall, not just arithmetic (see module docstring for the
 # corpus-gap assumption that makes equality deterministic).
@@ -127,7 +131,10 @@ def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
     sh = toks.select("doc_id", word_shingles(F.col("toks"), 2).alias("shingles"))
     return (
-        near_duplicates(sh, "doc_id", "shingles", threshold=0.6, bands=8, rows=8)
+        near_duplicates(
+            sh, "doc_id", "shingles",
+            threshold=0.6, bands=32, rows=4, est_cut=0.4,
+        )
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("id_a", "id_b")
     )
@@ -678,7 +685,8 @@ def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drift from the production path); it persists the band table across
     # its two side-filters internally.
     cand = cross_set_lsh_candidates(
-        sh, "doc_id", "shingles", "source", "src0", bands=8, rows=8
+        sh, "doc_id", "shingles", "source", "src0",
+        bands=32, rows=4, est_cut=0.4,
     )
     n_side = sh.select(F.col("doc_id").alias("new_id"), F.col("shingles").alias("__sh_n"))
     i_side = sh.select(F.col("doc_id").alias("index_id"), F.col("shingles").alias("__sh_i"))

@@ -448,6 +448,10 @@ def corpus_pipeline(
             threshold=_NEARDUP_THRESHOLD,
             bands=near_dup_bands,
             rows=near_dup_rows,
+            # signature-estimate gate 0.2 below the verify threshold
+            # (>=4.6 sigma at 128 hashes): the threshold-matched band
+            # config's background admissions never reach the shingle sets
+            est_cut=_NEARDUP_THRESHOLD - 0.2,
         ).select("id_a", "id_b")
     drop3 = (
         dedup_clusters(pairs)

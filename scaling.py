@@ -15,8 +15,8 @@ code path (not a reimplementation) at every scale factor and records:
 
 Families and their candidate stages:
 
-- q31  MinHash-LSH near-dup : operators/dedup.lsh_candidate_pairs (8x8
-       banded equi-join on the q31 shingle input)
+- q31  MinHash-LSH near-dup : operators/dedup.lsh_candidate_pairs (32x4
+       threshold-matched banded equi-join on the q31 shingle input)
 - q36  exact prefix simjoin : operators/simjoin.prefix_candidates at
        t=0.6 on the q36 (hashed) shingle input
 - q41  LSH ANN              : operators/similarity.lsh_ann_candidates
@@ -37,7 +37,7 @@ Families and their candidate stages:
        the log2(n) width rule (the registry query pins the 64-bit
        oracle instance)
 - q105 incremental near-dup : the cross-set banded join's distinct
-       (new, index) pairs — q31's 8x8 banding restricted to
+       (new, index) pairs — q31's 32x4 banding restricted to
        batch-probes-index (r9, VERDICT r8 #9: the one banded dedup
        family previously without a measured exponent)
 - q116 SemDeDup             : cluster-scoped pair counts (sum of
@@ -122,8 +122,16 @@ def measure_q31(spark, sf_dir: str) -> dict:
     sh = _doc_shingles(spark, sf_dir)
     return {
         "n_input": sh.count(),
+        # raw banded admissions: a threshold-matched curve admits the
+        # corpus's near/below-threshold similarity mass, which on this
+        # template-generated corpus is a constant allpairs fraction
         "candidates": lsh_candidate_pairs(
-            sh, "doc_id", "shingles", bands=8, rows=8
+            sh, "doc_id", "shingles", bands=32, rows=4
+        ).count(),
+        # what the exact shingle-set verify actually sees: candidates
+        # after q31's production signature-estimate gate (est >= 0.4)
+        "verify_pairs": lsh_candidate_pairs(
+            sh, "doc_id", "shingles", bands=32, rows=4, est_cut=0.4
         ).count(),
     }
 
@@ -221,7 +229,7 @@ def measure_q105(spark, sf_dir: str) -> dict:
     """Incremental ingest-vs-index screen (q105): candidates are the
     CROSS-SET banded join's distinct (new, index) pairs, via the SAME
     operator the registered query runs (cross_set_lsh_candidates at
-    q105's 8x8 banding and src0 index predicate — review r9 factored it
+    q105's 32x4 banding and src0 index predicate — review r9 factored it
     out so this measurement cannot drift from the production stage).
     The one banded dedup family without a measured exponent until r9
     (VERDICT r8 #9)."""
@@ -233,7 +241,11 @@ def measure_q105(spark, sf_dir: str) -> dict:
     return {
         "n_input": sh.count(),
         "candidates": cross_set_lsh_candidates(
-            sh, "doc_id", "shingles", "source", "src0", bands=8, rows=8
+            sh, "doc_id", "shingles", "source", "src0", bands=32, rows=4
+        ).count(),
+        "verify_pairs": cross_set_lsh_candidates(
+            sh, "doc_id", "shingles", "source", "src0",
+            bands=32, rows=4, est_cut=0.4,
         ).count(),
     }
 
@@ -627,7 +639,7 @@ NOTES = {
     "q105_incremental_neardup": (
         "cross-set banded join: each ingest batch probes the stored "
         "index band table only at colliding buckets — never re-pairs "
-        "the index against itself; same 8x8 banding as q31"
+        "the index against itself; same 32x4 banding as q31"
     ),
     "q112_substring_dedup": (
         "k-gram anchor table: one row per (doc, position) — linear in "
@@ -729,6 +741,13 @@ def run(spark, sf_dirs: list[str], with_shuffle: bool = True) -> dict:
         fam["candidate_exponent"] = fit_exponent(
             [(r["n_input"], r["candidates"]) for r in rows]
         )
+        if all("verify_pairs" in r for r in rows):
+            # growth of the exact-verify input AFTER the signature-
+            # estimate gate — the stage whose per-pair cost (shingle-set
+            # fetch + intersect) dominates at scale
+            fam["verify_exponent"] = fit_exponent(
+                [(r["n_input"], r["verify_pairs"]) for r in rows]
+            )
         if with_shuffle:
             fam["shuffle_exponent"] = fit_exponent(
                 [(r["n_input"], r.get("shuffle_records", 0)) for r in rows]

@@ -249,12 +249,112 @@ def test_lsh_recall_matches_s_curve_on_planted_pairs(spark):
         df.unpersist()
 
 
+def test_signature_estimate_tracks_true_jaccard(spark):
+    """The 128-hash signature Jaccard estimate (the est_cut gate's
+    statistic) must sit near the true Jaccard: Binomial(128, j)/128 has
+    std sqrt(j(1-j)/128) <= 0.045, so |est - j| < 0.15 is ~3.4 sigma."""
+    from reddit_big_data_spark.operators.dedup import (
+        minhash_signatures,
+        signature_jaccard_estimate,
+    )
+
+    shared = [f"s{k}" for k in range(30)]
+    df = spark.createDataFrame(
+        [
+            (0, shared + [f"a{k}" for k in range(10)]),  # j(0,1) = 0.6
+            (1, shared + [f"b{k}" for k in range(10)]),
+            (2, shared[:5] + [f"c{k}" for k in range(35)]),  # j(0,2) ~ 0.07
+        ],
+        "doc_id long, shingles array<string>",
+    )
+    sigs = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(df, "doc_id", "shingles", 128).collect()
+    }
+    sdf = spark.createDataFrame(
+        [(sigs[0], sigs[1], 0.6), (sigs[0], sigs[2], 5 / 70)],
+        "sa array<bigint>, sb array<bigint>, true_j double",
+    )
+    for row in sdf.select(
+        signature_jaccard_estimate(F.col("sa"), F.col("sb")).alias("est"),
+        "true_j",
+    ).collect():
+        assert abs(row["est"] - row["true_j"]) < 0.15, row
+
+
+def test_est_cut_gate_preserves_threshold_pairs_and_drops_background(spark):
+    """q31's production est_cut=0.4 gate must pass every planted pair AT
+    the 0.6 threshold that banding found (P(drop) ~ 2e-6/pair — zero of
+    200 here, deterministic under the seeded permutations) while
+    discarding planted j~0.1 background pairs that band-collide; and
+    near_duplicates' verified output must be IDENTICAL with and without
+    the gate — the gate only removes pairs the exact verify would have
+    rejected anyway."""
+    from reddit_big_data_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        near_duplicates,
+    )
+
+    n_pairs, shared, only = 200, 30, 10
+    rows = []
+    for p in range(n_pairs):
+        sh = [f"p{p}_s{k}" for k in range(shared)]
+        rows.append((2 * p, sh + [f"p{p}_a{k}" for k in range(only)]))
+        rows.append((2 * p + 1, sh + [f"p{p}_b{k}" for k in range(only)]))
+    # background docs: 4 shingles shared with pair-0's doc-0, 36 unique
+    # -> j ~ 4/76 ~ 0.05 against doc 0, far below the 0.4 gate
+    base = [f"p0_s{k}" for k in range(4)]
+    for b in range(50):
+        rows.append((10_000 + b, base + [f"bg{b}_{k}" for k in range(36)]))
+    df = spark.createDataFrame(
+        rows, "doc_id long, shingles array<string>"
+    ).persist()
+    try:
+        banded = lsh_candidate_pairs(df, "doc_id", "shingles", 32, 4)
+        gated = lsh_candidate_pairs(
+            df, "doc_id", "shingles", 32, 4, est_cut=0.4
+        )
+        is_planted = "id_b = id_a + 1 and id_a % 2 = 0 and id_a < 10000"
+        assert (
+            gated.filter(is_planted).count()
+            == banded.filter(is_planted).count()
+        )
+        # the background mass band-collides somewhere but never survives
+        # the estimate gate
+        assert gated.filter("id_a >= 10000 or id_b >= 10000").count() == 0
+        verified_plain = {
+            (r["id_a"], r["id_b"])
+            for r in near_duplicates(
+                df, "doc_id", "shingles", threshold=0.6, bands=32, rows=4
+            ).collect()
+        }
+        verified_gated = {
+            (r["id_a"], r["id_b"])
+            for r in near_duplicates(
+                df,
+                "doc_id",
+                "shingles",
+                threshold=0.6,
+                bands=32,
+                rows=4,
+                est_cut=0.4,
+            ).collect()
+        }
+        assert verified_gated == verified_plain
+    finally:
+        df.unpersist()
+
+
 def test_q31_corpus_gap(duck):
     """Pin the corpus-gap assumption that makes q31's Spark==oracle equality
-    deterministic: 8x8 LSH has material miss probability for pairs in
-    roughly [0.6, 0.9) Jaccard; the testdata must contain NO qualifying
-    pair in that band. If testdata regeneration ever plants one, THIS
-    fails — instead of q31 flaking at the driver's hash gate."""
+    deterministic: the threshold-matched 32x4 LSH still has miss
+    probability above ~1e-4 for pairs in [0.6, 0.7) Jaccard (1.2e-2 at
+    0.6 itself); the testdata must contain NO qualifying pair in that
+    band. If testdata regeneration ever plants one, THIS fails — instead
+    of q31 flaking at the driver's hash gate. (The old 8x8 config needed
+    the gap to span [0.6, 0.9) and sf0.1 violated it — two true pairs at
+    j=0.818/0.9 missed, caught by the r12 cross-sf sweep; above 0.7 the
+    32x4 per-pair miss is <=1.5e-4 and falls super-exponentially.)"""
     from tests.conftest import SF_ORACLE
 
     duck.execute(
@@ -286,7 +386,7 @@ def test_q31_corpus_gap(duck):
         ).fetchall()
     ]
     assert js, "expected planted near-dup pairs in the testdata"
-    in_band = [j for j in js if j < 0.9]
+    in_band = [j for j in js if j < 0.7]
     assert not in_band, f"qualifying pairs inside the LSH low-recall band: {in_band}"
 
 
