@@ -78,6 +78,14 @@ def sweep(
     from reddit_big_data_spark.registry import all_queries
     from reddit_big_data_spark.session import get_spark
 
+    registered = all_queries()
+    if only is not None:
+        unknown = sorted(only - set(registered))
+        if unknown:
+            # a typo'd --only would otherwise sweep nothing and exit 0 —
+            # a targeted re-verification that silently verified nothing
+            print(f"--only names not in the registry: {unknown}")
+            return 2
     spark = get_spark(app_name="oracle_sweep")
     con = duckdb.connect()
     for t in TABLES:
@@ -88,7 +96,7 @@ def sweep(
     ok = skipped = rows_only = 0
     failures: list[str] = []
     timeouts: list[str] = []
-    for name, q in sorted(all_queries().items()):
+    for name, q in sorted(registered.items()):
         if only is not None and name not in only:
             continue
         if q.sf_pinned:
@@ -148,10 +156,21 @@ def main() -> int:
     only: set[str] | None = None
     if "--timeout" in args:
         i = args.index("--timeout")
+        if i + 1 >= len(args):
+            print("usage: --timeout SECS (positive number)")
+            return 2
         timeout_s = float(args[i + 1])
+        if timeout_s <= 0:
+            # a falsy 0 would silently mean 'unbounded' — the hours-long
+            # sf0.1 hang the flag exists to prevent
+            print("usage: --timeout SECS must be > 0")
+            return 2
         del args[i : i + 2]
     if "--only" in args:
         i = args.index("--only")
+        if i + 1 >= len(args):
+            print("usage: --only name1,name2,...")
+            return 2
         only = set(args[i + 1].split(","))
         del args[i : i + 2]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"

@@ -284,11 +284,14 @@ def cross_set_lsh_candidates(
     pipeline from the source scan). At 100 TB the index side's band table
     is the precomputed, bucketed artifact a deployment stores; each
     ingest touches only colliding buckets."""
-    sigs = (
-        minhash_signatures(sh, id_col, shingle_col, bands * rows)
-        .join(sh.select(id_col, source_col), id_col)
-        .persist()  # consumed by banding and (with est_cut) both est sides
+    sigs = minhash_signatures(sh, id_col, shingle_col, bands * rows).join(
+        sh.select(id_col, source_col), id_col
     )
+    if est_cut is not None:
+        # three consumers (banding + both est sides); without the gate,
+        # banding — itself persisted below — is the only reader and the
+        # cache would hold a bands*rows-long array per doc for one pass
+        sigs = sigs.persist()
     banded = sigs.select(
         id_col,
         source_col,

@@ -448,10 +448,16 @@ def corpus_pipeline(
             threshold=_NEARDUP_THRESHOLD,
             bands=near_dup_bands,
             rows=near_dup_rows,
-            # signature-estimate gate 0.2 below the verify threshold
-            # (>=4.6 sigma at 128 hashes): the threshold-matched band
-            # config's background admissions never reach the shingle sets
-            est_cut=_NEARDUP_THRESHOLD - 0.2,
+            # signature-estimate gate 4.6 sigma below the verify
+            # threshold (sigma <= 0.5/sqrt(k) hashes, so margin
+            # 2.3/sqrt(k); 0.203 at the 32x4 default's k=128): the
+            # threshold-matched band config's background admissions never
+            # reach the shingle sets, and the margin tracks bands/rows
+            # when a deployment re-matches the curve — a fixed 0.2 would
+            # quietly shrink to ~2.3 sigma at k=32 and falsely drop ~1%
+            # of true threshold pairs (review r12)
+            est_cut=_NEARDUP_THRESHOLD
+            - 2.3 / (near_dup_bands * near_dup_rows) ** 0.5,
         ).select("id_a", "id_b")
     drop3 = (
         dedup_clusters(pairs)

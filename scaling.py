@@ -129,7 +129,11 @@ def measure_q31(spark, sf_dir: str) -> dict:
             sh, "doc_id", "shingles", bands=32, rows=4
         ).count(),
         # what the exact shingle-set verify actually sees: candidates
-        # after q31's production signature-estimate gate (est >= 0.4)
+        # after q31's production signature-estimate gate (est >= 0.4).
+        # Deliberately a second full operator call (re-deriving
+        # signatures) rather than a hand-rolled est join over the first
+        # call's pairs: the harness measures PRODUCTION stages only
+        # (review r9), at the price of ~2x wall-clock for this family.
         "verify_pairs": lsh_candidate_pairs(
             sh, "doc_id", "shingles", bands=32, rows=4, est_cut=0.4
         ).count(),

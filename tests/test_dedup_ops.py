@@ -263,7 +263,7 @@ def test_signature_estimate_tracks_true_jaccard(spark):
         [
             (0, shared + [f"a{k}" for k in range(10)]),  # j(0,1) = 0.6
             (1, shared + [f"b{k}" for k in range(10)]),
-            (2, shared[:5] + [f"c{k}" for k in range(35)]),  # j(0,2) ~ 0.07
+            (2, shared[:5] + [f"c{k}" for k in range(35)]),  # j(0,2) = 5/75
         ],
         "doc_id long, shingles array<string>",
     )
@@ -272,7 +272,7 @@ def test_signature_estimate_tracks_true_jaccard(spark):
         for r in minhash_signatures(df, "doc_id", "shingles", 128).collect()
     }
     sdf = spark.createDataFrame(
-        [(sigs[0], sigs[1], 0.6), (sigs[0], sigs[2], 5 / 70)],
+        [(sigs[0], sigs[1], 0.6), (sigs[0], sigs[2], 5 / 75)],
         "sa array<bigint>, sb array<bigint>, true_j double",
     )
     for row in sdf.select(

@@ -49,3 +49,35 @@ def test_fetch_oracle_no_timeout_path():
     con = duckdb.connect()
     df = _fetch_oracle(con, "SELECT 3 AS x", timeout_s=None)
     assert df["x"].tolist() == [3]
+
+
+def test_idle_interrupt_does_not_poison_next_oracle():
+    """The watchdog can lose the race: the oracle finishes just under
+    budget and interrupt() fires on an idle connection. On this DuckDB
+    an idle interrupt is a no-op — pinned here so a version where the
+    stale flag aborts the NEXT oracle (turning it into a spurious
+    ORACLE-TIMEOUT, i.e. silent coverage loss) fails loudly."""
+    con = duckdb.connect()
+    con.interrupt()
+    assert con.execute("SELECT 1").fetchone() == (1,)
+
+
+def test_only_filter_rejects_unknown_names():
+    """A typo'd --only must exit non-zero instead of sweeping nothing
+    and reporting green (review r12)."""
+    from oracle_sweep import sweep
+
+    assert sweep("/root/testdata/sf0.001", only={"q31_minhash_nearddup"}) == 2
+
+
+def test_main_rejects_zero_and_missing_timeout(monkeypatch):
+    from oracle_sweep import main
+
+    monkeypatch.setattr(
+        sys, "argv", ["oracle_sweep.py", "/x", "--timeout", "0"]
+    )
+    assert main() == 2
+    monkeypatch.setattr(sys, "argv", ["oracle_sweep.py", "--timeout"])
+    assert main() == 2
+    monkeypatch.setattr(sys, "argv", ["oracle_sweep.py", "--only"])
+    assert main() == 2
