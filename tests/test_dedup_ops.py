@@ -390,6 +390,31 @@ def test_q31_corpus_gap(duck):
     assert not in_band, f"qualifying pairs inside the LSH low-recall band: {in_band}"
 
 
+def test_q31_corpus_gap_sf01(spark):
+    """The sf0.1 twin of the corpus-gap pin, via the EXACT prefix-filter
+    simjoin (recall 1.0 by construction, itself oracle-verified at sf0.1
+    this round) instead of the DuckDB all-pairs CTE, which takes minutes
+    at 5000 docs. This is the corpus where the gap actually broke in r12
+    (true pairs at j=0.818/0.9 sat inside 8x8's [0.6, 0.9) low-recall
+    band): a testdata regeneration that plants a qualifying pair below
+    0.7 at ANY shipped scale factor must fail a test, not the driver
+    gate or only the slow cross-sf sweep."""
+    from reddit_big_data_spark.operators.simjoin import similarity_join
+    from reddit_big_data_spark.queries.dedup import _tokens
+    from reddit_big_data_spark.operators.dedup import word_shingles
+
+    sh = _tokens(spark, "/root/testdata/sf0.1").select(
+        "doc_id", word_shingles(F.col("toks"), 2).alias("shingles")
+    )
+    pairs = similarity_join(sh, "doc_id", "shingles", threshold=0.6)
+    js = [r["jaccard"] for r in pairs.collect()]
+    assert js, "expected planted near-dup pairs in the sf0.1 testdata"
+    in_band = [j for j in js if j < 0.7]
+    assert not in_band, f"qualifying sf0.1 pairs inside the 32x4 low-recall band: {in_band}"
+    # the r12 sweep's two 8x8-missed pairs are still the corpus floor
+    assert min(js) > 0.8, min(js)
+
+
 def test_simhash_hamming_banding_equals_brute_force(spark):
     """Pigeonhole recall property: the banded hamming join must return
     EXACTLY the brute-force pairs within max_hamming, on signatures
