@@ -48,12 +48,25 @@ def ovr_linear_svc(
     features_col: str = "features",
     weight_col: str | None = "weight",
     max_iter: int = 20,
+    parallelism: int = 4,
 ) -> OneVsRest:
-    """M8: LinearSVC one-vs-rest (ML_Sentiment.py:385)."""
+    """M8: LinearSVC one-vs-rest (ML_Sentiment.py:385).
+
+    `parallelism` overlaps the K independent binary fits (Spark's
+    default is 1 = strictly sequential); each fit's own distributed
+    OWLQN passes are unchanged — same data, same partitioning, same
+    aggregation tree — so the fitted models (and q165's pinned VALUES
+    snapshot) are byte-identical, only the wall-clock drops (measured
+    ~10.5s -> see bench detail at sf0.1 for q165)."""
     svc = LinearSVC(labelCol=label_col, featuresCol=features_col, maxIter=max_iter)
     if weight_col:
         svc = svc.setWeightCol(weight_col)
-    ovr = OneVsRest(classifier=svc, labelCol=label_col, featuresCol=features_col)
+    ovr = OneVsRest(
+        classifier=svc,
+        labelCol=label_col,
+        featuresCol=features_col,
+        parallelism=parallelism,
+    )
     return ovr.setWeightCol(weight_col) if weight_col else ovr
 
 
