@@ -16,7 +16,11 @@ legitimately scale-bound, not failures.
 Usage:
     python oracle_sweep.py                        # sf0.001 (default)
     python oracle_sweep.py /root/testdata/sf0.01  # the driver's corpus
-Exit code 0 iff every non-pinned query matches.
+Exit code 0 iff no COMPARED oracle mismatched or errored. ``--timeout``
+and ``--only`` narrow the compared set (timed-out oracles and skipped
+names are reported but are out of the run's domain, not failures), so a
+0 from a narrowed run certifies only what the summary line says it
+compared (ADVICE r12).
 
 SENSIBLE DOMAIN: sf0.001 and sf0.01 run every oracle to completion.
 Several oracles are deliberately brute-force (q130's all-pairs
@@ -159,7 +163,13 @@ def main() -> int:
         if i + 1 >= len(args):
             print("usage: --timeout SECS (positive number)")
             return 2
-        timeout_s = float(args[i + 1])
+        try:
+            timeout_s = float(args[i + 1])
+        except ValueError:
+            # '--timeout abc' / '--timeout --only' would otherwise die in
+            # an uncaught ValueError traceback instead of usage (ADVICE r12)
+            print("usage: --timeout SECS (positive number)")
+            return 2
         if timeout_s <= 0:
             # a falsy 0 would silently mean 'unbounded' — the hours-long
             # sf0.1 hang the flag exists to prevent

@@ -36,28 +36,14 @@ tests/test_rotation.py::test_no_query_exceeds_staleness_limit turns
 invariant (a) into CI: it fails if running this window next round would
 leave any registered query >3 rounds driver-stale (VERDICT r11 #5).
 
-Round-12 window composition (the first fully mechanical rotation —
-VERDICT r11 #1 — this list is the verbatim `python rotation.py` output
-over CORRECTNESS_r01..r11 and the 168-query registry; diff is empty):
-1. The TWO never-driver-green entries (invariant (c)): q167
-   boosted-trees and q168 one-hot-semantics, which landed past the
-   r11 cap.
-2. The full r8-STALE cohort at the 3-round limit (invariant (a)
-   breaks if any slips): q31-q36, q40, q42, q44-q46, q48, q50, q51,
-   q55, q66 — sixteen queries, all four-times-green, last driver row
-   r8.
-3. Oldest-stale fill to 50 from the r9-last-green cohort, cumulative
-   greens ascending then number: the twice-green twelve (q139-q150),
-   then thrice-green by number (q110-q125, q65, q75-q77) to fill
-   exactly.
-After this round the >=3-round-stale set is the remaining r9 cohort,
-which MUST lead the r13 fill (rotation.py computes it). Registry holds
-at 168 of the 4x50=200 window capacity — ZERO net new queries this
-round per VERDICT r11 #2's consolidation posture (2 never-green + 16
-forced-stale leaves 32 fill slots; at 168 registered the staleness
-arithmetic (K+1)*50=200 >= 168 stays comfortable, and every query not
-in the window was driver-green in r9-r11 and stays covered by the
-mirror (b)).
+Round-13 window composition: the verbatim `python rotation.py` output
+over CORRECTNESS_r01..r12 and the registry (diff empty; see the
+WINDOW_ORDER comment below for the cohort breakdown). Registry grows
+168 -> 169 this round — ONE net new query (q169 codec-stats, VERDICT
+r12 #2's codec-stub retirement), inside the <=2 budget of VERDICT r12
+#3; at 169 registered the staleness arithmetic (K+1)*50 = 200 >= 169
+stays comfortable, and every query not in the window was driver-green
+in r10-r12 and stays covered by the mirror (b).
 """
 
 from reddit_big_data_spark.queries import (  # noqa: F401
@@ -94,61 +80,70 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 )
 
 # First 50 names = the driver correctness window for THIS round.
+#
+# Round-13 window composition (verbatim `python rotation.py` output over
+# CORRECTNESS_r01..r12 and the registry; diff is empty):
+# 1. The never-driver-green entry (invariant (c)): q169 codec-stats,
+#    the round's one new registration (real BMP/WAV/RBV1 decoders,
+#    VERDICT r12 #2).
+# 2. The full r9-STALE cohort at the 3-round limit (invariant (a)
+#    breaks if any slips): q78-q87, q89-q96 — eighteen queries, last
+#    driver row r9.
+# 3. Oldest-stale fill to 50 from the r10-last-green cohort, cumulative
+#    greens ascending then number. q127_top_supplier is displaced by
+#    q169 this round and rejoins in r14 (it was r10-green, so its
+#    staleness stays within the 3-round bound —
+#    tests/test_rotation.py::test_no_query_exceeds_staleness_limit
+#    verifies the arithmetic).
 WINDOW_ORDER: list[str] = [
-    # -- never driver-green (invariant (c)): the two post-cap r11 additions
-    "q167_boosted_trees",
-    "q168_onehot_semantics",
-    # -- the full r8-stale cohort (invariant (a)): sixteen queries at the
-    #    3-round staleness limit — the invariant breaks if any slips
-    "q31_minhash_neardup",
-    "q32_simhash",
-    "q33_ngram_jaccard",
-    "q34_winnowing",
-    "q35_dedup_clusters",
-    "q36_prefix_simjoin",
-    "q40_cosine_topk",
-    "q42_label_centroids",
-    "q44_cosine_neardup",
-    "q45_kmeans",
-    "q46_int8_quantization",
-    "q48_embedding_dedup_clusters",
-    "q50_json_props",
-    "q51_tumbling_windows",
-    "q55_time_rollup",
-    "q66_decontamination",
-    # -- oldest-stale fill to 50: the r9-last-green cohort, cumulative
-    #    greens ascending then number. Twice-green first ...
-    "q139_streaming_idempotent_sink",
-    "q140_dsir_importance",
-    "q141_zipf_slope",
-    "q142_triangle_count",
-    "q143_funnel",
-    "q144_cohort_retention",
-    "q145_copurchase_components",
-    "q146_streaming_outer_attribution",
-    "q147_bitmap_distinct_rollup",
-    "q148_transition_matrix",
-    "q149_psi_drift",
-    "q150_association_rules",
-    #    ... then thrice-green by number to fill to 50
-    "q110_constraint_audit",
-    "q111_langid_ngram",
-    "q112_substring_dedup",
-    "q113_shard_manifest",
-    "q114_mixture_weights",
-    "q115_cdc_chunks",
-    "q116_semdedup",
-    "q117_returned_revenue",
-    "q118_large_volume_orders",
-    "q119_disjunctive_revenue",
-    "q120_supplier_diversity",
-    "q121_sole_late_supplier",
-    "q122_kmv_overlap",
-    "q123_bpe_tokenize",
-    "q124_novelty_curve",
-    "q125_label_noise",
-    "q65_grouped_ols",
-    "q75_pii_redaction",
-    "q76_quality_funnel",
-    "q77_boilerplate_shingles",
+    "q169_codec_stats",
+    "q78_exists_late_orders",
+    "q79_below_avg_quantity",
+    "q80_dormant_high_balance",
+    "q81_winsorized_stats",
+    "q82_pagerank",
+    "q83_zorder_layout",
+    "q84_bloom_semi_join",
+    "q85_mixture_sample",
+    "q86_local_supplier_volume",
+    "q87_rank_family",
+    "q89_variant_props",
+    "q90_mad_outliers",
+    "q91_k_per_group_sample",
+    "q92_gap_fill",
+    "q93_volume_shipping",
+    "q94_market_share",
+    "q95_scd2_history",
+    "q96_fuzzy_name_match",
+    "q151_rolling_revenue",
+    "q152_khop_reachability",
+    "q153_streaming_sliding_windows",
+    "q154_benford_audit",
+    "q155_chi2_independence",
+    "q156_ks_two_sample",
+    "q157_daily_acf",
+    "q158_rfm_segmentation",
+    "q159_pareto_abc",
+    "q160_gini_revenue",
+    "q161_corpus_pipeline",
+    "q128_unigram_tokenize",
+    "q129_tokenizer_compare",
+    "q130_neardup_retention",
+    "q131_streaming_windowed_counts",
+    "q132_streaming_dedup",
+    "q133_streaming_enrich",
+    "q134_streaming_attribution",
+    "q135_streaming_sketch_rollup",
+    "q22_approx_distinct_percentiles",
+    "q24_summary_stats",
+    "q41_lsh_ann",
+    "q43_ivf_ann",
+    "q59_sketch_rollup",
+    "q60_rf_pipeline",
+    "q69_cms_heavy_hitters",
+    "q88_kmv_rollup",
+    "q97_tdigest_rollup",
+    "q98_simhash_hamming",
+    "q99_weighted_sample",
+    "q126_forecast_revenue",
 ]

@@ -120,7 +120,7 @@ def measure_q31(spark, sf_dir: str) -> dict:
     from reddit_big_data_spark.operators.dedup import lsh_candidate_pairs
 
     sh = _doc_shingles(spark, sf_dir)
-    return {
+    out = {
         "n_input": sh.count(),
         # raw banded admissions: a threshold-matched curve admits the
         # corpus's near/below-threshold similarity mass, which on this
@@ -128,16 +128,22 @@ def measure_q31(spark, sf_dir: str) -> dict:
         "candidates": lsh_candidate_pairs(
             sh, "doc_id", "shingles", bands=32, rows=4
         ).count(),
-        # what the exact shingle-set verify actually sees: candidates
-        # after q31's production signature-estimate gate (est >= 0.4).
-        # Deliberately a second full operator call (re-deriving
-        # signatures) rather than a hand-rolled est join over the first
-        # call's pairs: the harness measures PRODUCTION stages only
-        # (review r9), at the price of ~2x wall-clock for this family.
-        "verify_pairs": lsh_candidate_pairs(
-            sh, "doc_id", "shingles", bands=32, rows=4, est_cut=0.4
-        ).count(),
     }
+    # drop the raw call's persisted signature/band tables before the
+    # gated twin re-derives its own — without this boundary the two
+    # calls' 128-long signature caches coexist and pile onto the sweep's
+    # LRU (ADVICE r12); counts are complete, so the release is safe
+    sh.sparkSession.catalog.clearCache()
+    # what the exact shingle-set verify actually sees: candidates after
+    # q31's production signature-estimate gate (est >= 0.4).
+    # Deliberately a second full operator call (re-deriving signatures)
+    # rather than a hand-rolled est join over the first call's pairs:
+    # the harness measures PRODUCTION stages only (review r9), at the
+    # price of ~2x wall-clock for this family.
+    out["verify_pairs"] = lsh_candidate_pairs(
+        sh, "doc_id", "shingles", bands=32, rows=4, est_cut=0.4
+    ).count()
+    return out
 
 
 def measure_q36(spark, sf_dir: str) -> dict:
@@ -242,16 +248,20 @@ def measure_q105(spark, sf_dir: str) -> dict:
 
     src = read_table(spark, sf_dir, "documents").select("doc_id", "source")
     sh = _doc_shingles(spark, sf_dir).join(src, "doc_id")
-    return {
+    out = {
         "n_input": sh.count(),
         "candidates": cross_set_lsh_candidates(
             sh, "doc_id", "shingles", "source", "src0", bands=32, rows=4
         ).count(),
-        "verify_pairs": cross_set_lsh_candidates(
-            sh, "doc_id", "shingles", "source", "src0",
-            bands=32, rows=4, est_cut=0.4,
-        ).count(),
     }
+    # same cache boundary as measure_q31: release the raw call's persisted
+    # band table before the gated twin caches its own (ADVICE r12)
+    spark.catalog.clearCache()
+    out["verify_pairs"] = cross_set_lsh_candidates(
+        sh, "doc_id", "shingles", "source", "src0",
+        bands=32, rows=4, est_cut=0.4,
+    ).count()
+    return out
 
 
 def measure_q116(spark, sf_dir: str) -> dict:

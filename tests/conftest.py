@@ -9,6 +9,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+# The 10x corpus where the r12 LSH corpus-gap pin lives; tests that need
+# it skip (not fail) on checkouts without the large testdata (ADVICE r12).
+SF_LARGE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 @pytest.fixture(scope="session")

@@ -4,7 +4,12 @@ generation never degrades to a cartesian product."""
 
 from __future__ import annotations
 
+import os
+
+import pytest
 from pyspark.sql import functions as F
+
+from tests.conftest import SF_LARGE
 
 from reddit_big_data_spark.operators.dedup import (
     char_shingles,
@@ -390,6 +395,10 @@ def test_q31_corpus_gap(duck):
     assert not in_band, f"qualifying pairs inside the LSH low-recall band: {in_band}"
 
 
+@pytest.mark.skipif(
+    not os.path.isdir(SF_LARGE),
+    reason="sf0.1 corpus not present on this checkout (ADVICE r12)",
+)
 def test_q31_corpus_gap_sf01(spark):
     """The sf0.1 twin of the corpus-gap pin, via the EXACT prefix-filter
     simjoin (recall 1.0 by construction, itself oracle-verified at sf0.1
@@ -403,7 +412,7 @@ def test_q31_corpus_gap_sf01(spark):
     from reddit_big_data_spark.queries.dedup import _tokens
     from reddit_big_data_spark.operators.dedup import word_shingles
 
-    sh = _tokens(spark, "/root/testdata/sf0.1").select(
+    sh = _tokens(spark, SF_LARGE).select(
         "doc_id", word_shingles(F.col("toks"), 2).alias("shingles")
     )
     pairs = similarity_join(sh, "doc_id", "shingles", threshold=0.6)

@@ -45,6 +45,14 @@ _ALLOW: dict[str, dict[str, str]] = {
         "dictionary-trick pandas UDFs over the DISTINCT vocabulary, "
         "never the corpus rows",
     },
+    "q169_codec_stats": {
+        "PY_ARROW": "media encode/decode IS the operator: real BMP/WAV/"
+        "RBV1 codec work is byte-level Python by nature (the sanctioned "
+        "mapInPandas surface for multimodal columns per the brief), it "
+        "runs on the 1-in-29 sampled media rows only, and the stats are "
+        "reduced executor-side before the kind-level groupBy — no "
+        "payload ever reaches the driver",
+    },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
         "estimate row and the two exact count aggregates) join on "
