@@ -33,19 +33,68 @@ it as ORACLE-TIMEOUT (out of the sweep's domain, NOT a failure — the
 Spark side still executed to completion at that corpus), so the ~95%
 of oracles that ARE linear still get the full dtype-strict compare at
 the 10x corpus where rounding-tie exposure is highest.
+
+TRUTH FIXTURES (VERDICT r12 #4): the quadratic truths need deriving
+only ONCE per (corpus, oracle SQL). Any oracle that takes longer than
+``AUTO_FIXTURE_SECS`` writes its result to
+``tests/fixtures/oracle_truth/{name}.{corpus_md5}.{sql_md5}.parquet``;
+later sweeps load the fixture instead of re-running DuckDB, so the
+routine sf0.1 sweep completes with ZERO oracle-timeout rows once the
+slow truths are materialized (one unbounded --only run). Staleness is
+structural: the key embeds the md5 of every table file AND of the
+oracle SQL, so a testdata regeneration or an oracle edit misses the
+key — the sweep then prints a LOUD ``FIXTURE-STALE`` line naming the
+orphaned files and re-derives the truth live (timing out rather than
+silently comparing against the wrong corpus's truth). Delete a fixture
+file to force re-derivation.
 """
 
 from __future__ import annotations
 
+import glob
+import hashlib
 import os
 import sys
 import threading
+import time
 
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "tests", "fixtures", "oracle_truth",
+)
+# An oracle slower than this self-fixtures on its first successful run —
+# no hand-maintained slow list to drift (the quadratic q130/q35/q36
+# truths take minutes-to-an-hour at sf0.1; everything linear is seconds).
+AUTO_FIXTURE_SECS = 30.0
+
+
+def corpus_digest(sf_dir: str) -> str:
+    """md5 over every table file's bytes (~17 MB at sf0.1 — instant).
+    Conservative on purpose: regenerating ANY table invalidates every
+    fixture for that corpus rather than tracking per-query lineage."""
+    h = hashlib.md5()
+    for t in TABLES:
+        with open(os.path.join(sf_dir, t) + ".parquet", "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def fixture_path(name: str, oracle_sql: str, cdig: str) -> str:
+    sdig = hashlib.md5(oracle_sql.encode()).hexdigest()[:12]
+    return os.path.join(FIXTURE_DIR, f"{name}.{cdig}.{sdig}.parquet")
+
+
+def stale_fixtures(name: str, current_path: str) -> list[str]:
+    """Fixture files for `name` whose corpus/SQL digest no longer matches
+    — orphans from a regenerated corpus or an edited oracle."""
+    pattern = os.path.join(FIXTURE_DIR, f"{name}.*.parquet")
+    return sorted(p for p in glob.glob(pattern) if p != current_path)
 
 
 def _fetch_oracle(con, sql: str, timeout_s: float | None):
@@ -90,6 +139,8 @@ def sweep(
             # a targeted re-verification that silently verified nothing
             print(f"--only names not in the registry: {unknown}")
             return 2
+    import pandas as pd
+
     spark = get_spark(app_name="oracle_sweep")
     con = duckdb.connect()
     for t in TABLES:
@@ -97,7 +148,8 @@ def sweep(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(sf_dir, t)}.parquet')"
         )
-    ok = skipped = rows_only = 0
+    cdig = corpus_digest(sf_dir)
+    ok = skipped = rows_only = fixtures_used = 0
     failures: list[str] = []
     timeouts: list[str] = []
     for name, q in sorted(registered.items()):
@@ -113,22 +165,48 @@ def sweep(
                 rows_only += 1
                 print(f"{name}: rows-only ({len(sdf)} rows)", flush=True)
                 continue
-            try:
-                ddf = _fetch_oracle(con, q.oracle, timeout_s)
-            except duckdb.InterruptException:
-                timeouts.append(name)
-                print(
-                    f"{name}: ORACLE-TIMEOUT >{timeout_s}s "
-                    f"(spark side ran: {len(sdf)} rows)",
-                    flush=True,
-                )
-                continue
+            fpath = fixture_path(name, q.oracle, cdig)
+            from_fixture = os.path.exists(fpath)
+            if from_fixture:
+                ddf = pd.read_parquet(fpath)
+            else:
+                orphans = stale_fixtures(name, fpath)
+                if orphans:
+                    print(
+                        f"{name}: FIXTURE-STALE — corpus or oracle changed "
+                        f"since these truths were derived, re-deriving live: "
+                        f"{[os.path.basename(p) for p in orphans]}",
+                        flush=True,
+                    )
+                t0 = time.monotonic()
+                try:
+                    ddf = _fetch_oracle(con, q.oracle, timeout_s)
+                except duckdb.InterruptException:
+                    timeouts.append(name)
+                    print(
+                        f"{name}: ORACLE-TIMEOUT >{timeout_s}s "
+                        f"(spark side ran: {len(sdf)} rows; materialize the "
+                        f"truth fixture once via "
+                        f"`python oracle_sweep.py {sf_dir} --only {name}`)",
+                        flush=True,
+                    )
+                    continue
+                if time.monotonic() - t0 > AUTO_FIXTURE_SECS:
+                    os.makedirs(FIXTURE_DIR, exist_ok=True)
+                    ddf.to_parquet(fpath, index=False)
+                    print(
+                        f"{name}: truth fixture written "
+                        f"({os.path.basename(fpath)})",
+                        flush=True,
+                    )
             cols = sorted(sdf.columns)
             a = sdf[cols].sort_values(cols).reset_index(drop=True)
             b = ddf[cols].sort_values(cols).reset_index(drop=True)
             if a.equals(b):
                 ok += 1
-                print(f"{name}: OK ({len(a)} rows)", flush=True)
+                fixtures_used += from_fixture
+                suffix = " [fixture]" if from_fixture else ""
+                print(f"{name}: OK ({len(a)} rows){suffix}", flush=True)
             else:
                 failures.append(name)
                 print(
@@ -146,7 +224,8 @@ def sweep(
 
         release_local_checkpoints(spark)
     print(
-        f"\nORACLE SWEEP {sf_dir}: {ok} hash-green + {rows_only} rows-only, "
+        f"\nORACLE SWEEP {sf_dir}: {ok} hash-green "
+        f"({fixtures_used} vs stored truth fixtures) + {rows_only} rows-only, "
         f"{skipped} sf-pinned skipped, "
         f"{len(timeouts)} oracle-timeout {timeouts}, failures: {failures}",
         flush=True,

@@ -39,9 +39,10 @@ leave any registered query >3 rounds driver-stale (VERDICT r11 #5).
 Round-13 window composition: the verbatim `python rotation.py` output
 over CORRECTNESS_r01..r12 and the registry (diff empty; see the
 WINDOW_ORDER comment below for the cohort breakdown). Registry grows
-168 -> 169 this round — ONE net new query (q169 codec-stats, VERDICT
-r12 #2's codec-stub retirement), inside the <=2 budget of VERDICT r12
-#3; at 169 registered the staleness arithmetic (K+1)*50 = 200 >= 169
+168 -> 170 this round — TWO net new queries (q169 codec-stats per
+VERDICT r12 #2, q170 TPC-H Q9 over the derived partsupp per VERDICT
+r12 #6), exactly the <=2 budget of VERDICT r12 #3 and the <=170 cap;
+at 170 registered the staleness arithmetic (K+1)*50 = 200 >= 170
 stays comfortable, and every query not in the window was driver-green
 in r10-r12 and stays covered by the mirror (b).
 """
@@ -75,6 +76,7 @@ from reddit_big_data_spark.queries import (  # noqa: F401
     udtfq,
     streamingq,
     multimodal,
+    partsupp,
     mlq,
     pipeline,
 )
@@ -83,20 +85,22 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 #
 # Round-13 window composition (verbatim `python rotation.py` output over
 # CORRECTNESS_r01..r12 and the registry; diff is empty):
-# 1. The never-driver-green entry (invariant (c)): q169 codec-stats,
-#    the round's one new registration (real BMP/WAV/RBV1 decoders,
-#    VERDICT r12 #2).
+# 1. The TWO never-driver-green entries (invariant (c)): q169
+#    codec-stats (real BMP/WAV/RBV1 decoders, VERDICT r12 #2) and
+#    q170 TPC-H-Q9-over-derived-partsupp (VERDICT r12 #6) — the
+#    round's two new registrations, the full <=2 budget.
 # 2. The full r9-STALE cohort at the 3-round limit (invariant (a)
 #    breaks if any slips): q78-q87, q89-q96 — eighteen queries, last
 #    driver row r9.
 # 3. Oldest-stale fill to 50 from the r10-last-green cohort, cumulative
-#    greens ascending then number. q127_top_supplier is displaced by
-#    q169 this round and rejoins in r14 (it was r10-green, so its
+#    greens ascending then number. q126/q127 are displaced by the two
+#    new registrations and rejoin in r14 (both r10-green, so their
 #    staleness stays within the 3-round bound —
 #    tests/test_rotation.py::test_no_query_exceeds_staleness_limit
 #    verifies the arithmetic).
 WINDOW_ORDER: list[str] = [
     "q169_codec_stats",
+    "q170_product_type_profit",
     "q78_exists_late_orders",
     "q79_below_avg_quantity",
     "q80_dormant_high_balance",
@@ -145,5 +149,4 @@ WINDOW_ORDER: list[str] = [
     "q97_tdigest_rollup",
     "q98_simhash_hamming",
     "q99_weighted_sample",
-    "q126_forecast_revenue",
 ]

@@ -1,0 +1,380 @@
+"""Derived PARTSUPP + the four TPC-H shapes that need it (Q2/Q9/Q11/Q20)
+— closing the one remaining TPC-H coverage gap (VERDICT r12 #6: the
+driver testdata ships no partsupp table, so one is DERIVED
+deterministically from part x supplier and the oracle replays the same
+derivation CTE).
+
+Derivation (dbgen-inspired, simplified so the 4 suppliers per part are
+distinct at EVERY corpus size): for part p and i in 0..3,
+
+    ps_suppkey         = (p + i * (S // 4)) % S          (S = |supplier|)
+    ps_availqty        = (p * 31 + ps_suppkey * 17) % 9999 + 1
+    ps_supplycost_cents = (p * 7 + ps_suppkey * 13) % 92000 + 100
+
+The i * (S // 4) offsets are strictly increasing and < S, so the four
+suppkeys per part are always distinct (dbgen's extra p/S skew term
+breaks that guarantee at small S — e.g. S=10 gives period-2 collisions —
+and exists only to spread supplier load, which the hash-derived
+availqty/cost already vary). Money stays in integer CENTS end to end
+(operators/exact.py discipline): every emission is a bigint or a
+bigint/10^k.0 quotient, so no cross-engine rounding ties.
+
+Registry budget (VERDICT r12 #3): only Q9 — the richest shape, a
+six-table profit rollup — is REGISTERED (q170). Q2/Q11/Q20 are library
+functions with the same DuckDB-oracle rigor via tests/test_partsupp.py,
+keeping net new registrations at 2 (q169 + q170 = the full budget).
+
+Scale notes: partsupp is |part| x 4 and derived ON THE FLY from the part
+scan — nothing materializes driver-side (the one-row supplier-count
+attach is the sanctioned broadcast-scalar crossJoin). At 100 TB the
+lineitem ⋈ partsupp join shuffles on the composite (partkey, suppkey);
+dimension prunes (p_name/p_size/p_type filters, region) are broadcast
+so the fact shuffle carries survivors only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.operators.exact import unit_col
+from reddit_big_data_spark.registry import register
+from reddit_big_data_spark.sources.io import read_table
+
+# Oracle prefix shared by all four shapes — the DuckDB replay of
+# derived_partsupp. Keep in lockstep with the Spark derivation below.
+PARTSUPP_CTE = """
+    WITH sc AS (SELECT COUNT(*) AS s_cnt FROM supplier),
+    ps0 AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey + i * (s_cnt // 4)) % s_cnt AS ps_suppkey
+      FROM part, sc, (SELECT unnest(range(4)) AS i) gen
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             (ps_partkey * 31 + ps_suppkey * 17) % 9999 + 1 AS ps_availqty,
+             (ps_partkey * 7 + ps_suppkey * 13) % 92000 + 100
+               AS ps_supplycost_cents
+      FROM ps0
+    )
+"""
+
+
+def derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(ps_partkey, ps_suppkey, ps_availqty, ps_supplycost_cents) —
+    4 distinct suppliers per part, all columns BIGINT, derived with pure
+    native expressions from the part scan + a one-row supplier count."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey")
+    s_cnt = read_table(spark, sf_dir, "supplier").agg(
+        F.count("*").alias("s_cnt")
+    )
+    ps0 = (
+        part.crossJoin(F.broadcast(s_cnt))  # one-row scalar attach
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+            "s_cnt",
+        )
+        .select(
+            "ps_partkey",
+            (
+                (
+                    F.col("ps_partkey")
+                    + F.col("i") * F.floor(F.col("s_cnt") / 4)
+                )
+                % F.col("s_cnt")
+            ).alias("ps_suppkey"),
+        )
+    )
+    return ps0.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (
+            (F.col("ps_partkey") * 31 + F.col("ps_suppkey") * 17) % 9999 + 1
+        ).alias("ps_availqty"),
+        (
+            (F.col("ps_partkey") * 7 + F.col("ps_suppkey") * 13) % 92000 + 100
+        ).alias("ps_supplycost_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q170 — TPC-H Q9 shape (product-type profit): lineitem joined to part
+# (name filter), its derived partsupp row, supplier->nation, and orders;
+# profit = revenue - supply cost, rolled up by nation x order year.
+# Reference parity: TPC-H Q9 is the canonical partsupp fact-fact shape
+# (SURVEY.md §2.4's deferred row). Exact 4dp integer units throughout.
+# --------------------------------------------------------------------------
+@register(
+    "q170_product_type_profit",
+    oracle=PARTSUPP_CTE
+    + """
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                    AS BIGINT)
+               - ps_supplycost_cents * 100 * CAST(l_quantity AS BIGINT))
+             / 10000.0 AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    -- group by the raw expressions: the `nation` alias would resolve to
+    -- the joined TABLE of that name in DuckDB's GROUP BY
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY n_name, o_year DESC
+    """,
+    doc="TPC-H Q9 shape over the derived partsupp: profit by nation x year",
+)
+def q170_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    # partsupp pruned by the part filter BEFORE touching the fact table
+    ps = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(red_parts),
+        F.col("ps_partkey") == F.col("p_partkey"),
+    ).select("ps_partkey", "ps_suppkey", "ps_supplycost_cents")
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    profit_units = unit_col(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+    ) - F.col("ps_supplycost_cents") * 100 * F.col("l_quantity").cast("long")
+    return (
+        li.join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit_units) / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Library shapes (suite-verified against DuckDB in tests/test_partsupp.py,
+# NOT registered — VERDICT r12 #3's <=2 registration budget).
+# --------------------------------------------------------------------------
+LIBRARY_ORACLES: dict[str, str] = {}
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each EUROPE-sourced part of one type up to a size cap, the
+    supplier(s) quoting the MINIMUM supply cost — the correlated-scalar-
+    subquery shape, expressed as a min-window partitioned by part (fully
+    parallel; no per-part subquery execution)."""
+    part = (
+        read_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    nat = (
+        read_table(spark, sf_dir, "nation")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "region").filter(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    ps = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .withColumn(
+            "min_cost", F.min("ps_supplycost_cents").over(w)
+        )
+        .filter(F.col("ps_supplycost_cents") == F.col("min_cost"))
+        .select(
+            "ps_partkey",
+            "s_name",
+            "n_name",
+            F.col("ps_supplycost_cents").alias("cost_cents"),
+        )
+        .orderBy("ps_partkey", "s_name")
+    )
+
+
+LIBRARY_ORACLES["min_cost_supplier"] = PARTSUPP_CTE + """
+    , europe_supp AS (
+      SELECT s_suppkey, s_name, n_name
+      FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    sized AS (
+      SELECT ps.ps_partkey, es.s_name, es.n_name,
+             ps.ps_supplycost_cents AS cost_cents,
+             MIN(ps.ps_supplycost_cents)
+               OVER (PARTITION BY ps.ps_partkey) AS min_cost
+      FROM partsupp ps
+        JOIN part ON p_partkey = ps_partkey
+        JOIN europe_supp es ON es.s_suppkey = ps.ps_suppkey
+      WHERE p_size <= 15 AND p_type = 'LARGE'
+    )
+    SELECT ps_partkey, s_name, n_name, cost_cents
+    FROM sized WHERE cost_cents = min_cost
+    ORDER BY ps_partkey, s_name
+"""
+
+
+def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value from one nation's suppliers,
+    keeping parts whose value exceeds 1/200 of that nation's total. The
+    HAVING threshold is an EXACT integer compare (value * 200 > total in
+    cents) via a one-row broadcast scalar attach — no float fraction."""
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                read_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    ps = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
+    )
+    per_part = ps.groupBy("ps_partkey").agg(
+        F.sum(
+            F.col("ps_supplycost_cents") * F.col("ps_availqty")
+        ).alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))  # one-row scalar attach
+        .filter(F.col("value_cents") * 200 > F.col("total_cents"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), "ps_partkey")
+    )
+
+
+LIBRARY_ORACLES["important_stock"] = PARTSUPP_CTE + """
+    , nat_ps AS (
+      SELECT ps_partkey, ps_supplycost_cents, ps_availqty
+      FROM partsupp
+        JOIN supplier ON s_suppkey = ps_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_7'
+    ),
+    per_part AS (
+      SELECT ps_partkey,
+             CAST(SUM(ps_supplycost_cents * ps_availqty) AS BIGINT)
+               AS value_cents
+      FROM nat_ps GROUP BY ps_partkey
+    )
+    SELECT ps_partkey, value_cents
+    FROM per_part, (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents
+                    FROM per_part) t
+    WHERE value_cents * 200 > total_cents
+    ORDER BY value_cents DESC, ps_partkey
+"""
+
+
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding EXCESS stock of 'blue' parts —
+    ps_availqty greater than half the quantity they actually shipped of
+    that part in 1996. Exact integer compare: 2 * availqty > shipped
+    (l_quantity is whole in this corpus; the test pins that)."""
+    blue_parts = (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("blue%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        read_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("shipped_qty"))
+    )
+    ps = derived_partsupp(spark, sf_dir).join(
+        F.broadcast(blue_parts), F.col("ps_partkey") == F.col("p_partkey")
+    )
+    excess = (
+        ps.join(
+            shipped,
+            (F.col("ps_partkey") == F.col("l_partkey"))
+            & (F.col("ps_suppkey") == F.col("l_suppkey")),
+        )
+        .filter(F.col("ps_availqty") * 2 > F.col("shipped_qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        read_table(spark, sf_dir, "supplier")
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"))
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+LIBRARY_ORACLES["excess_stock_suppliers"] = PARTSUPP_CTE + """
+    , shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS shipped_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    excess AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+        JOIN part ON p_partkey = ps_partkey
+        JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE p_name LIKE 'blue%' AND ps_availqty * 2 > shipped_qty
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier JOIN excess ON s_suppkey = ps_suppkey
+    ORDER BY s_suppkey
+"""

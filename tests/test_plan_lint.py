@@ -53,6 +53,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "reduced executor-side before the kind-level groupBy — no "
         "payload ever reaches the driver",
     },
+    "q170_product_type_profit": {
+        "NESTED_LOOP": "the derived-partsupp supplier-count attach: a "
+        "ONE-row aggregate broadcast-crossJoined onto the part scan "
+        "(the sanctioned scalar-attach pattern) — constant work per "
+        "row at any corpus scale",
+    },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
         "estimate row and the two exact count aggregates) join on "
