@@ -361,6 +361,19 @@ def near_duplicates(
     banded candidates by the signature Jaccard estimate BEFORE the
     shingle-set verify joins — the threshold-matched curve's background
     admissions (j ~ 0.3 template mass) never touch the shingle sets.
+
+    THE 128-HASH WIDTH IS LOAD-BEARING (r13 A/B, VERDICT r12 #5): both
+    96-hash alternatives failed on this corpus at all three SFs. 32x3
+    (midpoint 0.315) keeps threshold recall (0.9996 at j=0.6) but its
+    shallower curve admits 6.1x the raw background candidates (41,291
+    vs 6,756 at sf0.1 — a constant factor on the QUADRATIC background
+    term, dwarfing the 25% linear signature saving at scale); 24x4
+    (midpoint 0.452) keeps candidate volume (6,371) but drops banding
+    recall at the 0.6 contract threshold to 0.9645 — it passes this
+    corpus only through the >=0.8 corpus gap, the exact reliance the
+    r12 fix removed. All three configs returned the identical 256-pair
+    sf0.1 truth; the distinction is contract recall and scale cost,
+    not this corpus's answer.
     """
     df = df.persist()  # consumed by 3 branches (banding + both set joins)
     pairs = lsh_candidate_pairs(
