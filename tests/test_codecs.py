@@ -126,3 +126,90 @@ def test_resize_nearest_geometry():
     assert up == one * 6
     with pytest.raises(ValueError, match="bad target"):
         resize_rgb_nearest(one, 1, 1, 0, 2)
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): round-trip identity over ARBITRARY inputs —
+# the codec invariants a fixed fixture can't pin (pure Python, no Spark,
+# so these afford many examples).
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    data=st.data(),
+)
+def test_bmp_round_trip_property(w, h, data):
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert decode_bmp(encode_bmp(px, w, h)) == (w, h, px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), max_size=600),
+    rate=st.integers(1, 192000),
+)
+def test_wav_round_trip_property(samples, rate):
+    assert decode_wav(encode_wav(samples, rate)) == (rate, 1, samples)
+
+
+@settings(max_examples=50, deadline=None)
+@given(frames=st.lists(st.binary(max_size=200), max_size=10))
+def test_frames_round_trip_property(frames):
+    assert decode_frames(encode_frames(frames)) == frames
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    tw=st.integers(1, 12),
+    th=st.integers(1, 12),
+    data=st.data(),
+)
+def test_resize_property_pixels_come_from_source(w, h, tw, th, data):
+    """Every output pixel is an actual source pixel at the center-sampled
+    coordinate; output size is a pure function of the target."""
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    out = resize_rgb_nearest(px, w, h, tw, th)
+    assert len(out) == tw * th * 3
+    for ty in range(th):
+        sy = min(h - 1, ((2 * ty + 1) * h) // (2 * th))
+        for tx in range(tw):
+            sx = min(w - 1, ((2 * tx + 1) * w) // (2 * tw))
+            s, t = (sy * w + sx) * 3, (ty * tw + tx) * 3
+            assert out[t : t + 3] == px[s : s + 3]
+
+
+def test_wav_decodes_stereo_interleaved():
+    """Multi-channel PCM: hand-build a 2-channel fmt + interleaved data
+    chunk (the encoder is mono-only by design; the decoder must still
+    report channels=2 and the interleaved samples verbatim)."""
+    import struct as _struct
+
+    samples = [10, -10, 20, -20, 30, -30]  # L,R interleaved
+    data = _struct.pack("<6h", *samples)
+    fmt = _struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    wav = (
+        b"RIFF"
+        + _struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    assert decode_wav(wav) == (8000, 2, samples)
