@@ -122,3 +122,37 @@ def test_corpus_digest_distinguishes_scale_factors():
     a = corpus_digest("/root/testdata/sf0.001")
     assert a == corpus_digest("/root/testdata/sf0.001")  # deterministic
     assert a != corpus_digest("/root/testdata/sf0.01")
+
+
+def test_committed_fixtures_match_current_corpus_and_oracles():
+    """Fixture-rot guard: every COMMITTED truth fixture's filename key
+    must match the current sf0.1 corpus digest and its query's current
+    oracle-SQL digest. A testdata regeneration or an oracle edit that
+    orphans a fixture fails HERE in CI, not just as a slow re-derivation
+    inside the next sweep. Skips when the large corpus isn't present."""
+    import glob
+    import os
+
+    import pytest as _pytest
+
+    from oracle_sweep import FIXTURE_DIR, corpus_digest, fixture_path
+    from reddit_big_data_spark.registry import all_queries
+    from tests.conftest import SF_LARGE
+
+    files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.parquet")))
+    if not files:
+        return  # nothing committed yet
+    if not os.path.isdir(SF_LARGE):
+        _pytest.skip("sf0.1 corpus not present on this checkout")
+    cdig = corpus_digest(SF_LARGE)
+    registered = all_queries()
+    expected = {
+        fixture_path(name, q.oracle, cdig)
+        for name, q in registered.items()
+        if q.oracle is not None
+    }
+    orphans = [os.path.basename(f) for f in files if f not in expected]
+    assert not orphans, (
+        "truth fixtures orphaned by a corpus regen or oracle edit "
+        f"(delete or re-derive them): {orphans}"
+    )
