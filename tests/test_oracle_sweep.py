@@ -126,10 +126,12 @@ def test_corpus_digest_distinguishes_scale_factors():
 
 def test_committed_fixtures_match_current_corpus_and_oracles():
     """Fixture-rot guard: every COMMITTED truth fixture's filename key
-    must match the current sf0.1 corpus digest and its query's current
-    oracle-SQL digest. A testdata regeneration or an oracle edit that
-    orphans a fixture fails HERE in CI, not just as a slow re-derivation
-    inside the next sweep. Skips when the large corpus isn't present."""
+    must match SOME shipped corpus's current digest and its query's
+    current oracle-SQL digest (slow oracles self-fixture at whichever
+    corpus they exceed the threshold — q130/q35 do at sf0.01 too). A
+    testdata regeneration or an oracle edit that orphans a fixture
+    fails HERE in CI, not just as a slow re-derivation inside the next
+    sweep. Skips when no shipped corpus is present."""
     import glob
     import os
 
@@ -137,17 +139,18 @@ def test_committed_fixtures_match_current_corpus_and_oracles():
 
     from oracle_sweep import FIXTURE_DIR, corpus_digest, fixture_path
     from reddit_big_data_spark.registry import all_queries
-    from tests.conftest import SF_LARGE
+    from tests.conftest import SF_LARGE, SF_ORACLE, SF_SMOKE
 
     files = sorted(glob.glob(os.path.join(FIXTURE_DIR, "*.parquet")))
     if not files:
         return  # nothing committed yet
-    if not os.path.isdir(SF_LARGE):
-        _pytest.skip("sf0.1 corpus not present on this checkout")
-    cdig = corpus_digest(SF_LARGE)
+    corpora = [d for d in (SF_SMOKE, SF_ORACLE, SF_LARGE) if os.path.isdir(d)]
+    if not corpora:
+        _pytest.skip("no shipped corpus present on this checkout")
     registered = all_queries()
     expected = {
-        fixture_path(name, q.oracle, cdig)
+        fixture_path(name, q.oracle, corpus_digest(d))
+        for d in corpora
         for name, q in registered.items()
         if q.oracle is not None
     }
