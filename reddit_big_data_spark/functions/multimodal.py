@@ -59,6 +59,20 @@ FEATURE_SCHEMA = T.StructType(
     ]
 )
 
+# extract_features(on_error="capture"): features become nullable and a
+# decode_error column carries the codec's message — Spark's PERMISSIVE
+# malformed-record convention applied to media blobs (at 100 TB corrupt
+# payloads are a certainty, and one bad blob must not fail the stage).
+FEATURE_CAPTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.IntegerType(), False),
+        T.StructField("features", T.ArrayType(T.DoubleType()), True),
+        T.StructField("decode_error", T.StringType(), True),
+    ]
+)
+
 
 def synth_media(spark, n: int = 64) -> DataFrame:
     """Deterministic fake media table: payload bytes derived from the id
@@ -141,29 +155,53 @@ def extract_features(
     df: DataFrame,
     decoder: Callable[[bytes, str], list[float]] = byte_histogram_decoder,
     batch_size_hint: int | None = None,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode/feature-extract media via mapInPandas (Arrow batches).
 
     The iterator-of-batches signature means memory is bounded by the Arrow
     batch size, not the partition size — the correct shape for multi-MB
     payloads at 100 TB.
+
+    `on_error`: "raise" (default) propagates decoder exceptions and fails
+    the task — right for trusted/synthetic payloads; "capture" emits
+    FEATURE_CAPTURE_SCHEMA instead, with NULL features + the exception
+    message in `decode_error` for rows the decoder rejects — the
+    PERMISSIVE mode a real 100 TB media corpus needs (corrupt blobs are
+    a certainty and must cost one row, not the stage). Filter
+    `decode_error IS NOT NULL` into a quarantine sink downstream.
     """
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [
-                decoder(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
-                    "features": feats,
-                }
-            )
+            feats: list[list[float] | None] = []
+            errors: list[str | None] = []
+            for p, k in zip(pdf["payload"], pdf["kind"]):
+                if capture:
+                    try:
+                        feats.append(decoder(p, k))
+                        errors.append(None)
+                    except Exception as exc:
+                        feats.append(None)
+                        errors.append(f"{type(exc).__name__}: {exc}")
+                else:
+                    feats.append(decoder(p, k))
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": [0 if p is None else len(p) for p in pdf["payload"]],
+                "features": feats,
+            }
+            if capture:
+                out["decode_error"] = errors
+            yield pd.DataFrame(out)
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return df.mapInPandas(
+        run, schema=FEATURE_CAPTURE_SCHEMA if capture else FEATURE_SCHEMA
+    )
 
 
 def byte_subsample_resizer(

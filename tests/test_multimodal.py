@@ -185,3 +185,43 @@ def test_bmp_resizer_real_pixels(spark):
         else:
             assert bytes(r["payload"]) == bytes(src[mid]["payload"])
     assert n_images == 3  # ranks 0..8: every third is an image
+
+
+def test_extract_features_capture_mode_quarantines_bad_payloads(spark):
+    """on_error='capture' (the PERMISSIVE mode a 100 TB media corpus
+    needs): good payloads decode normally, corrupt ones cost ONE row —
+    NULL features + the codec's message in decode_error — and the row
+    count is preserved exactly."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.functions.multimodal import (
+        FEATURE_CAPTURE_SCHEMA,
+        MEDIA_EVERY,
+    )
+
+    ids = spark.range(6).select((F.col("id") * MEDIA_EVERY).alias("doc_id"))
+    media = synth_codec_media(ids)
+    # corrupt every even media_id's payload (truncate to 3 bytes)
+    corrupted = media.withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % (2 * MEDIA_EVERY) == 0,
+            F.substring("payload", 1, 3).cast("binary"),
+        ).otherwise(F.col("payload")),
+    )
+    out = extract_features(corrupted, decoder=codec_decoder, on_error="capture")
+    assert out.schema == FEATURE_CAPTURE_SCHEMA
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 6  # one row per input, none dropped
+    for mid, r in rows.items():
+        if mid % (2 * MEDIA_EVERY) == 0:
+            assert r["features"] is None
+            assert r["decode_error"] and "ValueError" in r["decode_error"]
+        else:
+            assert r["decode_error"] is None
+            assert r["features"] is not None and len(r["features"]) >= 4
+    # raise mode still fails the stage on the same input
+    with pytest.raises(Exception):
+        extract_features(corrupted, decoder=codec_decoder).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_features(media, on_error="ignore")
