@@ -90,6 +90,31 @@ def fixture_path(name: str, oracle_sql: str, cdig: str) -> str:
     return os.path.join(FIXTURE_DIR, f"{name}.{cdig}.{sdig}.parquet")
 
 
+def _file_md5(path: str) -> str:
+    with open(path, "rb") as f:
+        return hashlib.md5(f.read()).hexdigest()
+
+
+def write_fixture_sidecar(fpath: str) -> None:
+    """Content checksum written at derivation time (ADVICE r13): the
+    filename digests prove the fixture belongs to (corpus, oracle SQL),
+    the sidecar proves its BYTES are the ones derived then — a corrupted
+    or hand-edited truth parquet fails the check instead of silently
+    becoming the oracle for the quadratic queries."""
+    with open(fpath + ".md5", "w") as f:
+        f.write(_file_md5(fpath) + "\n")
+
+
+def fixture_content_ok(fpath: str) -> bool:
+    """True iff the sidecar exists and matches the parquet's bytes."""
+    try:
+        with open(fpath + ".md5") as f:
+            expected = f.read().strip()
+    except FileNotFoundError:
+        return False
+    return _file_md5(fpath) == expected
+
+
 def stale_fixtures(name: str, current_path: str) -> list[str]:
     """Fixture files for `name` whose corpus/SQL digest no longer matches
     — orphans from a regenerated corpus or an edited oracle."""
@@ -167,6 +192,18 @@ def sweep(
                 continue
             fpath = fixture_path(name, q.oracle, cdig)
             from_fixture = os.path.exists(fpath)
+            if from_fixture and not fixture_content_ok(fpath):
+                # bytes no longer match the derivation-time sidecar (or
+                # the sidecar is missing): never compare against a
+                # possibly-tampered truth — re-derive live instead
+                print(
+                    f"{name}: FIXTURE-CORRUPT — "
+                    f"{os.path.basename(fpath)} fails its content "
+                    f"checksum, re-deriving the truth live",
+                    flush=True,
+                )
+                os.remove(fpath)
+                from_fixture = False
             if from_fixture:
                 ddf = pd.read_parquet(fpath)
             else:
@@ -194,6 +231,7 @@ def sweep(
                 if time.monotonic() - t0 > AUTO_FIXTURE_SECS:
                     os.makedirs(FIXTURE_DIR, exist_ok=True)
                     ddf.to_parquet(fpath, index=False)
+                    write_fixture_sidecar(fpath)
                     print(
                         f"{name}: truth fixture written "
                         f"({os.path.basename(fpath)})",
@@ -234,35 +272,52 @@ def sweep(
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:]]
+    """Left-to-right flag walk (ADVICE r13): EVERY --only occurrence is
+    honored (their name sets union), an unrecognized --flag or a second
+    positional errors instead of being silently dropped — a malformed
+    invocation must not narrow a re-verification while still exiting 0."""
+    args = sys.argv[1:]
     timeout_s: float | None = None
-    only: set[str] | None = None
-    if "--timeout" in args:
-        i = args.index("--timeout")
-        if i + 1 >= len(args):
-            print("usage: --timeout SECS (positive number)")
+    only_sets: list[set[str]] = []
+    positional: list[str] = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--timeout":
+            if i + 1 >= len(args):
+                print("usage: --timeout SECS (positive number)")
+                return 2
+            try:
+                timeout_s = float(args[i + 1])
+            except ValueError:
+                # '--timeout abc' / '--timeout --only' would otherwise die
+                # in an uncaught ValueError traceback instead of usage
+                # (ADVICE r12)
+                print("usage: --timeout SECS (positive number)")
+                return 2
+            if timeout_s <= 0:
+                # a falsy 0 would silently mean 'unbounded' — the
+                # hours-long sf0.1 hang the flag exists to prevent
+                print("usage: --timeout SECS must be > 0")
+                return 2
+            i += 2
+        elif a == "--only":
+            if i + 1 >= len(args) or args[i + 1].startswith("--"):
+                print("usage: --only name1,name2,...")
+                return 2
+            only_sets.append(set(args[i + 1].split(",")))
+            i += 2
+        elif a.startswith("--"):
+            print(f"unrecognized flag: {a}")
             return 2
-        try:
-            timeout_s = float(args[i + 1])
-        except ValueError:
-            # '--timeout abc' / '--timeout --only' would otherwise die in
-            # an uncaught ValueError traceback instead of usage (ADVICE r12)
-            print("usage: --timeout SECS (positive number)")
-            return 2
-        if timeout_s <= 0:
-            # a falsy 0 would silently mean 'unbounded' — the hours-long
-            # sf0.1 hang the flag exists to prevent
-            print("usage: --timeout SECS must be > 0")
-            return 2
-        del args[i : i + 2]
-    if "--only" in args:
-        i = args.index("--only")
-        if i + 1 >= len(args):
-            print("usage: --only name1,name2,...")
-            return 2
-        only = set(args[i + 1].split(","))
-        del args[i : i + 2]
-    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+        else:
+            positional.append(a)
+            i += 1
+    if len(positional) > 1:
+        print(f"unexpected extra arguments: {positional[1:]}")
+        return 2
+    only = set().union(*only_sets) if only_sets else None
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.001"
     return sweep(sf_dir, timeout_s=timeout_s, only=only)
 
 

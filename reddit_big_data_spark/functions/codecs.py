@@ -175,8 +175,14 @@ def decode_wav(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("decode_wav: missing fmt or data chunk")
     if bits != 16:
         raise ValueError(f"decode_wav: only 16-bit PCM supported (bits={bits})")
+    if len(pcm_bytes) % 2:
+        # strict contract (ADVICE r13): an odd data chunk cannot hold
+        # whole 16-bit samples — raise rather than silently drop a byte
+        raise ValueError(
+            f"decode_wav: odd data chunk length {len(pcm_bytes)} for 16-bit PCM"
+        )
     n = len(pcm_bytes) // 2
-    return sample_rate, channels, list(struct.unpack(f"<{n}h", pcm_bytes[: 2 * n]))
+    return sample_rate, channels, list(struct.unpack(f"<{n}h", pcm_bytes))
 
 
 def encode_frames(frames: list[bytes]) -> bytes:

@@ -170,6 +170,12 @@ def extract_features(
     PERMISSIVE mode a real 100 TB media corpus needs (corrupt blobs are
     a certainty and must cost one row, not the stage). Filter
     `decode_error IS NOT NULL` into a quarantine sink downstream.
+
+    Capture quarantines ONLY ValueError — the codec contract's
+    malformed-input signal (ADVICE r13). Unexpected exception types
+    (TypeError, AttributeError, ...) are decoder IMPLEMENTATION bugs and
+    still fail the stage: masking them as per-row corrupt-payload data
+    would hide code defects behind the quarantine sink.
     """
     if on_error not in ("raise", "capture"):
         raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
@@ -184,7 +190,7 @@ def extract_features(
                     try:
                         feats.append(decoder(p, k))
                         errors.append(None)
-                    except Exception as exc:
+                    except ValueError as exc:
                         feats.append(None)
                         errors.append(f"{type(exc).__name__}: {exc}")
                 else:

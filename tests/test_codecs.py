@@ -91,6 +91,12 @@ def test_wav_errors_are_specific():
         bad = bytearray(encode_wav([0], 8000))
         struct.pack_into("<H", bad, 20, 3)  # IEEE float fmt tag
         decode_wav(bytes(bad))
+    # ADVICE r13: an odd data chunk cannot hold whole 16-bit samples —
+    # strict raise, never a silent last-byte drop
+    with pytest.raises(ValueError, match="odd data chunk length 3"):
+        wav = encode_wav([1, 2], 8000)
+        odd = wav[:40] + struct.pack("<I", 3) + wav[44:47]
+        decode_wav(odd)
 
 
 def test_frames_container_round_trip():

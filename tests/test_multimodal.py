@@ -225,3 +225,24 @@ def test_extract_features_capture_mode_quarantines_bad_payloads(spark):
         extract_features(corrupted, decoder=codec_decoder).collect()
     with pytest.raises(ValueError, match="on_error"):
         extract_features(media, on_error="ignore")
+
+
+def test_capture_mode_propagates_decoder_implementation_bugs(spark):
+    """ADVICE r13: capture quarantines only ValueError (the codec
+    malformed-input contract). A decoder that raises TypeError is a CODE
+    defect and must still fail the stage — not be laundered into per-row
+    decode_error data."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.functions.multimodal import MEDIA_EVERY
+
+    ids = spark.range(3).select((F.col("id") * MEDIA_EVERY).alias("doc_id"))
+    media = synth_codec_media(ids)
+
+    def buggy_decoder(payload, kind):
+        raise TypeError("implementation bug, not a corrupt payload")
+
+    with pytest.raises(Exception, match="implementation bug"):
+        extract_features(
+            media, decoder=buggy_decoder, on_error="capture"
+        ).collect()

@@ -83,6 +83,47 @@ def test_main_rejects_zero_and_missing_timeout(monkeypatch):
     assert main() == 2
 
 
+def test_main_rejects_malformed_invocations(monkeypatch):
+    """ADVICE r13: junk flags and extra positionals must error (exit 2)
+    instead of being dropped — a malformed narrow re-verification would
+    otherwise compare fewer queries than intended while exiting 0."""
+    from oracle_sweep import main
+
+    monkeypatch.setattr(sys, "argv", ["oracle_sweep.py", "--olny", "q01"])
+    assert main() == 2
+    monkeypatch.setattr(
+        sys, "argv", ["oracle_sweep.py", "/a", "/b", "--timeout", "5"]
+    )
+    assert main() == 2
+    # '--only --timeout' (value looks like a flag) is a usage error, not
+    # a query named '--timeout'
+    monkeypatch.setattr(
+        sys, "argv", ["oracle_sweep.py", "--only", "--timeout"]
+    )
+    assert main() == 2
+
+
+def test_main_honors_every_only_occurrence(monkeypatch):
+    """ADVICE r13: a second --only must UNION with the first, not be
+    silently ignored."""
+    import oracle_sweep as osw
+
+    seen = {}
+
+    def fake_sweep(sf_dir, timeout_s=None, only=None):
+        seen["sf_dir"], seen["only"] = sf_dir, only
+        return 0
+
+    monkeypatch.setattr(osw, "sweep", fake_sweep)
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["oracle_sweep.py", "/x", "--only", "q01,q02", "--only", "q03"],
+    )
+    assert osw.main() == 0
+    assert seen == {"sf_dir": "/x", "only": {"q01", "q02", "q03"}}
+
+
 def test_truth_fixture_write_load_and_stale_detection(
     spark, tmp_path, monkeypatch, capsys
 ):
@@ -116,6 +157,41 @@ def test_truth_fixture_write_load_and_stale_detection(
     assert "FIXTURE-STALE" in out  # loud re-derivation, not silent reuse
 
 
+def test_corrupted_fixture_content_rederives_live(
+    spark, tmp_path, monkeypatch, capsys
+):
+    """ADVICE r13: the filename digests prove (corpus, oracle SQL)
+    lineage but not byte integrity — a fixture whose CONTENT no longer
+    matches its derivation-time sidecar must be discarded loudly and the
+    truth re-derived, never silently compared against."""
+    import oracle_sweep as osw
+
+    monkeypatch.setattr(osw, "FIXTURE_DIR", str(tmp_path))
+    monkeypatch.setattr(osw, "AUTO_FIXTURE_SECS", 0.0)
+    name = "q52_binary_payloads"
+
+    assert osw.sweep("/root/testdata/sf0.001", only={name}) == 0
+    [fpath] = sorted(tmp_path.glob(f"{name}.*.parquet"))
+    assert (tmp_path / (fpath.name + ".md5")).exists()
+    capsys.readouterr()
+
+    # hand-edit the truth: flip the last byte
+    raw = bytearray(fpath.read_bytes())
+    raw[-1] ^= 0xFF
+    fpath.write_bytes(bytes(raw))
+    assert osw.sweep("/root/testdata/sf0.001", only={name}) == 0
+    out = capsys.readouterr().out
+    assert "FIXTURE-CORRUPT" in out and "[fixture]" not in out
+    # the re-derivation rewrote a checksum-valid fixture
+    [fpath2] = sorted(tmp_path.glob(f"{name}.*.parquet"))
+    assert osw.fixture_content_ok(str(fpath2))
+
+    # a missing sidecar is equally untrusted
+    (tmp_path / (fpath2.name + ".md5")).unlink()
+    assert osw.sweep("/root/testdata/sf0.001", only={name}) == 0
+    assert "FIXTURE-CORRUPT" in capsys.readouterr().out
+
+
 def test_corpus_digest_distinguishes_scale_factors():
     from oracle_sweep import corpus_digest
 
@@ -137,7 +213,12 @@ def test_committed_fixtures_match_current_corpus_and_oracles():
 
     import pytest as _pytest
 
-    from oracle_sweep import FIXTURE_DIR, corpus_digest, fixture_path
+    from oracle_sweep import (
+        FIXTURE_DIR,
+        corpus_digest,
+        fixture_content_ok,
+        fixture_path,
+    )
     from reddit_big_data_spark.registry import all_queries
     from tests.conftest import SF_LARGE, SF_ORACLE, SF_SMOKE
 
@@ -158,4 +239,12 @@ def test_committed_fixtures_match_current_corpus_and_oracles():
     assert not orphans, (
         "truth fixtures orphaned by a corpus regen or oracle edit "
         f"(delete or re-derive them): {orphans}"
+    )
+    # ADVICE r13: lineage digests alone don't prove byte integrity —
+    # every committed fixture must also match its derivation-time
+    # content sidecar, so a hand-edited truth fails HERE in CI.
+    corrupt = [os.path.basename(f) for f in files if not fixture_content_ok(f)]
+    assert not corrupt, (
+        "truth fixtures whose bytes fail their content checksum "
+        f"(re-derive them): {corrupt}"
     )
