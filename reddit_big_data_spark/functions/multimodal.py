@@ -371,10 +371,28 @@ DECODED_STATS_SCHEMA = T.StructType(
 )
 
 
-def decode_stats(media: DataFrame) -> DataFrame:
+# decode_stats(on_error="capture"): same quarantine convention as
+# extract_features — the stat columns stay non-null (zeroed) and
+# decode_error carries the codec's ValueError for rejected payloads.
+DECODED_STATS_CAPTURE_SCHEMA = T.StructType(
+    DECODED_STATS_SCHEMA.fields
+    + [T.StructField("decode_error", T.StringType(), True)]
+)
+
+
+def decode_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     """Integer stats computed from the DECODED payloads (never from the
     generative formula): position-weighted sums make the check sensitive
-    to row order, channel order, and padding handling, not just totals."""
+    to row order, channel order, and padding handling, not just totals.
+
+    `on_error="capture"` quarantines malformed payloads (codec
+    ValueError) as zero-stat rows with the message in `decode_error`
+    instead of failing the stage — one bad blob costs one row, the
+    100 TB media-corpus behavior. Non-ValueError exceptions are decoder
+    implementation bugs and propagate either way (ADVICE r13)."""
+    if on_error not in ("raise", "capture"):
+        raise ValueError(f"on_error must be 'raise' or 'capture', got {on_error!r}")
+    capture = on_error == "capture"
 
     def stats_of(kind: str, payload: bytes) -> tuple[int, int, int, int]:
         data = bytes(payload)
@@ -396,13 +414,23 @@ def decode_stats(media: DataFrame) -> DataFrame:
             dim,
         )
 
+    schema = DECODED_STATS_CAPTURE_SCHEMA if capture else DECODED_STATS_SCHEMA
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k.name: [] for k in DECODED_STATS_SCHEMA.fields}
+            out = {k.name: [] for k in schema.fields}
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                units, vsum, wsum, dim = stats_of(kind, payload)
+                err = None
+                if capture:
+                    try:
+                        units, vsum, wsum, dim = stats_of(kind, payload)
+                    except ValueError as exc:
+                        units = vsum = wsum = dim = 0
+                        err = f"{type(exc).__name__}: {exc}"
+                else:
+                    units, vsum, wsum, dim = stats_of(kind, payload)
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)
                 out["payload_bytes"].append(len(payload))
@@ -410,9 +438,11 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 out["value_sum"].append(vsum)
                 out["weighted_sum"].append(wsum)
                 out["dim_sum"].append(dim)
+                if capture:
+                    out["decode_error"].append(err)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=DECODED_STATS_SCHEMA)
+    return media.mapInPandas(run, schema=schema)
 
 
 def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> DataFrame:
