@@ -19,10 +19,12 @@ availqty/cost already vary). Money stays in integer CENTS end to end
 (operators/exact.py discipline): every emission is a bigint or a
 bigint/10^k.0 quotient, so no cross-engine rounding ties.
 
-Registry budget (VERDICT r12 #3): only Q9 — the richest shape, a
-six-table profit rollup — is REGISTERED (q170). Q2/Q11/Q20 are library
-functions with the same DuckDB-oracle rigor via tests/test_partsupp.py,
-keeping net new registrations at 2 (q169 + q170 = the full budget).
+Registry budget: Q9 — the richest shape, a six-table profit rollup —
+registered as q170 in round 13 (VERDICT r12 #3's <=2 budget); Q2 — the
+correlated-scalar-subquery shape, the richest of the remaining three —
+promoted to q171 in round 14 (VERDICT r13 #3, within that round's <=2
+budget). Q11/Q20 remain library functions with the same DuckDB-oracle
+rigor via tests/test_partsupp.py, promotable within future budgets.
 
 Scale notes: partsupp is |part| x 4 and derived ON THE FLY from the part
 scan — nothing materializes driver-side (the one-row supplier-count
@@ -260,6 +262,24 @@ LIBRARY_ORACLES["min_cost_supplier"] = PARTSUPP_CTE + """
     FROM sized WHERE cost_cents = min_cost
     ORDER BY ps_partkey, s_name
 """
+
+
+# --------------------------------------------------------------------------
+# q171 — TPC-H Q2 shape PROMOTED to the registry (VERDICT r13 #3): the
+# min-window-per-part rewrite of the correlated scalar subquery, the
+# richest of the three library-only partsupp shapes. Same body and oracle
+# as the library function below — registration earns it a driver-green
+# row. Scale shape: dimension prunes (size/type, EUROPE) broadcast; the
+# per-part min window partitions on ps_partkey, so no global sort or
+# single-partition window appears at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q171_min_cost_supplier",
+    oracle=LIBRARY_ORACLES["min_cost_supplier"],
+    doc="TPC-H Q2 shape: min-cost EUROPE supplier per part via min window",
+)
+def q171_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return min_cost_supplier(spark, sf_dir)
 
 
 def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
