@@ -98,7 +98,38 @@ def compare_frames(spark_pdf, duck_pdf, name: str) -> list[str]:
     return errors
 
 
+_CORPUS_DIGESTS: dict[str, str] = {}
+
+
+def _load_truth_fixture(query, sf_dir: str):
+    """The sweep's content-checksummed truth fixture for (query, corpus),
+    or None. Same rot discipline as oracle_sweep.py: the filename embeds
+    the corpus md5 + oracle-SQL md5 (a regeneration or an oracle edit
+    misses the key) and the sidecar pins the parquet bytes; a checksum
+    miss falls back to the live DuckDB run, never a silent compare, and
+    the CI rot guard (test_oracle_sweep.py) flags the corrupt file.
+
+    Using the fixture keeps the mirror's rigor — it compares Spark
+    against the SAME DuckDB-derived truth — while taking the quadratic
+    oracles (q35/q130 ~23 s each at sf0.01) out of every suite run
+    (VERDICT r13 #4's wall-time budget)."""
+    import os
+
+    import pandas as pd
+
+    from oracle_sweep import corpus_digest, fixture_content_ok, fixture_path
+
+    if sf_dir not in _CORPUS_DIGESTS:
+        _CORPUS_DIGESTS[sf_dir] = corpus_digest(sf_dir)
+    fpath = fixture_path(query.name, query.oracle, _CORPUS_DIGESTS[sf_dir])
+    if os.path.exists(fpath) and fixture_content_ok(fpath):
+        return pd.read_parquet(fpath)
+    return None
+
+
 def run_and_compare(spark, duck, query, sf_dir: str) -> list[str]:
     sdf = query.fn(spark, sf_dir).toPandas()
-    ddf = duck.execute(query.oracle).fetchdf()
+    ddf = _load_truth_fixture(query, sf_dir)
+    if ddf is None:
+        ddf = duck.execute(query.oracle).fetchdf()
     return compare_frames(sdf, ddf, query.name)

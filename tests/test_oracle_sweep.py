@@ -192,6 +192,45 @@ def test_corrupted_fixture_content_rederives_live(
     assert "FIXTURE-CORRUPT" in capsys.readouterr().out
 
 
+def test_mirror_uses_and_distrusts_truth_fixtures(
+    spark, duck, tmp_path, monkeypatch
+):
+    """The suite's t2 mirror (oracle_harness) reuses the sweep's truth
+    fixtures (VERDICT r13 #4 wall-time): a checksummed fixture IS the
+    compared truth (planting a wrong one makes the compare fail — proof
+    it was read), a checksum-less fixture is distrusted and the mirror
+    falls back to the live DuckDB oracle."""
+    import pandas as pd
+
+    import oracle_sweep as osw
+    from reddit_big_data_spark.registry import all_queries
+    from tests import oracle_harness as oh
+    from tests.conftest import SF_ORACLE
+
+    monkeypatch.setattr(osw, "FIXTURE_DIR", str(tmp_path))
+    q = all_queries()["q52_binary_payloads"]
+
+    # no fixture: live DuckDB path, green
+    assert oh.run_and_compare(spark, duck, q, SF_ORACLE) == []
+
+    # plant a WRONG truth with a VALID sidecar: the mirror must read it
+    # and therefore mismatch — proving the fixture short-circuits DuckDB
+    wrong = duck.execute(q.oracle).fetchdf()
+    wrong.loc[0, "cnt"] = wrong.loc[0, "cnt"] + 1
+    fpath = osw.fixture_path(
+        q.name, q.oracle, osw.corpus_digest(SF_ORACLE)
+    )
+    pd.DataFrame(wrong).to_parquet(fpath, index=False)
+    osw.write_fixture_sidecar(fpath)
+    errors = oh.run_and_compare(spark, duck, q, SF_ORACLE)
+    assert errors, "a checksummed fixture must be the compared truth"
+
+    # break the sidecar: the corrupt fixture is distrusted, live run green
+    with open(fpath + ".md5", "w") as f:
+        f.write("0" * 32 + "\n")
+    assert oh.run_and_compare(spark, duck, q, SF_ORACLE) == []
+
+
 def test_corpus_digest_distinguishes_scale_factors():
     from oracle_sweep import corpus_digest
 

@@ -59,6 +59,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "(the sanctioned scalar-attach pattern) — constant work per "
         "row at any corpus scale",
     },
+    "q171_min_cost_supplier": {
+        "NESTED_LOOP": "the same derived-partsupp supplier-count attach "
+        "as q170: a ONE-row aggregate broadcast-crossJoined onto the "
+        "part scan (the sanctioned scalar-attach pattern) — constant "
+        "work per row at any corpus scale",
+    },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
         "estimate row and the two exact count aggregates) join on "
