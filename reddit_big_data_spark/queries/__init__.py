@@ -39,9 +39,9 @@ leave any registered query >3 rounds driver-stale (VERDICT r11 #5).
 Round-14 window composition: the verbatim `python rotation.py` output
 over CORRECTNESS_r01..r13 and the registry (diff empty; see the
 WINDOW_ORDER comment below for the cohort breakdown). Registry grows
-170 -> 171 this round — ONE net new query (q171, the TPC-H Q2 shape
-promoted from the partsupp library per VERDICT r13 #3), inside that
-verdict's <=2 budget and its <=172 cap.
+170 -> 172 this round — TWO net new queries (q171 TPC-H Q2 and q172
+TPC-H Q11, both promoted from the partsupp library per VERDICT r13 #3),
+exactly that verdict's <=2 budget and landing on its <=172 cap.
 
 GROWTH POLICY PAST ~190 (VERDICT r13 #6, decided here before capacity
 forces it): the 200-query ceiling is ARITHMETIC — the driver window is
@@ -55,7 +55,7 @@ later composite query fully subsumes (e.g. a single-sketch rollup
 subsumed by a multi-sketch pipeline), (2) the cheaper of two queries
 pinning the SAME SURVEY §2 rows per the VERDICT coverage table. A
 retired query's body and oracle move to the library pattern
-(tests keep DuckDB-verifying it, like Q11/Q20 in queries/partsupp.py)
+(tests keep DuckDB-verifying it, like Q20 in queries/partsupp.py)
 so correctness coverage is never lost — only its driver-window slot is
 reclaimed. The window cap itself is the driver's contract, not ours to
 raise; if a future driver widens t2 past 50, the ceiling recomputes to
@@ -100,23 +100,25 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 #
 # Round-14 window composition (verbatim `python rotation.py` output over
 # CORRECTNESS_r01..r13 and the registry; diff is empty):
-# 1. The ONE never-driver-green entry (invariant (c)): q171, the TPC-H
-#    Q2 shape promoted from the partsupp library (VERDICT r13 #3) —
-#    this round's only new registration (<=2 budget).
+# 1. The TWO never-driver-green entries (invariant (c)): q171 (TPC-H Q2)
+#    and q172 (TPC-H Q11), both promoted from the partsupp library
+#    (VERDICT r13 #3) — this round's two new registrations, the full
+#    <=2 budget.
 # 2. The FULL r10-STALE cohort at the 3-round limit (invariant (a)
 #    breaks if any slips): q126/q127 (displaced from r13 by that
 #    round's two new registrations) plus the 18-query core-operator
-#    cohort q01/q02/q04-q09, q08, q21, q23, q25, q27, q28, q37-q39,
+#    cohort q01/q02/q04-q09, q21, q23, q25, q27, q28, q37-q39,
 #    q47, q49 — twenty queries, last driver row r10.
 # 3. Oldest-stale fill to 50 from the r11-last-green cohort, cumulative
 #    greens ascending then number: q162-q166, q136-q138, q100-q109,
-#    q52-q54, q56-q58, q61-q64, q67. q68_porter_stems is displaced by
-#    q171 and rejoins in r15 (r11-green, so its staleness stays within
-#    the 3-round bound —
+#    q52-q54, q56-q58, q61-q64. q67_nested_struct/q68_porter_stems are
+#    displaced by the two promotions and rejoin in r15 (both r11-green,
+#    so their staleness stays within the 3-round bound —
 #    tests/test_rotation.py::test_no_query_exceeds_staleness_limit
 #    verifies the arithmetic).
 WINDOW_ORDER: list[str] = [
     "q171_min_cost_supplier",
+    "q172_important_stock",
     "q126_forecast_revenue",
     "q127_top_supplier",
     "q08_histogram_cumulative",
@@ -165,5 +167,4 @@ WINDOW_ORDER: list[str] = [
     "q62_class_weights",
     "q63_corr_matrix",
     "q64_salted_agg",
-    "q67_nested_struct",
 ]

@@ -20,11 +20,12 @@ availqty/cost already vary). Money stays in integer CENTS end to end
 bigint/10^k.0 quotient, so no cross-engine rounding ties.
 
 Registry budget: Q9 — the richest shape, a six-table profit rollup —
-registered as q170 in round 13 (VERDICT r12 #3's <=2 budget); Q2 — the
-correlated-scalar-subquery shape, the richest of the remaining three —
-promoted to q171 in round 14 (VERDICT r13 #3, within that round's <=2
-budget). Q11/Q20 remain library functions with the same DuckDB-oracle
-rigor via tests/test_partsupp.py, promotable within future budgets.
+registered as q170 in round 13 (VERDICT r12 #3's <=2 budget); Q2 (the
+correlated-scalar-subquery shape) and Q11 (the fraction-of-total HAVING)
+promoted as q171/q172 in round 14 — VERDICT r13 #3's promotion plus the
+second slot of its <=2 budget, landing exactly on its <=172 registry
+cap. Q20 remains a library function with the same DuckDB-oracle rigor
+via tests/test_partsupp.py, promotable within a future budget.
 
 Scale notes: partsupp is |part| x 4 and derived ON THE FLY from the part
 scan — nothing materializes driver-side (the one-row supplier-count
@@ -284,15 +285,19 @@ def q171_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: per-part stock value from one nation's suppliers,
-    keeping parts whose value exceeds 1/200 of that nation's total. The
-    HAVING threshold is an EXACT integer compare (value * 200 > total in
-    cents) via a one-row broadcast scalar attach — no float fraction."""
+    keeping parts whose value exceeds TWICE THE MEAN per-part value. TPC-H
+    itself scales Q11's fixed fraction by 1/SF so the result stays
+    non-trivial as the corpus grows; a mean-relative threshold achieves
+    the same scale-independence without a magic constant (a fixed 1/200
+    returns 0 rows at sf0.1's ~2000 qualifying parts). The HAVING stays
+    an EXACT integer compare (value * n_parts > 2 * total, all cents) via
+    a one-row broadcast scalar attach — no float fraction."""
     supp = (
         read_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
                 read_table(spark, sf_dir, "nation").filter(
-                    F.col("n_name") == "NATION_7"
+                    F.col("n_name") == "NATION_15"
                 )
             ),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -307,10 +312,16 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ps_supplycost_cents") * F.col("ps_availqty")
         ).alias("value_cents")
     )
-    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents"),
+        F.count("*").alias("n_parts"),
+    )
     return (
         per_part.crossJoin(F.broadcast(total))  # one-row scalar attach
-        .filter(F.col("value_cents") * 200 > F.col("total_cents"))
+        .filter(
+            F.col("value_cents") * F.col("n_parts")
+            > 2 * F.col("total_cents")
+        )
         .select("ps_partkey", "value_cents")
         .orderBy(F.desc("value_cents"), "ps_partkey")
     )
@@ -322,7 +333,7 @@ LIBRARY_ORACLES["important_stock"] = PARTSUPP_CTE + """
       FROM partsupp
         JOIN supplier ON s_suppkey = ps_suppkey
         JOIN nation ON n_nationkey = s_nationkey
-      WHERE n_name = 'NATION_7'
+      WHERE n_name = 'NATION_15'
     ),
     per_part AS (
       SELECT ps_partkey,
@@ -331,11 +342,32 @@ LIBRARY_ORACLES["important_stock"] = PARTSUPP_CTE + """
       FROM nat_ps GROUP BY ps_partkey
     )
     SELECT ps_partkey, value_cents
-    FROM per_part, (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents
+    FROM per_part, (SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents,
+                           COUNT(*) AS n_parts
                     FROM per_part) t
-    WHERE value_cents * 200 > total_cents
+    WHERE value_cents * n_parts > 2 * total_cents
     ORDER BY value_cents DESC, ps_partkey
 """
+
+
+# --------------------------------------------------------------------------
+# q172 — TPC-H Q11 shape PROMOTED to the registry (second of VERDICT r13
+# #3's <=2 budget, alongside q171): per-part stock value for one nation's
+# suppliers, keeping parts above TWICE the mean per-part value (the
+# scale-independent analogue of TPC-H's 1/SF-scaled fraction) with the
+# HAVING kept EXACT (value * n_parts > 2 * total, all integer cents,
+# attached via a one-row broadcast scalar — no float fraction). Scale
+# shape: the nation prune broadcasts onto the derived partsupp before the
+# per-part shuffle; the total is a second pass over the tiny per-part
+# aggregate, not the fact. Q20 remains the one library-only shape.
+# --------------------------------------------------------------------------
+@register(
+    "q172_important_stock",
+    oracle=LIBRARY_ORACLES["important_stock"],
+    doc="TPC-H Q11 shape: per-part stock value above 1/200 of nation total",
+)
+def q172_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return important_stock(spark, sf_dir)
 
 
 def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
