@@ -307,11 +307,15 @@ def important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = derived_partsupp(spark, sf_dir).join(
         F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey")
     )
+    # consumed TWICE (the total scalar and the filter join): persist so
+    # the nation-pruned partsupp aggregate — a real shuffle at 100 TB —
+    # executes once (the session mop-up's clearCache reclaims the blocks;
+    # same pattern as queries/dedup.py's multi-consumer frames)
     per_part = ps.groupBy("ps_partkey").agg(
         F.sum(
             F.col("ps_supplycost_cents") * F.col("ps_availqty")
         ).alias("value_cents")
-    )
+    ).persist()
     total = per_part.agg(
         F.sum("value_cents").alias("total_cents"),
         F.count("*").alias("n_parts"),

@@ -26,44 +26,24 @@ these promptly: py4j handles and the status store keep the plans
 reachable). A query that fails this sweep either persisted outside the
 SQL cache manager (RDD-level persist) or grew state the boundary mop-up
 cannot see.
+
+PER-QUERY SWEEP LOCATION (round 14): the all-registered-queries ledger
+assertion rides on the mirror's execution in
+tests/test_queries_oracle.py::test_oracle_match — the same contract on
+the same code paths, checked once per suite run instead of via a second
+full execution of every query (VERDICT r13 #4's wall-time budget; the
+parameterized sweep here cost ~140 s). This file keeps the MECHANISM
+tests: explicit-release semantics and RDD-level-persist detection.
 """
 
 from __future__ import annotations
 
-import pytest
-
 from reddit_big_data_spark.plans.cache import release_local_checkpoints
-from reddit_big_data_spark.registry import all_queries
-from tests.conftest import SF_SMOKE
-
-_QUERIES = sorted(all_queries().values(), key=lambda q: q.name)
 
 
 def _persistent_ids(spark) -> set[int]:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(rid) for rid in jmap.keySet().toArray()}
-
-
-@pytest.mark.parametrize("query", _QUERIES, ids=lambda q: q.name)
-def test_mop_up_reclaims_every_block(spark, query):
-    # Baseline-relative: only blocks ADDED by this query count — a frame
-    # another test leaked must not fail this one (and vice versa the
-    # sweep must not mask it).
-    before = _persistent_ids(spark)
-    df = query.fn(spark, SF_SMOKE)
-    df.write.mode("overwrite").format("noop").save()
-    spark.catalog.clearCache()
-    release_local_checkpoints(spark)
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    leaked = []
-    for rid in list(jmap.keySet().toArray()):
-        if int(rid) in before:
-            continue
-        leaked.append(f"RDD {rid}: {jmap[rid].toDebugString().splitlines()[0]}")
-    assert not leaked, (
-        f"{query.name} left blocks the boundary mop-up (clearCache + "
-        f"release_local_checkpoints) cannot reclaim:\n" + "\n".join(leaked)
-    )
 
 
 def test_release_is_explicit_and_returns_ids(spark):

@@ -1,10 +1,21 @@
 """t2 mirror: every registered query with an oracle must hash-match DuckDB
-on the sf0.01 tables — the same check the driver runs."""
+on the sf0.01 tables — the same check the driver runs.
+
+The mirror execution ALSO carries the cache-ledger contract (round 14,
+VERDICT r13 #4 wall-time budget): after each query's run, the boundary
+mop-up — clearCache + release_local_checkpoints — must reclaim every
+persistent block the query added. This used to be a second full
+execution of all 172 queries in tests/test_cache_ledger.py; riding on
+the mirror's materialization checks the identical contract (same code
+paths, same persists) once instead of twice per suite run. The ledger's
+mechanism tests (explicit release semantics, RDD-level-persist
+detection) remain in test_cache_ledger.py."""
 
 from __future__ import annotations
 
 import pytest
 
+from reddit_big_data_spark.plans.cache import release_local_checkpoints
 from reddit_big_data_spark.registry import all_queries
 from tests.conftest import SF_ORACLE, SF_SMOKE
 from tests.oracle_harness import run_and_compare
@@ -14,10 +25,33 @@ _WITH_ORACLE = [q for q in _QUERIES.values() if q.oracle is not None]
 _ROWS_ONLY = [q for q in _QUERIES.values() if q.oracle is None]
 
 
+def _persistent_ids(spark) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(rid) for rid in jmap.keySet().toArray()}
+
+
 @pytest.mark.parametrize("query", _WITH_ORACLE, ids=lambda q: q.name)
 def test_oracle_match(spark, duck, query):
+    # Baseline-relative ledger bookkeeping: only blocks ADDED by this
+    # query count — a frame another test leaked must not fail this one
+    # (and vice versa the sweep must not mask it).
+    before = _persistent_ids(spark)
     errors = run_and_compare(spark, duck, query, SF_ORACLE)
     assert not errors, "\n".join(errors)
+    # Cache-ledger contract on the SAME execution: the between-query
+    # mop-up must reclaim every block this query persisted.
+    spark.catalog.clearCache()
+    release_local_checkpoints(spark)
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    leaked = [
+        f"RDD {rid}: {jmap[rid].toDebugString().splitlines()[0]}"
+        for rid in list(jmap.keySet().toArray())
+        if int(rid) not in before
+    ]
+    assert not leaked, (
+        f"{query.name} left blocks the boundary mop-up (clearCache + "
+        f"release_local_checkpoints) cannot reclaim:\n" + "\n".join(leaked)
+    )
 
 
 # All 138 registered queries have full DuckDB oracles as of round 8, so
