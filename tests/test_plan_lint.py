@@ -253,11 +253,24 @@ def test_query_plan_is_scale_clean(spark, name):
     # whose input the lint cannot prove bounded — for the twelve registry
     # queries that trigger it (running/windowed/pair outputs), the result
     # set is inherently row-shaped and the sort is the oracle-stability
-    # orderBy on exactly the rows returned. Enforcing it here would
+    # orderBy on exactly the rows returned. Enforcing it would
     # resurrect the hand-list r9 removed; interactive lint users still
     # see the warning. Hazard codes stay strictly enforced.
     findings = [f for f in findings if f.code != "ROOT_SORT"]
     assert not findings, f"{name}: " + "; ".join(map(str, findings))
+    # The multi-consumer recompute audit walks the SAME physical plan
+    # (round 14, VERDICT r13 #4 wall-time: building every query's
+    # DataFrame twice for two plan-only sweeps cost ~40% of both files'
+    # runtime). Allowances and their reasons live in
+    # tests/test_scan_audit.py, next to the audit's mechanism tests.
+    from tests.test_scan_audit import scan_allowance_violations
+
+    over = scan_allowance_violations(name, df)
+    assert not over, (
+        f"{name}: live scans {over} exceed the allowance — a shared "
+        "subtree is probably re-executing per consumer; persist it or "
+        "add a reasoned _ALLOW entry in tests/test_scan_audit.py"
+    )
 
 
 def test_lint_accepts_root_global_sort(spark):
