@@ -203,6 +203,13 @@ def sweep(
                     flush=True,
                 )
                 os.remove(fpath)
+                # drop the sidecar too: if the re-derivation times out
+                # (or is fast enough not to re-fixture), a stale .md5
+                # would otherwise linger orphaned forever (review r14)
+                try:
+                    os.remove(fpath + ".md5")
+                except FileNotFoundError:
+                    pass
                 from_fixture = False
             if from_fixture:
                 ddf = pd.read_parquet(fpath)
@@ -295,10 +302,16 @@ def main() -> int:
                 # (ADVICE r12)
                 print("usage: --timeout SECS (positive number)")
                 return 2
-            if timeout_s <= 0:
-                # a falsy 0 would silently mean 'unbounded' — the
-                # hours-long sf0.1 hang the flag exists to prevent
-                print("usage: --timeout SECS must be > 0")
+            import math
+
+            if timeout_s <= 0 or not math.isfinite(timeout_s):
+                # a falsy 0 would silently mean 'unbounded' (the
+                # hours-long sf0.1 hang the flag exists to prevent);
+                # 'nan' makes Event.wait return immediately (every
+                # oracle spuriously times out, sweep exits 0 comparing
+                # nothing) and 'inf' overflows the wait, killing the
+                # watchdog thread (review r14)
+                print("usage: --timeout SECS must be a finite number > 0")
                 return 2
             i += 2
         elif a == "--only":

@@ -368,7 +368,7 @@ LIBRARY_ORACLES["important_stock"] = PARTSUPP_CTE + """
 @register(
     "q172_important_stock",
     oracle=LIBRARY_ORACLES["important_stock"],
-    doc="TPC-H Q11 shape: per-part stock value above 1/200 of nation total",
+    doc="TPC-H Q11 shape: per-part stock value above 2x the nation mean",
 )
 def q172_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     return important_stock(spark, sf_dir)

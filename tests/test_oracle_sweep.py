@@ -81,6 +81,14 @@ def test_main_rejects_zero_and_missing_timeout(monkeypatch):
     assert main() == 2
     monkeypatch.setattr(sys, "argv", ["oracle_sweep.py", "--only"])
     assert main() == 2
+    # review r14: 'nan' makes Event.wait return immediately (every
+    # oracle spuriously times out, sweep exits 0 comparing nothing);
+    # 'inf' overflows the wait and kills the watchdog thread
+    for bad in ("nan", "inf", "-inf"):
+        monkeypatch.setattr(
+            sys, "argv", ["oracle_sweep.py", "/x", "--timeout", bad]
+        )
+        assert main() == 2, bad
 
 
 def test_main_rejects_malformed_invocations(monkeypatch):
@@ -182,9 +190,12 @@ def test_corrupted_fixture_content_rederives_live(
     assert osw.sweep("/root/testdata/sf0.001", only={name}) == 0
     out = capsys.readouterr().out
     assert "FIXTURE-CORRUPT" in out and "[fixture]" not in out
-    # the re-derivation rewrote a checksum-valid fixture
+    # the re-derivation rewrote a checksum-valid fixture, and exactly
+    # one sidecar remains (the corrupt pair was removed TOGETHER —
+    # an orphaned .md5 would linger forever otherwise, review r14)
     [fpath2] = sorted(tmp_path.glob(f"{name}.*.parquet"))
     assert osw.fixture_content_ok(str(fpath2))
+    assert len(list(tmp_path.glob("*.md5"))) == 1
 
     # a missing sidecar is equally untrusted
     (tmp_path / (fpath2.name + ".md5")).unlink()
@@ -286,4 +297,15 @@ def test_committed_fixtures_match_current_corpus_and_oracles():
     assert not corrupt, (
         "truth fixtures whose bytes fail their content checksum "
         f"(re-derive them): {corrupt}"
+    )
+    # ...and no sidecar may outlive its parquet (the FIXTURE-CORRUPT
+    # path removes both; an orphan .md5 means something deleted the
+    # truth by hand — review r14)
+    orphan_sidecars = [
+        os.path.basename(s)
+        for s in glob.glob(os.path.join(FIXTURE_DIR, "*.parquet.md5"))
+        if s[: -len(".md5")] not in set(files)
+    ]
+    assert not orphan_sidecars, (
+        f"checksum sidecars without their fixture parquet: {orphan_sidecars}"
     )

@@ -67,10 +67,10 @@ _ALLOW: dict[str, dict[str, str]] = {
     },
     "q172_important_stock": {
         "NESTED_LOOP": "two ONE-row scalar attaches: the derived-"
-        "partsupp supplier count (as q170/q171) and the nation-total "
-        "stock value crossJoined onto the tiny per-part aggregate for "
-        "the EXACT value*200 > total compare — constant work per row "
-        "at any corpus scale",
+        "partsupp supplier count (as q170/q171) and the nation "
+        "total/count crossJoined onto the tiny per-part aggregate for "
+        "the EXACT value*n_parts > 2*total compare — constant work "
+        "per row at any corpus scale",
     },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "

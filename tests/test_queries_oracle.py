@@ -36,12 +36,18 @@ def test_oracle_match(spark, duck, query):
     # query count — a frame another test leaked must not fail this one
     # (and vice versa the sweep must not mask it).
     before = _persistent_ids(spark)
-    errors = run_and_compare(spark, duck, query, SF_ORACLE)
+    try:
+        errors = run_and_compare(spark, duck, query, SF_ORACLE)
+    finally:
+        # mop up BEFORE asserting the compare (review r14): a failing
+        # query must not leak its persisted blocks into the remaining
+        # ~170 tests of the session-scoped SparkSession — the replaced
+        # ledger sweep ran this mop-up unconditionally too.
+        spark.catalog.clearCache()
+        release_local_checkpoints(spark)
     assert not errors, "\n".join(errors)
     # Cache-ledger contract on the SAME execution: the between-query
     # mop-up must reclaim every block this query persisted.
-    spark.catalog.clearCache()
-    release_local_checkpoints(spark)
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     leaked = [
         f"RDD {rid}: {jmap[rid].toDebugString().splitlines()[0]}"
