@@ -219,3 +219,42 @@ def test_wav_decodes_stereo_interleaved():
         + b"data" + _struct.pack("<I", len(data)) + data
     )
     assert decode_wav(wav) == (8000, 2, samples)
+
+
+# --------------------------------------------------------------------------
+# Malformed-input fuzz (round 14): capture-mode quarantine
+# (functions/multimodal.py) propagates every NON-ValueError as a decoder
+# implementation bug that fails the whole stage — so the codec contract
+# "malformed bytes raise ValueError, nothing else" is load-bearing for
+# the 100 TB corrupt-blob story. Pin it over arbitrary byte soup AND
+# over every truncation prefix of VALID payloads (the realistic
+# corruption: a blob cut off mid-write).
+# --------------------------------------------------------------------------
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_decoders_raise_only_valueerror_on_arbitrary_bytes(data):
+    for dec in (decode_bmp, decode_wav, decode_frames):
+        try:
+            dec(data)
+        except ValueError:
+            pass  # the contract — anything else propagates and fails
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.data())
+def test_decoders_raise_only_valueerror_on_truncated_valid_payloads(data):
+    kind = data.draw(st.sampled_from(["bmp", "wav", "frames"]))
+    if kind == "bmp":
+        payload = encode_bmp(bytes(range(9)) * 5, 5, 3)
+        dec = decode_bmp
+    elif kind == "wav":
+        payload = encode_wav([i * 37 % 4001 - 2000 for i in range(40)], 8000)
+        dec = decode_wav
+    else:
+        payload = encode_frames([encode_bmp(bytes(48), 4, 4)] * 2)
+        dec = decode_frames
+    cut = data.draw(st.integers(0, len(payload) - 1))
+    try:
+        dec(payload[:cut])
+    except ValueError:
+        pass  # the contract
