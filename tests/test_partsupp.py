@@ -86,3 +86,24 @@ def test_min_cost_supplier_is_true_minimum(spark):
     for r in rows:
         per_part.setdefault(r["ps_partkey"], set()).add(r["cost_cents"])
     assert all(len(c) == 1 for c in per_part.values())
+
+
+# --------------------------------------------------------------------------
+# The derivation's distinctness guarantee, pinned as ARITHMETIC (round
+# 14): the docstring argues the four suppkeys (p + i*(S//4)) % S,
+# i in 0..3, are distinct for any supplier count S >= 4 — the property
+# the whole derived-partsupp join contract rests on (dbgen's skew term
+# breaks it at small S, which is why the derivation dropped it). Pure
+# Python, so hypothesis can sweep S and p far beyond any shipped corpus.
+# S < 4 would collapse the offsets to 0 (S//4 == 0); no shipped corpus
+# is near that, and the sweep/oracle would both break loudly there.
+# --------------------------------------------------------------------------
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=300, deadline=None)
+@given(s_cnt=st.integers(4, 100_000), p=st.integers(0, 10**9))
+def test_derived_suppkeys_distinct_for_any_supplier_count(s_cnt, p):
+    keys = {(p + i * (s_cnt // 4)) % s_cnt for i in range(4)}
+    assert len(keys) == 4
+    assert all(0 <= k < s_cnt for k in keys)
