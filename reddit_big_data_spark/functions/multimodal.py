@@ -257,9 +257,20 @@ def resize_images(
         for pdf in batches:
             out_payload, out_meta = [], []
             for p, k, m in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
-                if k == "image":
-                    p = resizer(p, m["width"], m["height"], target_w, target_h)
-                    m = dict(m)
+                # MEDIA_SCHEMA leaves payload and meta nullable: an image
+                # row with a NULL payload passes through untouched (there
+                # is nothing to resize — quarantining is extract_features'
+                # job), and a NULL meta is rebuilt from the target dims
+                # rather than crashing on None subscripting (review r14)
+                if k == "image" and p is not None:
+                    w = None if m is None else m["width"]
+                    h = None if m is None else m["height"]
+                    p = resizer(p, w, h, target_w, target_h)
+                    m = (
+                        dict(m)
+                        if m is not None
+                        else {"sample_rate": None, "duration_s": None}
+                    )
                     m["width"], m["height"] = target_w, target_h
                 out_payload.append(p)
                 out_meta.append(m)
@@ -395,6 +406,14 @@ def decode_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
     capture = on_error == "capture"
 
     def stats_of(kind: str, payload: bytes) -> tuple[int, int, int, int]:
+        # NULL payload and unknown kind are MALFORMED-ROW conditions, not
+        # code bugs: raise ValueError so capture mode quarantines them
+        # per-row instead of a TypeError failing the stage (review r14;
+        # MEDIA_SCHEMA declares payload nullable, and misattributing a
+        # bad `kind` to decode_frames would report 'bad RBV1 magic' for
+        # a row whose payload may be perfectly valid).
+        if payload is None:
+            raise ValueError("decode_stats: NULL payload")
         data = bytes(payload)
         if kind == "image":
             w, h, px = codecs.decode_bmp(data)
@@ -403,10 +422,12 @@ def decode_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
         elif kind == "audio":
             rate, _ch, vals = codecs.decode_wav(data)
             dim = rate
-        else:
+        elif kind == "video":
             decoded = [codecs.decode_bmp(f) for f in codecs.decode_frames(data)]
             vals = [v for _, _, px in decoded for v in px]
             dim = len(decoded)
+        else:
+            raise ValueError(f"decode_stats: unknown kind {kind!r}")
         return (
             len(vals),
             sum(vals),
@@ -433,7 +454,7 @@ def decode_stats(media: DataFrame, on_error: str = "raise") -> DataFrame:
                     units, vsum, wsum, dim = stats_of(kind, payload)
                 out["media_id"].append(int(mid))
                 out["kind"].append(kind)
-                out["payload_bytes"].append(len(payload))
+                out["payload_bytes"].append(0 if payload is None else len(payload))
                 out["units"].append(units)
                 out["value_sum"].append(vsum)
                 out["weighted_sum"].append(wsum)
@@ -452,8 +473,18 @@ def frame_sample(df: DataFrame, frame_bytes: int = 32, every_n: int = 2) -> Data
     hexed = df.withColumn("__hex", F.hex(F.col("payload")))
     hex_chunk = 2 * frame_bytes
     n_frames = F.ceil(F.length("__hex") / hex_chunk).cast("int")
+    # slice(seq, 1, n_frames) instead of a bare sequence(0, n_frames-1):
+    # sequence(0, -1) on an EMPTY payload is Spark's descending-sequence
+    # trap ([0, -1] — the same gotcha word_shingles guards against) and
+    # would emit phantom frames; the slice is empty when n_frames = 0,
+    # and a NULL payload yields a NULL array, which explode drops
+    # (review r14).
     frames = F.transform(
-        F.sequence(F.lit(0), n_frames - 1),
+        F.slice(
+            F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0))),
+            1,
+            n_frames,
+        ),
         lambda i: F.struct(
             i.alias("frame_idx"),
             # Column.substr accepts Column positions (F.substring wants ints)

@@ -27,7 +27,14 @@ from pyspark.sql import functions as F
 def token_set_fingerprint(tokens: Column) -> Column:
     """Exact-dedup key: md5 of the sorted distinct token set. Two docs with
     the same bag of words (any order/multiplicity) collide — the cheap
-    first-pass dedup gate before MinHash."""
+    first-pass dedup gate before MinHash.
+
+    PRECONDITION (review r14): tokens must be whitespace-free — ' ' is
+    the unescaped join separator here (and in word_shingles /
+    duplicated_token_spans), so ['a b'] and ['a','b'] would collide.
+    Every tokenizer in this package splits on whitespace, so the
+    precondition holds by construction for package-produced tokens;
+    callers feeding externally-tokenized arrays must guarantee it."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens))))
 
 
@@ -35,7 +42,8 @@ def word_shingles(tokens: Column, k: int = 2) -> Column:
     """Distinct word k-shingles of a token array, as strings.
 
     transform over a 0-based index sequence; slice is 1-based. Docs shorter
-    than k yield an empty array.
+    than k yield an empty array. Tokens must be whitespace-free (' ' is
+    the shingle separator — see token_set_fingerprint's precondition).
     """
     n = F.size(tokens)
     # Guard n < k explicitly: Spark's sequence(1, 0) yields a DESCENDING
@@ -109,18 +117,26 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     computation into every band key — measured 16x recompute (~370 s vs
     ~25 s for candidate generation at sf0.1).
 
-    Callers must exclude empty shingle sets (NULL mins) beforehand;
-    lsh_candidate_pairs does.
+    NULL-safe to compose with minhash_signature directly (review r14):
+    the per-band fold concatenates with null-PROPAGATING concat (not
+    concat_ws, which SKIPS nulls), so an all-NULL signature — an empty
+    shingle set — yields NULL band keys, which no EQUI-JOIN ever
+    matches (the production bucket-join pattern), honoring
+    minhash_signature's "NULL mins never collide into buckets"
+    guarantee. (concat_ws mapped every empty doc to the SAME '' key in
+    every band: a quadratic candidate blowup of exactly the docs
+    claimed safe.) Spark's groupBy DOES form a NULL group, so a
+    groupBy-bucketing caller must still drop null keys first;
+    lsh_candidate_pairs additionally excludes empty sets up front,
+    which also keeps its signature stage cheaper.
     """
     idx = F.sequence(F.lit(0), F.lit(bands - 1))
     return F.transform(
         idx,
-        lambda b: F.concat_ws(
-            "|",
-            F.transform(
-                F.slice(signature, b * rows + 1, rows),
-                lambda v: v.cast("string"),
-            ),
+        lambda b: F.aggregate(
+            F.slice(signature, b * rows + 1, rows),
+            F.lit(""),
+            lambda acc, v: F.concat(acc, F.lit("|"), v.cast("string")),
         ),
     )
 
@@ -401,7 +417,19 @@ def simhash_bits(df: DataFrame, id_col: str, token_col: str, bits: int = 32) -> 
     (digit >= 8 -> 1). A near-identical token multiset flips few votes, so
     near-dups land at small hamming distance. Fully native: explode tokens
     x explode bit positions -> groupBy(doc, pos) sum -> assemble string.
+
+    `bits` is capped at 32 — one md5 hex digit votes per bit, and
+    substring past the 32-digit digest returns '' so bits 33+ would be
+    the SAME constant vote for every token and every doc (a silently
+    degenerate signature that halves effective width and inflates false
+    matches — review r14). Use simhash_wide for wider signatures.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"simhash_bits: bits must be in [1, 32] (one md5 hex digit "
+            f"votes per bit; got {bits}) — use simhash_wide for wider "
+            f"signatures"
+        )
     tok = df.select(F.col(id_col).alias("__id"), F.explode(token_col).alias("__t"))
     tok = tok.withColumn("__h", F.md5(F.col("__t")))
     # One SUM aggregate per bit over the token rows (map-side partial agg),
@@ -734,7 +762,8 @@ def duplicated_token_spans(
     """Exact substring-level dedup (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better"): find every maximal token
     span that appears at least `min_count` times across the corpus, as
-    (doc, span) rows.
+    (doc, span) rows. Tokens must be whitespace-free (' ' is the gram
+    separator — see token_set_fingerprint's precondition).
 
     The Spark plan is gram-banded, never all-pairs:
 

@@ -792,3 +792,60 @@ def test_cluster_table_artifact_prune_scope(tmp_path, monkeypatch):
     assert not os.path.exists(old_format)
     # missing parent is a no-op, not an error
     dmod._prune_stale_artifact_versions(str(tmp_path / "nope" / "x_1_2"))
+
+
+def test_simhash_bits_rejects_widths_past_md5_digits(spark):
+    """Review r14: bits > 32 used to silently produce constant votes on
+    bits 33+ (substring past the 32-digit md5 returns ''), halving
+    effective signature width — now a loud ValueError."""
+    import pytest
+
+    from reddit_big_data_spark.operators.dedup import simhash_bits
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"])], "doc_id long, toks array<string>"
+    )
+    with pytest.raises(ValueError, match="must be in \\[1, 32\\]"):
+        simhash_bits(df, "doc_id", "toks", bits=64)
+    with pytest.raises(ValueError, match="must be in \\[1, 32\\]"):
+        simhash_bits(df, "doc_id", "toks", bits=0)
+    assert simhash_bits(df, "doc_id", "toks", bits=32).count() == 1
+
+
+def test_lsh_band_keys_null_signature_never_buckets(spark):
+    """Review r14: composing minhash_signature with lsh_band_keys
+    directly on empty shingle sets must honor 'NULL mins never collide
+    into buckets' — concat_ws used to map EVERY empty doc to the same
+    '' key in every band (quadratic blowup of exactly the docs claimed
+    safe); the null-propagating fold yields NULL keys instead, which no
+    groupBy bucket or equi-join ever matches."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["x", "y", "z"]), (2, []), (3, [])],
+        "doc_id long, sh array<string>",
+    )
+    keyed = df.select(
+        "doc_id",
+        lsh_band_keys(minhash_signature(F.col("sh"), 8), bands=2, rows=4).alias("keys"),
+    )
+    rows = {r["doc_id"]: r["keys"] for r in keyed.collect()}
+    assert all(k is not None for k in rows[1])
+    assert all(k is None for k in rows[2]) and all(k is None for k in rows[3])
+    # the two empty docs must NOT meet under the production pattern: an
+    # EQUI-JOIN on (band position, key) — NULL keys never satisfy it
+    banded = keyed.select(
+        "doc_id", F.posexplode("keys").alias("band", "k")
+    )
+    pairs = banded.alias("a").join(
+        banded.alias("b"),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    assert pairs.count() == 0

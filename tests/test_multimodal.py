@@ -286,3 +286,97 @@ def test_capture_mode_propagates_decoder_implementation_bugs(spark):
         extract_features(
             media, decoder=buggy_decoder, on_error="capture"
         ).collect()
+
+
+def test_decode_stats_capture_quarantines_null_payload_and_bad_kind(spark):
+    """Review r14: MEDIA_SCHEMA leaves payload nullable and kind is
+    caller data — a NULL payload or an unknown kind must cost ONE
+    quarantined row in capture mode (honest messages, not TypeError
+    failing the stage or 'bad RBV1 magic' misattributed to a bad kind)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.functions.multimodal import (
+        MEDIA_EVERY,
+        decode_stats,
+    )
+
+    media = synth_codec_media(
+        spark.range(3).select((F.col("id") * MEDIA_EVERY).alias("doc_id"))
+    )
+    broken = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 0, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    ).withColumn(
+        "kind",
+        F.when(F.col("media_id") == MEDIA_EVERY, F.lit("hologram")).otherwise(
+            F.col("kind")
+        ),
+    )
+    rows = {r["media_id"]: r for r in decode_stats(broken, on_error="capture").collect()}
+    assert len(rows) == 3
+    assert rows[0]["decode_error"] == "ValueError: decode_stats: NULL payload"
+    assert rows[0]["payload_bytes"] == 0 and rows[0]["units"] == 0
+    assert rows[MEDIA_EVERY]["decode_error"] == (
+        "ValueError: decode_stats: unknown kind 'hologram'"
+    )
+    assert rows[2 * MEDIA_EVERY]["decode_error"] is None
+
+
+def test_resize_images_passes_null_payload_and_rebuilds_null_meta(spark):
+    """Review r14: an image row with NULL payload passes through
+    untouched; NULL meta is rebuilt from the target dims, not crashed on."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.functions.codecs import decode_bmp
+    from reddit_big_data_spark.functions.multimodal import (
+        MEDIA_EVERY,
+        bmp_resizer,
+        resize_images,
+    )
+
+    media = synth_codec_media(
+        spark.range(6).select((F.col("id") * MEDIA_EVERY).alias("doc_id"))
+    )
+    # rank 0 and 3 are images; null out rank 0's payload, rank 3's meta
+    broken = media.withColumn(
+        "payload",
+        F.when(F.col("media_id") == 0, F.lit(None).cast("binary")).otherwise(
+            F.col("payload")
+        ),
+    ).withColumn(
+        "meta",
+        F.when(
+            F.col("media_id") == 3 * MEDIA_EVERY,
+            F.lit(None).cast(media.schema["meta"].dataType),
+        ).otherwise(F.col("meta")),
+    )
+    out = {r["media_id"]: r for r in resize_images(
+        broken, target_w=4, target_h=3, resizer=bmp_resizer
+    ).collect()}
+    assert out[0]["payload"] is None  # passed through, stage survived
+    resized = out[3 * MEDIA_EVERY]
+    assert (resized["meta"]["width"], resized["meta"]["height"]) == (4, 3)
+    w, h, _ = decode_bmp(bytes(resized["payload"]))
+    assert (w, h) == (4, 3)
+
+
+def test_frame_sample_empty_payload_yields_no_phantom_frames(spark):
+    """Review r14: sequence(0, -1) is DESCENDING ([0, -1]); an empty or
+    NULL video payload must produce zero frame rows, not phantom
+    frame_idx 0/-1 rows."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.functions.multimodal import frame_sample
+
+    df = spark.createDataFrame(
+        [(1, "video", b"abcdef" * 20), (2, "video", b""), (3, "video", None)],
+        "media_id long, kind string, payload binary",
+    )
+    rows = frame_sample(df, frame_bytes=8, every_n=1).collect()
+    ids = {r["media_id"] for r in rows}
+    assert 2 not in ids and 3 not in ids
+    assert all(r["frame_idx"] >= 0 for r in rows)
+    assert sum(1 for r in rows if r["media_id"] == 1) == 15  # 120B/8B
