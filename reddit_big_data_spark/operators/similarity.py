@@ -39,7 +39,7 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -68,13 +68,36 @@ def brute_force_topk(
     pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.withColumn(
         "cosine_sim",
-        F.round(dot(F.col("__e_q"), F.col("__e_c")) / (F.col("__n_q") * F.col("__n_c")), 6),
+        F.round(
+            F.try_divide(
+                dot(F.col("__e_q"), F.col("__e_c")),
+                F.col("__n_q") * F.col("__n_c"),
+            ),
+            6,
+        ),
     )
+    return _topk_tail(scored, k)
+
+
+def _topk_tail(scored: DataFrame, k: int) -> DataFrame:
+    """The ranking tail shared by EVERY exact-cosine top-k operator
+    (brute_force_topk, exact_rerank, lsh_topk, ivf_topk): NULL-sim
+    exclusion, sim-desc + id tie-break window, int rn, fixed output
+    columns. One definition so the contract cannot silently diverge
+    between the four operators (review r14 — it used to live in four
+    verbatim copies).
+
+    Zero-magnitude vectors score NULL cosine (dot / norm 0); they are
+    EXCLUDED rather than ranked — the numpy candidate-pair paths drop
+    such rows too (NaN comparisons are False), so without this filter
+    the operators disagreed on zero vectors and a sparse bucket could
+    emit (query, zero_vec, cosine_sim=NULL, rn=k) rows (review r14)."""
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        scored.filter(F.col("cosine_sim").isNotNull())
+        .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rn")
     )
@@ -110,20 +133,15 @@ def exact_rerank(
         .withColumn(
             "cosine_sim",
             F.round(
-                dot(F.col("__e_q"), F.col("__e_c"))
-                / (F.col("__n_q") * F.col("__n_c")),
+                F.try_divide(
+                    dot(F.col("__e_q"), F.col("__e_c")),
+                    F.col("__n_q") * F.col("__n_c"),
+                ),
                 6,
             ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rn")
-    )
+    return _topk_tail(scored, k)
 
 
 _M64 = (1 << 64) - 1
@@ -157,20 +175,11 @@ def _hyperplane(table: int, plane: int, dims: int) -> list[float]:
     return out
 
 
-def lsh_bucket(emb: Column, table: int, n_planes: int, dims: int) -> Column:
-    """b-bit bucket id for one hash table: sign pattern of `n_planes`
-    hyperplane dots, as a bit-string."""
-    bits = []
-    for j in range(n_planes):
-        plane = F.array(*[F.lit(w) for w in _hyperplane(table, j, dims)])
-        bits.append(F.when(dot(emb, plane) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
-
-
 def lsh_table_buckets(emb: Column, n_planes: int, n_tables: int, dims: int) -> Column:
     """All tables' buckets at once: array<struct<tbl int, bucket string>>.
 
-    Same values as per-table `lsh_bucket`, built from ONE 2-D plane
+    Per-table bucket id = the sign pattern of that table's `n_planes`
+    hyperplane dots as a bit-string, built from ONE 2-D plane
     constant and a single transform pass — building n_tables separate
     bucket expressions doubled Catalyst/codegen COMPILE time (the
     dominant cost of the LSH queries at test scale; 2.3 s -> 1.0 s
@@ -343,19 +352,14 @@ def lsh_topk(
     scored = cand.withColumn(
         "cosine_sim",
         F.round(
-            dot(F.col("__e_query"), F.col("__e_neighbor"))
-            / (F.col("__n_query") * F.col("__n_neighbor")),
+            F.try_divide(
+                dot(F.col("__e_query"), F.col("__e_neighbor")),
+                F.col("__n_query") * F.col("__n_neighbor"),
+            ),
             6,
         ),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", "cosine_sim", "rn")
-    )
+    return _topk_tail(scored, k)
 
 
 def cosine_candidate_pairs(
@@ -457,6 +461,11 @@ def _broadcast_candidate_pairs(
             f"contract) for corpora past driver scale"
         )
     side = corpus.select(id_col, emb_col).toPandas()
+    if len(side) == 0:
+        # np.stack over zero arrays raises ValueError; an empty corpus
+        # has no pairs — return the same empty frame the blocked path
+        # yields instead of a driver crash (review r14)
+        return spark.createDataFrame([], "id_a long, id_b long")
     b_ids = side[id_col].to_numpy()
     b_mat = np.stack(side[emb_col].to_numpy()).astype(np.float64)
     b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
@@ -561,20 +570,30 @@ def _lsh_candidate_pairs(
     is exact; only RECALL is approximate (see cosine_candidate_pairs)."""
     planes = _planes_frame(corpus.sparkSession, n_planes, n_tables, dims)
 
-    def banded(role: str) -> DataFrame:
-        tables = _banded_signatures(emb_col, n_planes, n_tables)
-        return _with_planes(corpus, planes, id_col).select(
-            F.col(id_col).alias(f"id_{role}"),
-            F.explode(tables).alias("__tb"),
-        ).select(
-            f"id_{role}",
+    # ONE banded-signature pass, persisted, self-joined — building the
+    # two join sides as independent subplans re-ran the n_tables*n_planes
+    # sequential-fold dot products over the whole corpus TWICE (self-
+    # joined subtrees re-execute, they don't share; review r14). Same
+    # persist-before-self-join pattern as operators/dedup.py; the
+    # boundary mop-up (clearCache) reclaims the blocks.
+    banded_once = (
+        _with_planes(corpus, planes, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(_banded_signatures(emb_col, n_planes, n_tables)).alias(
+                "__tb"
+            ),
+        )
+        .select(
+            "__id",
             F.col("__tb.tbl").alias("tbl"),
             F.col("__tb.bucket").alias("bucket"),
         )
-
+        .persist()
+    )
     cand = (
-        banded("a")
-        .join(banded("b"), ["tbl", "bucket"])
+        banded_once.withColumnRenamed("__id", "id_a")
+        .join(banded_once.withColumnRenamed("__id", "id_b"), ["tbl", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -588,7 +607,9 @@ def _lsh_candidate_pairs(
     b = v.select(
         F.col(id_col).alias("id_b"), F.col(emb_col).alias("__e_b"), F.col("__n").alias("__n_b")
     )
-    sim = dot(F.col("__e_a"), F.col("__e_b")) / (F.col("__n_a") * F.col("__n_b"))
+    sim = F.try_divide(
+        dot(F.col("__e_a"), F.col("__e_b")), F.col("__n_a") * F.col("__n_b")
+    )
     return (
         cand.join(a, "id_a")
         .join(b, "id_b")
@@ -618,7 +639,10 @@ def ivf_assign(
         norm(F.col(emb_col)).alias("__n"),
     )
     scored = v.join(F.broadcast(c), F.lit(True)).withColumn(
-        "__sim", dot(F.col(emb_col), F.col("__c_emb")) / (F.col("__n") * F.col("__c_n"))
+        "__sim",
+        F.try_divide(
+            dot(F.col(emb_col), F.col("__c_emb")), F.col("__n") * F.col("__c_n")
+        ),
     )
     w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("__cell"))
     return (
@@ -692,7 +716,10 @@ def ivf_topk(
     coarse quantizer with Lloyd's rounds (see make_centroids) — the real
     index build, balancing cell populations and hence probe cost."""
     cents = make_centroids(corpus, id_col, emb_col, n_cells, train_iters)
-    assigned = ivf_assign(corpus, cents, id_col, emb_col).persist()
+    # no persist: `assigned` feeds exactly ONE join in this plan, so a
+    # cache entry would cost storage memory per call without saving any
+    # recomputation (review r14)
+    assigned = ivf_assign(corpus, cents, id_col, emb_col)
     # route each query to its nprobe nearest cells
     c = cents.select(
         F.col("cell"), F.col(emb_col).alias("__c_emb"), norm(F.col(emb_col)).alias("__c_n")
@@ -705,7 +732,11 @@ def ivf_topk(
     routed = (
         q.join(F.broadcast(c), F.lit(True))
         .withColumn(
-            "__sim", dot(F.col("__e_q"), F.col("__c_emb")) / (F.col("__n_q") * F.col("__c_n"))
+            "__sim",
+            F.try_divide(
+                dot(F.col("__e_q"), F.col("__c_emb")),
+                F.col("__n_q") * F.col("__c_n"),
+            ),
         )
         .withColumn(
             "__rn",
@@ -721,11 +752,12 @@ def ivf_topk(
     )
     scored = cand.withColumn(
         "cosine_sim",
-        F.round(dot(F.col("__e_q"), F.col(emb_col)) / (F.col("__n_q") * F.col("nrm")), 6),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine_sim").desc(), F.col(id_col))
-    return (
-        scored.withColumn("rn", F.row_number().over(w).cast("int"))
-        .filter(F.col("rn") <= k)
-        .select("query_id", F.col(id_col).alias("neighbor_id"), "cosine_sim", "rn")
-    )
+        F.round(
+            F.try_divide(
+                dot(F.col("__e_q"), F.col(emb_col)),
+                F.col("__n_q") * F.col("nrm"),
+            ),
+            6,
+        ),
+    ).withColumnRenamed(id_col, "neighbor_id")
+    return _topk_tail(scored, k)

@@ -12,6 +12,20 @@ Scale notes: state is keyed by user and lives in the state store (RocksDB
 in production); each micro-batch touches only the groups present in that
 batch. A timeout would evict idle users (GroupStateTimeout.ProcessingTime)
 — left NoTimeout here so the drained availableNow run is deterministic.
+
+ORDERING CONTRACT (review r14): max_gap/last_ts state is sequential, so
+the batch-groupBy equivalence holds when each user's events arrive in
+timestamp order ACROSS micro-batches (within a batch we sort). A later
+batch delivering an event earlier than the stored last_ts regresses
+last_ts and under-counts the gap it straddles — the classic bounded-
+state trade-off: exact max-gap under arbitrary disorder needs every
+timestamp (unbounded state). Production deployments get in-order-per-
+key delivery by routing through a key-partitioned log (e.g. one Kafka
+partition per key hash) or accept the approximation; a watermark-
+bounded reorder buffer in the state is the exact-under-bounded-lateness
+upgrade if a corpus needs it. The availableNow file drains used by the
+registered queries and tests deliver each user's history in one sorted
+batch, where the equivalence is exact.
 """
 
 from __future__ import annotations

@@ -463,3 +463,44 @@ def test_semdedup_pair_growth_subquadratic(spark):
     # Largest cluster's pair work must not blow up either: 4x corpus may
     # not cost more than 4x the max-cluster pairs (measured ~1.2x).
     assert stats[4000]["max_pairs"] < 4 * stats[1000]["max_pairs"], stats
+
+
+def test_topk_excludes_zero_magnitude_vectors(spark):
+    """Review r14: a zero-magnitude embedding scores NULL cosine (dot/0);
+    the shared _topk_tail must EXCLUDE it — not emit NULL-sim ranked
+    rows — matching the numpy candidate paths where NaN comparisons drop
+    such rows. Applies to all four top-k operators via the one tail."""
+    from reddit_big_data_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero vector: NULL cosine vs everything
+        (4, [0.8, 0.2, 0.0]),
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") == 1)
+    for op in (brute_force_topk, lsh_topk, ivf_topk):
+        out = op(corpus, queries, k=10).collect()
+        assert out, op.__name__
+        assert all(r["cosine_sim"] is not None for r in out), op.__name__
+        assert all(r["neighbor_id"] != 3 for r in out), op.__name__
+
+
+def test_broadcast_candidate_pairs_empty_corpus(spark):
+    """Review r14: an empty corpus used to crash np.stack on the driver
+    in broadcast mode while blocked mode returned an empty frame — both
+    modes must agree."""
+    from reddit_big_data_spark.operators.similarity import (
+        cosine_candidate_pairs,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for mode in ("broadcast", "blocked"):
+        out = cosine_candidate_pairs(empty, 0.5, mode=mode)
+        assert out.count() == 0, mode
+        assert out.columns == ["id_a", "id_b"], mode
