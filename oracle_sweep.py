@@ -315,7 +315,10 @@ def main() -> int:
                 return 2
             i += 2
         elif a == "--only":
-            if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            # single-dash values too (ADVICE r14): '-q01' would otherwise
+            # fall through to the positional branch and surface as a
+            # confusing sf_dir / extra-arguments error
+            if i + 1 >= len(args) or args[i + 1].startswith("-"):
                 print("usage: --only name1,name2,...")
                 return 2
             only_sets.append(set(args[i + 1].split(",")))

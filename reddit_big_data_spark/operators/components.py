@@ -222,9 +222,19 @@ def connected_components(
         F.struct(F.col(src).alias("src"), F.col(dst).alias("dst")),
         F.struct(F.col(dst).alias("src"), F.col(src).alias("dst")),
     )
-    sym = edges.select(F.explode(pair).alias("e")).select(
-        "e.src", "e.dst"
-    ).localCheckpoint()
+    # NULL-endpoint edges are dropped WHOLE, before any strategy branches
+    # (review r15): they assert no linkage, and the strategies used to
+    # disagree on them — the driver path's src <= dst filter silently
+    # dropped the entire edge (NULL comparisons are never true), while
+    # the star path's node frame surfaced the non-NULL endpoint AND a
+    # NULL node as singleton components. One rule for all three paths: a
+    # node only exists where a non-NULL edge (or self-loop) names it.
+    sym = (
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.explode(pair).alias("e"))
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
     if algorithm == "auto" and sym.count() <= 2 * driver_threshold:
         # sym holds both directions; <= keeps each undirected edge once.
         # Self-loops survive the <= filter as (x,x), registering the node.

@@ -129,13 +129,34 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     groupBy-bucketing caller must still drop null keys first;
     lsh_candidate_pairs additionally excludes empty sets up front,
     which also keeps its signature stage cheaper.
+
+    GEOMETRY PRECONDITION (ADVICE r14): size(signature) must be >=
+    bands*rows — a shorter signature would make trailing band slices
+    empty, and the fold would return the '' init for EVERY doc in those
+    bands: a silent all-docs collision. Enforced at runtime below via an
+    assert_true folded into the init value (one O(1) size() per band —
+    the internal callers derive the signature as minhash_signature(_,
+    bands*rows) so it never fires for them; it exists for direct
+    callers). A NULL signature column (e.g. from an outer join) is
+    exempt: it propagates to NULL keys exactly as before.
     """
+    geometry_ok = signature.isNull() | (F.size(signature) >= F.lit(bands * rows))
+    checked_init = F.coalesce(
+        F.assert_true(
+            geometry_ok,
+            F.lit(
+                f"lsh_band_keys: signature shorter than bands*rows={bands * rows} "
+                "— trailing bands would silently collide all docs"
+            ),
+        ).cast("string"),
+        F.lit(""),
+    )
     idx = F.sequence(F.lit(0), F.lit(bands - 1))
     return F.transform(
         idx,
         lambda b: F.aggregate(
             F.slice(signature, b * rows + 1, rows),
-            F.lit(""),
+            checked_init,
             lambda acc, v: F.concat(acc, F.lit("|"), v.cast("string")),
         ),
     )

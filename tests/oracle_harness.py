@@ -101,6 +101,42 @@ def compare_frames(spark_pdf, duck_pdf, name: str) -> list[str]:
 _CORPUS_DIGESTS: dict[str, str] = {}
 
 
+def rotating_audit_pick() -> str | None:
+    """ONE fixture-backed query per suite run re-derives its truth LIVE
+    and cross-checks the fixture against it (ADVICE r14): the sidecar
+    md5 catches corruption, but a wrong fixture regenerated TOGETHER
+    with its sidecar would pass both the mirror and the rot guard
+    forever. Rotating a live re-derivation (each live oracle is <=30 s
+    at sf0.01 — measured r15) bounds how long a consistently-wrong pair
+    can persist to one rotation cycle (8 fixtures => 8 rounds).
+
+    Deterministic per ROUND, not per wall-clock: the index rotates on
+    the number of recorded CORRECTNESS_r*.json files, so a round's CI
+    reruns audit the same fixture and the pick advances exactly when
+    the driver closes a round. Deliberately NOT memoized: tests
+    monkeypatch FIXTURE_DIR, and the listing is microseconds —
+    determinism (not caching) is what keeps it to one live
+    re-derivation per suite run."""
+    import glob
+    import os
+
+    import oracle_sweep as _osw
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        names = sorted(
+            {
+                f.split(".")[0]
+                for f in os.listdir(_osw.FIXTURE_DIR)
+                if f.endswith(".parquet")
+            }
+        )
+    except FileNotFoundError:
+        names = []
+    rounds = len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    return names[rounds % len(names)] if names else None
+
+
 def _load_truth_fixture(query, sf_dir: str):
     """The sweep's content-checksummed truth fixture for (query, corpus),
     or None. Same rot discipline as oracle_sweep.py: the filename embeds
@@ -130,6 +166,19 @@ def _load_truth_fixture(query, sf_dir: str):
 def run_and_compare(spark, duck, query, sf_dir: str) -> list[str]:
     sdf = query.fn(spark, sf_dir).toPandas()
     ddf = _load_truth_fixture(query, sf_dir)
+    if ddf is not None and query.name == rotating_audit_pick():
+        # this run's rotating live audit: re-derive the truth from
+        # DuckDB and fail loudly if the committed fixture has drifted
+        # from it — THEN compare Spark against the live truth
+        live = duck.execute(query.oracle).fetchdf()
+        rot = compare_frames(live, ddf, f"{query.name}[fixture-audit]")
+        if rot:
+            return [
+                f"{query.name}: committed truth fixture disagrees with a "
+                "live oracle re-derivation — regenerate it via "
+                "oracle_sweep.py:"
+            ] + rot
+        ddf = live
     if ddf is None:
         ddf = duck.execute(query.oracle).fetchdf()
     return compare_frames(sdf, ddf, query.name)

@@ -849,3 +849,60 @@ def test_lsh_band_keys_null_signature_never_buckets(spark):
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     assert pairs.count() == 0
+
+
+def test_lsh_band_keys_rejects_short_signature(spark):
+    """ADVICE r14 geometry precondition: a signature SHORTER than
+    bands*rows would make trailing band slices empty and fold every doc
+    to the same '' init key — a silent all-docs collision in those
+    bands. The runtime guard must raise instead; a NULL signature
+    column (outer-join shape) still propagates to NULL keys."""
+    from pyspark.sql import functions as F
+
+    from reddit_big_data_spark.operators.dedup import lsh_band_keys
+
+    short = spark.createDataFrame(
+        [(1, [11, 22, 33])], "doc_id long, sig array<bigint>"
+    )
+    with pytest.raises(Exception, match="shorter than bands\\*rows"):
+        short.select(
+            lsh_band_keys(F.col("sig"), bands=2, rows=4).alias("k")
+        ).collect()
+    # exact geometry passes; whole-NULL signature stays NULL-propagating
+    ok = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6, 7, 8])], "doc_id long, sig array<bigint>"
+    ).select(lsh_band_keys(F.col("sig"), bands=2, rows=4).alias("k"))
+    assert all(k is not None for k in ok.collect()[0]["k"])
+    null_sig = spark.range(1).select(
+        F.lit(None).cast("array<bigint>").alias("sig")
+    )
+    keys = null_sig.select(
+        lsh_band_keys(F.col("sig"), bands=2, rows=4).alias("k")
+    ).collect()[0]["k"]
+    assert all(k is None for k in keys)
+
+
+def test_connected_components_null_edges_agree_across_strategies(spark):
+    """Review r15: a NULL-endpoint edge asserts no linkage and must be
+    dropped WHOLE by every strategy. The driver union-find's src <= dst
+    filter already dropped it silently, but the star path's node frame
+    used to surface the non-NULL endpoint and a NULL node as singleton
+    components — the same input produced different node sets depending
+    on which side of the size gate it landed."""
+    from reddit_big_data_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, None), (None, 4), (None, None)],
+        "id_a: long, id_b: long",
+    )
+    expect = {(1, 1), (2, 1)}
+    for kwargs in (
+        {},                              # driver union-find
+        {"driver_threshold": 0},         # star
+        {"algorithm": "label"},          # label propagation
+    ):
+        got = {
+            (r["id"], r["comp"])
+            for r in connected_components(edges, "id_a", "id_b", **kwargs).collect()
+        }
+        assert got == expect, (kwargs, got)

@@ -309,3 +309,67 @@ def test_committed_fixtures_match_current_corpus_and_oracles():
     assert not orphan_sidecars, (
         f"checksum sidecars without their fixture parquet: {orphan_sidecars}"
     )
+
+
+def test_rotating_audit_catches_consistently_regenerated_wrong_fixture(
+    spark, duck, tmp_path, monkeypatch
+):
+    """ADVICE r14: a wrong fixture regenerated TOGETHER with its sidecar
+    passes both the checksum and (if Spark were wrong the same way) the
+    mirror compare. The rotating per-round live audit closes that hole:
+    when the query is this run's pick, the truth is re-derived from
+    DuckDB and a divergent fixture fails LOUDLY — before the Spark
+    compare, so the failure names the fixture, not the query."""
+    import pandas as pd
+
+    import oracle_sweep as osw
+    from reddit_big_data_spark.registry import all_queries
+    from tests import oracle_harness as oh
+    from tests.conftest import SF_ORACLE
+
+    monkeypatch.setattr(osw, "FIXTURE_DIR", str(tmp_path))
+    q = all_queries()["q52_binary_payloads"]
+    monkeypatch.setattr(oh, "rotating_audit_pick", lambda: q.name)
+
+    # consistently-regenerated wrong pair: wrong parquet, VALID sidecar
+    wrong = duck.execute(q.oracle).fetchdf()
+    wrong.loc[0, "cnt"] = wrong.loc[0, "cnt"] + 1
+    fpath = osw.fixture_path(q.name, q.oracle, osw.corpus_digest(SF_ORACLE))
+    pd.DataFrame(wrong).to_parquet(fpath, index=False)
+    osw.write_fixture_sidecar(fpath)
+    assert osw.fixture_content_ok(fpath)  # the rot guard is blind to it
+
+    errors = oh.run_and_compare(spark, duck, q, SF_ORACLE)
+    assert errors and "disagrees with a live oracle re-derivation" in errors[0]
+
+    # a CORRECT fixture sails through the audit (live == fixture)
+    right = duck.execute(q.oracle).fetchdf()
+    pd.DataFrame(right).to_parquet(fpath, index=False)
+    osw.write_fixture_sidecar(fpath)
+    assert oh.run_and_compare(spark, duck, q, SF_ORACLE) == []
+
+
+def test_rotating_audit_pick_is_deterministic_and_fixture_backed():
+    """The pick is deterministic within a run (one live re-derivation
+    per suite run), names a committed fixture-backed query, and rotates
+    on the recorded round count so a full cycle bounds fixture-rot
+    persistence."""
+    import glob
+    import os
+
+    from oracle_sweep import FIXTURE_DIR
+    from tests import oracle_harness as oh
+
+    pick = oh.rotating_audit_pick()
+    assert pick == oh.rotating_audit_pick()  # deterministic
+    names = sorted(
+        {
+            f.split(".")[0]
+            for f in os.listdir(FIXTURE_DIR)
+            if f.endswith(".parquet")
+        }
+    )
+    assert pick in names
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    assert pick == names[rounds % len(names)]

@@ -25,6 +25,19 @@ _WITH_ORACLE = [q for q in _QUERIES.values() if q.oracle is not None]
 _ROWS_ONLY = [q for q in _QUERIES.values() if q.oracle is None]
 
 
+def test_cache_ledger_rides_on_full_oracle_coverage():
+    """The per-query block-leak sweep rides ONLY on test_oracle_match
+    (ADVICE r14): its coverage is complete exactly because every
+    registered query carries an oracle. A future oracle-less
+    registration would silently drop out of the ledger sweep — fail
+    here instead, and either give it an oracle or extend
+    test_rows_only_runs with the same before/after block bookkeeping."""
+    assert not _ROWS_ONLY, (
+        "oracle-less registrations escape the cache-ledger sweep: "
+        + ", ".join(q.name for q in _ROWS_ONLY)
+    )
+
+
 def _persistent_ids(spark) -> set[int]:
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     return {int(rid) for rid in jmap.keySet().toArray()}

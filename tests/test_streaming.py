@@ -779,3 +779,162 @@ def test_interval_join_rejects_unknown_how(spark):
     )
     with pytest.raises(ValueError, match="unsupported stream-stream"):
         interval_join_streams(df, df, key="user_id", how="full_outer")
+
+
+def test_reorder_buffer_matches_in_order_result(spark, tmp_path):
+    """VERDICT r14 #5: user_profiles_reordered must produce the IN-ORDER
+    sequential profile when events arrive out of timestamp order across
+    micro-batches but within the watermark bound — the case where the
+    plain sequential operator under-counts the straddled gap. Also pins
+    that the buffer drains via event-time timers (the flush heartbeat is
+    another user entirely; user 1 gets no new rows after its disorder)."""
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.streaming.stateful import (
+        user_profiles,
+        user_profiles_reordered,
+    )
+    from reddit_big_data_spark.streaming.windows import EVENTS_RAW_SCHEMA
+
+    def ns(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value)
+
+    def write(fname, rows):
+        pdf = pd.DataFrame(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": [t for t, _, _ in rows],
+                "user_id": [u for _, u, _ in rows],
+                "event_type": ["a"] * len(rows),
+                "value": [v for _, _, v in rows],
+                "props": ["{}"] * len(rows),
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / fname))
+        _t.sleep(1.1)  # distinct mtimes => file order => one batch per file
+
+    # user 1 in-order truth: 10:00, 10:10, 10:40 -> gaps 600 s and 1800 s.
+    # Delivery: 10:00 and 10:40 first, then 10:10 LATE-but-within-bound in
+    # a later batch (watermark is far behind — the 1 h delay off 10:40).
+    # The sequential operator folds 10:10 after 10:40: its max_gap reads
+    # 2400 (10:00 -> 10:40) and never sees the true 1800 split.
+    write("f1.parquet", [(ns(10, 0), 1, 1.0), (ns(10, 40), 1, 3.0)])
+    write("f2.parquet", [(ns(10, 10), 1, 2.0)])
+    # flush heartbeat on ANOTHER user: advances the global watermark past
+    # 10:40 + 1 h so user 1's buffered tail finalizes purely via its timer
+    write("f3.parquet", [(ns(13, 0), 99, 0.0)])
+
+    def drain(op, sink):
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        from reddit_big_data_spark.streaming.windows import run_to_memory_sink
+
+        run_to_memory_sink(op(raw), sink, mode="update")
+        rows = spark.table(sink).collect()
+        # update mode appends one row per (user, batch); the final state
+        # is the row with the highest n_events (monotone)
+        final = {}
+        for r in rows:
+            if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+                final[r["user_id"]] = r
+        return final
+
+    got = drain(user_profiles_reordered, "t_reorder")
+    u1 = got[1]
+    assert (u1["n_events"], u1["sum_value"], u1["max_gap_s"]) == (3, 6.0, 1800)
+    assert u1["n_buffered"] == 0  # the timer drained the buffer
+    # heartbeat user: its lone event sits inside the final lateness
+    # window — correctly still buffered, nothing finalized
+    assert got[99]["n_events"] == 0 and got[99]["n_buffered"] == 1
+
+    # the sequential operator on the SAME disordered feed under-counts:
+    # it folds 10:10 after 10:40 (regressed last_ts) => max_gap 2400
+    seq = drain(user_profiles, "t_reorder_seq")
+    assert seq[1]["max_gap_s"] == 2400
+
+
+def test_reorder_buffer_is_delivery_order_invariant(spark, tmp_path):
+    """Any delivery order of the same events within the watermark bound
+    must yield byte-identical final profiles — the reorder buffer's
+    whole contract. Two shuffled multi-batch feeds, one truth."""
+    import time as _t
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.streaming.stateful import user_profiles_reordered
+    from reddit_big_data_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        run_to_memory_sink,
+    )
+
+    def ns(m):
+        return int(pd.Timestamp(2024, 1, 1, 10, m).value)
+
+    # two users, interleaved gaps; all within the 1 h bound of the max ts
+    ev = [
+        (ns(0), 1, 1.0), (ns(5), 1, 2.0), (ns(12), 1, 4.0), (ns(30), 1, 8.0),
+        (ns(2), 2, 1.0), (ns(20), 2, 2.0), (ns(21), 2, 4.0),
+    ]
+    orders = [
+        [ev[3], ev[0], ev[5], ev[1], ev[6], ev[2], ev[4]],
+        [ev[4], ev[6], ev[2], ev[5], ev[0], ev[1], ev[3]],
+    ]
+    flush = (int(pd.Timestamp(2024, 1, 1, 13, 0).value), 99, 0.0)
+
+    results = []
+    for oi, order in enumerate(orders):
+        d = tmp_path / f"o{oi}"
+        d.mkdir()
+        batches = [order[:3], order[3:5], order[5:], [flush]]
+        for bi, rows in enumerate(batches):
+            pdf = pd.DataFrame(
+                {
+                    "event_id": list(range(len(rows))),
+                    "ts": [t for t, _, _ in rows],
+                    "user_id": [u for _, u, _ in rows],
+                    "event_type": ["a"] * len(rows),
+                    "value": [v for _, _, v in rows],
+                    "props": ["{}"] * len(rows),
+                }
+            )
+            pq.write_table(pa.Table.from_pandas(pdf), str(d / f"b{bi}.parquet"))
+            _t.sleep(1.1)
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        run_to_memory_sink(
+            user_profiles_reordered(raw), f"t_reorder_inv_{oi}", mode="update"
+        )
+        final = {}
+        for r in spark.table(f"t_reorder_inv_{oi}").collect():
+            if (
+                r["user_id"] not in final
+                or r["n_events"] > final[r["user_id"]]["n_events"]
+            ):
+                final[r["user_id"]] = r
+        results.append(
+            {
+                u: (r["n_events"], r["sum_value"], r["max_gap_s"])
+                for u, r in final.items()
+                if u != 99
+            }
+        )
+    # in-order truth: user 1 gaps 300/420/1080 -> 1080; user 2 gaps
+    # 1080/60 -> 1080
+    assert results[0] == results[1] == {
+        1: (4, 15.0, 1080),
+        2: (3, 7.0, 1080),
+    }
