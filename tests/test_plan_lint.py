@@ -72,6 +72,12 @@ _ALLOW: dict[str, dict[str, str]] = {
         "the EXACT value*n_parts > 2*total compare — constant work "
         "per row at any corpus scale",
     },
+    "q173_excess_stock": {
+        "NESTED_LOOP": "the same derived-partsupp supplier-count attach "
+        "as q170/q171: a ONE-row aggregate broadcast-crossJoined onto "
+        "the part scan (the sanctioned scalar-attach pattern) — "
+        "constant work per row at any corpus scale",
+    },
     "q122_kmv_overlap": {
         "NESTED_LOOP": "scalar assembly: three ONE-row frames (the sketch "
         "estimate row and the two exact count aggregates) join on "
