@@ -39,9 +39,11 @@ leave any registered query >3 rounds driver-stale (VERDICT r11 #5).
 Round-15 window composition: the verbatim `python rotation.py` output
 over CORRECTNESS_r01..r14 and the registry (diff empty; see the
 WINDOW_ORDER comment below for the cohort breakdown). Registry grows
-172 -> 173 this round — ONE net new query (q173 TPC-H Q20, promoted
-from the partsupp library per VERDICT r14 #3), completing driver-green
-coverage of all 22 TPC-H shapes, inside that verdict's <=174 cap.
+172 -> 174 this round — TWO net new queries (q173 TPC-H Q20 promoted
+from the partsupp library, completing driver-green coverage of all 22
+TPC-H shapes, and q174 the watermark-bounded reorder-buffer profile,
+the tenth streaming pillar), exactly VERDICT r14's <=2 budget and its
+<=174 cap.
 
 GROWTH POLICY PAST ~190 (VERDICT r13 #6, decided here before capacity
 forces it): the 200-query ceiling is ARITHMETIC — the driver window is
@@ -100,21 +102,26 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 #
 # Round-15 window composition (verbatim `python rotation.py` output over
 # CORRECTNESS_r01..r14 and the registry; diff is empty):
-# 1. The ONE never-driver-green entry (invariant (c)): q173 (TPC-H Q20,
-#    promoted from the partsupp library per VERDICT r14 #3) — this
-#    round's single net-new registration (173 <= the 174 budget).
+# 1. The TWO never-driver-green entries (invariant (c)): q173 (TPC-H
+#    Q20, promoted from the partsupp library per VERDICT r14 #3) and
+#    q174 (the watermark-bounded reorder-buffer profile, VERDICT r14
+#    #5's operator promoted as the tenth streaming pillar) — this
+#    round's two net-new registrations, the full <=2 budget, landing
+#    exactly on the verdict's <=174 cap.
 # 2. The FULL 22-query r11-stale cohort at the 3-round limit (invariant
 #    (a) breaks if any slips): q67/q68 (displaced from r14 by the two
 #    promotions), q70-q74, q03, q10-q20, q26, q29, q30 — core window/
 #    sort/set/text operators, all last driver-green r11.
 # 3. Oldest-stale fill to 50 from the r12-last-green cohort, cumulative
-#    greens ascending then number: q167/q168, q139-q150, q110-q122.
-#    q123_bpe_tokenize is displaced by the q173 promotion and leads the
-#    r16 window (r12-green, so its staleness stays within the 3-round
-#    bound — tests/test_rotation.py::test_no_query_exceeds_staleness_limit
+#    greens ascending then number: q167/q168, q139-q150, q110-q121.
+#    q122/q123 are displaced by the two promotions and lead the r16
+#    window (both r12-green, so their staleness stays within the
+#    3-round bound —
+#    tests/test_rotation.py::test_no_query_exceeds_staleness_limit
 #    verifies the arithmetic).
 WINDOW_ORDER: list[str] = [
     "q173_excess_stock",
+    "q174_streaming_reordered_profile",
     "q67_nested_struct",
     "q68_porter_stems",
     "q70_pmi_bigrams",
@@ -163,5 +170,4 @@ WINDOW_ORDER: list[str] = [
     "q119_disjunctive_revenue",
     "q120_supplier_diversity",
     "q121_sole_late_supplier",
-    "q122_kmv_overlap",
 ]

@@ -935,3 +935,111 @@ def q153_streaming_sliding_windows(
         )
         .orderBy("window_start", "event_type")
     )
+
+
+@register(
+    "q174_streaming_reordered_profile",
+    oracle="""
+    -- batch twin of the watermark-bounded reorder buffer: after the
+    -- availableNow drain (one data batch + the timer-flush no-data
+    -- batch), the FINALIZED set is exactly the events at or below the
+    -- final watermark = max event time (ms floor, Spark tracks event
+    -- time in ms) minus the 1 h lateness bound; everything newer is
+    -- still buffered, counted but not folded. Gaps are the q137
+    -- floor-second diffs, restricted to consecutive FINALIZED events.
+    WITH b AS (
+      SELECT user_id, ts, value,
+             epoch_ms(ts) <= (SELECT epoch_ms(MAX(ts))
+                              FROM events WHERE ts IS NOT NULL) - 3600000
+               AS fin
+      FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, value, fin,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id, fin ORDER BY ts),
+                       ts) AS gap_s
+      FROM b
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           ROUND(SUM(CASE WHEN fin THEN value ELSE 0 END), 4) AS sum_value,
+           CAST(COALESCE(MAX(CASE WHEN fin THEN gap_s END), 0) AS BIGINT)
+             AS max_gap_s,
+           CAST(SUM(CASE WHEN fin THEN 0 ELSE 1 END) AS INTEGER) AS n_buffered
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="STREAMING stateful profile with a watermark-bounded reorder "
+    "buffer: finalized events == the at-or-below-watermark prefix, "
+    "buffered tail counted, drained == the split batch twin",
+)
+def q174_streaming_reordered_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The tenth streaming pillar (round 15, VERDICT r14 #5): q137's
+    per-user profile made EXACT under out-of-order delivery via the
+    watermark-bounded reorder buffer (streaming/stateful.py::
+    user_profiles_reordered). Events buffer in the per-key state until
+    the event-time watermark passes them, then fold in timestamp order;
+    event-time timers flush keys that receive no further traffic.
+
+    The drain pins BOTH halves of the contract under the driver hash:
+    the finalized profile must equal the batch twin over exactly the
+    at-or-below-watermark events (final watermark = ms-floored max
+    event time minus the 1 h bound — Spark's EventTimeStats tracks max
+    in ms), and the buffered remainder must be counted per user but
+    NOT folded. Delivery-order invariance itself (shuffled multi-batch
+    feeds converging to one truth) is pinned by
+    tests/test_streaming.py::test_reorder_buffer_is_delivery_order_invariant.
+
+    Determinism scope: single-file backlog (asserted) => one data batch
+    (watermark 0: everything buffers, emitting the n_events=0 rows the
+    final-state extraction below supersedes) + one no-data timer batch
+    at the final watermark (n_events grows monotonically, so max-by-
+    n_events per user is the final state; a user whose events all sit
+    inside the last lateness window keeps its n=0 row — correctly
+    still buffered).
+
+    Scale shape: state per user is the fixed profile tuple plus at most
+    one lateness-window of buffered (ts, value) pairs — bounded by the
+    lateness bound regardless of stream length; each micro-batch
+    touches only the users present in it plus fired timers."""
+    from pyspark.sql import Window as _W
+
+    from reddit_big_data_spark.streaming.stateful import (
+        user_profiles_reordered,
+    )
+    from reddit_big_data_spark.streaming.windows import (
+        run_to_memory_sink,
+        stream_events,
+    )
+
+    _assert_single_backlog_file(sf_dir)
+    ev = stream_events(spark, sf_dir).filter(F.col("ts").isNotNull())
+    with _stateful_drain_conf(spark):
+        run_to_memory_sink(
+            user_profiles_reordered(ev, lateness="1 hour"),
+            "q174_sink",
+            mode="update",
+        )
+    # final state per user = the row with the most finalized events
+    # (monotone across batches; the timer-batch row supersedes the
+    # batch-1 n=0 row, ties impossible except the single-row case)
+    w = _W.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.asc("n_buffered")
+    )
+    return (
+        spark.table("q174_sink")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+            "max_gap_s",
+            "n_buffered",
+        )
+        .orderBy("user_id")
+    )
