@@ -112,6 +112,10 @@ def q70_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nu = uni.agg(F.sum("n_w")).first()[0]
     nb = bi_counts.agg(F.sum("n_ab")).first()[0]
+    if nu is None or nb is None:
+        # SUM over zero rows is NULL; float(None) below would surface as
+        # an opaque TypeError instead of naming the actual problem
+        raise ValueError("PMI requires a corpus with at least one bigram")
     top = bi_counts.orderBy(F.desc("n_ab"), "w1", "w2").limit(20)
     a = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
     b = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))

@@ -585,6 +585,10 @@ def q152_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d"), "u")
         .first()  # driver scalar (S9): the single BFS seed
     )
+    if hub is None:
+        # subscripting the absent row would raise an opaque TypeError;
+        # a hub seed of an empty graph is genuinely undefined
+        raise ValueError("k-hop BFS needs a non-empty co-purchase graph")
     seed = spark.createDataFrame([(hub["u"], 0)], "node long, hop int")
     visited, frontier = seed, seed
     for h in (1, 2, 3):

@@ -283,6 +283,10 @@ def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = base.select(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     ).first()
+    if stats["n_docs"] == 0:
+        # avg over zero rows is NULL; float(None) below would surface as
+        # an opaque TypeError instead of naming the actual problem
+        raise ValueError("BM25 scoring requires a non-empty corpus")
     n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
     tf = (
         base.select("doc_id", "dl", F.explode("hits").alias("term"))
@@ -531,6 +535,10 @@ def q49_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("e")
     ).first()
+    if qrow is None or qrow["e"] is None:
+        # subscripting the absent row would raise an opaque TypeError;
+        # name the contract instead (vec_id 0 is the query vector)
+        raise ValueError("hybrid RRF needs a query embedding at vec_id = 0")
     qe = F.array(*[F.lit(float(x)) for x in qrow["e"]])
     v = emb.filter(F.col("vec_id") != 0).select(
         F.col("vec_id").alias("doc_id"),

@@ -588,3 +588,18 @@ def test_kcore_matches_python_peel(spark, edge_ids, k):
     keep, kept_edges = kcore_subgraph(df, k)
     assert {r["node"] for r in keep.collect()} == nodes
     assert {(r["u"], r["v"]) for r in kept_edges.collect()} == want_edges
+
+
+def test_khop_guards_empty_graph(spark, tmp_path):
+    import pytest
+
+    from reddit_big_data_spark.queries.graph import q152_khop_reachability
+    from reddit_big_data_spark.schemas import LINEITEM
+
+    # an empty lineitem table yields an empty co-purchase graph: the BFS
+    # seed is undefined and must fail loud, not TypeError on a None row
+    spark.createDataFrame([], LINEITEM).write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    with pytest.raises(ValueError, match="non-empty co-purchase graph"):
+        q152_khop_reachability(spark, str(tmp_path))

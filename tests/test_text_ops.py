@@ -191,3 +191,49 @@ def test_cdc_chunks_validates_params(spark):
         cdc_chunks(df, "doc_id", "t", window=0)
     with pytest.raises(ValueError, match="boundary_mod"):
         cdc_chunks(df, "doc_id", "t", boundary_mod=7)
+
+
+def test_bm25_guards_empty_corpus(spark, tmp_path):
+    import pytest
+
+    from reddit_big_data_spark.queries.text import _bm25_scored
+    from reddit_big_data_spark.schemas import DOCUMENTS
+
+    spark.createDataFrame([], DOCUMENTS).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        _bm25_scored(spark, str(tmp_path))
+
+
+def test_hybrid_rrf_guards_missing_query_vector(spark, tmp_path):
+    import pytest
+
+    from reddit_big_data_spark.schemas import DOCUMENTS, EMBEDDINGS
+
+    spark.createDataFrame(
+        [(1, "spark query window text", "en", "src0", 23)], DOCUMENTS
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    # no vec_id == 0 row: the query-vector contract is violated
+    spark.createDataFrame(
+        [(1, [0.1, 0.2], 0)], EMBEDDINGS
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from reddit_big_data_spark.queries.text import q49_hybrid_rrf
+
+    with pytest.raises(ValueError, match="vec_id = 0"):
+        q49_hybrid_rrf(spark, str(tmp_path))
+
+
+def test_pmi_guards_bigramless_corpus(spark, tmp_path):
+    import pytest
+
+    from reddit_big_data_spark.queries.cooc import q70_pmi_bigrams
+    from reddit_big_data_spark.schemas import DOCUMENTS
+
+    # single-token docs produce unigrams but zero bigrams: the PMI
+    # totals are NULL sums and must fail loud, not TypeError on float(None)
+    spark.createDataFrame(
+        [(1, "hello", "en", "src0", 5)], DOCUMENTS
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="at least one bigram"):
+        q70_pmi_bigrams(spark, str(tmp_path))
