@@ -170,9 +170,15 @@ def _update_profile_reordered(
     )
     if buf:
         # flush timer: fire as soon as the watermark can finalize the
-        # earliest buffered event (min buffered ts > wm by construction,
-        # satisfying setTimeoutTimestamp's must-be-past-watermark rule)
-        state.setTimeoutTimestamp(buf[0][0])
+        # earliest buffered event. The event is final once wm >= its ts,
+        # but Spark fires an event-time timer only when wm advances
+        # strictly PAST the set timestamp — a timer AT the event's own
+        # ts would never fire if the watermark stops exactly on it
+        # (review r15: the availableNow final watermark lands exactly on
+        # max(ts) - lateness). One ms earlier fires at wm >= ts exactly,
+        # and stays legal: setTimeoutTimestamp allows ts == wm, and
+        # buf[0][0] > wm by construction so buf[0][0] - 1 >= wm.
+        state.setTimeoutTimestamp(buf[0][0] - 1)
     yield pd.DataFrame(
         {
             "user_id": [user_id],

@@ -938,3 +938,63 @@ def test_reorder_buffer_is_delivery_order_invariant(spark, tmp_path):
         1: (4, 15.0, 1080),
         2: (3, 7.0, 1080),
     }
+
+
+def test_reorder_buffer_finalizes_event_exactly_at_watermark(spark, tmp_path):
+    """Boundary contract (review r15): an event whose timestamp equals
+    the final watermark IS finalized (ts <= wm — the same boundary the
+    q174 oracle uses), even when it is the key's EARLIEST buffered
+    event. Spark's event-time timers fire only when the watermark
+    advances strictly PAST the set timestamp, so a timer set AT the
+    event's own timestamp never fires once the watermark stops exactly
+    on it; the timer must be set one ms earlier."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from reddit_big_data_spark.streaming.stateful import user_profiles_reordered
+    from reddit_big_data_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        run_to_memory_sink,
+    )
+
+    # user 1's single event sits EXACTLY at (max ts - 1 h) = the final
+    # watermark; user 2's event only drives the watermark forward
+    ev = [
+        (int(pd.Timestamp(2024, 1, 1, 10, 0).value), 1, 7.0),
+        (int(pd.Timestamp(2024, 1, 1, 11, 0).value), 2, 1.0),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [t for t, _, _ in ev],
+            "user_id": [u for _, u, _ in ev],
+            "event_type": ["a", "a"],
+            "value": [v for _, _, v in ev],
+            "props": ["{}", "{}"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "b0.parquet"))
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .parquet(str(tmp_path))
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    run_to_memory_sink(
+        user_profiles_reordered(raw), "t_reorder_boundary", mode="update"
+    )
+    final = {}
+    for r in spark.table("t_reorder_boundary").collect():
+        if (
+            r["user_id"] not in final
+            or r["n_events"] > final[r["user_id"]]["n_events"]
+        ):
+            final[r["user_id"]] = r
+    # user 1: finalized by the timer batch (ts == final watermark)
+    assert (
+        final[1]["n_events"],
+        final[1]["sum_value"],
+        final[1]["n_buffered"],
+    ) == (1, 7.0, 0)
+    # user 2: inside the final lateness window — correctly still buffered
+    assert (final[2]["n_events"], final[2]["n_buffered"]) == (0, 1)
