@@ -108,6 +108,12 @@ def kmeans_centers(
     df = df.persist()
     try:
         dim_row = df.select(F.size(vec_col).alias("d")).first()
+        if dim_row is None or dim_row["d"] is None:
+            # empty corpus / NULL first vector: int(None) below would be
+            # an opaque TypeError instead of naming the broken contract
+            raise ValueError(
+                "k-means needs a non-empty corpus with non-NULL vectors"
+            )
         dim = int(dim_row["d"])
         init = (
             df.orderBy(id_col)

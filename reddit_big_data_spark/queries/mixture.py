@@ -375,6 +375,12 @@ def q140_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt, nr, v = counts.agg(
         F.sum("ct"), F.sum("cr"), F.count("*")
     ).first()
+    if nt is None or nr is None:
+        # SUM over zero rows is NULL; float(None) below would surface as
+        # an opaque TypeError instead of naming the actual problem
+        raise ValueError(
+            "DSIR weighting requires a corpus with at least one token"
+        )
     # one LN per token over a single ratio — the identical expression the
     # oracle evaluates, rounded to 9dp before any summation
     lr = F.round(

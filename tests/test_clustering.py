@@ -77,3 +77,15 @@ def test_deterministic_across_runs(spark):
     b = sorted((r["vec_id"], r["cluster"]) for r in
                kmeans_assign(df, "vec_id", "embedding", k=3, iters=3).collect())
     assert a == b
+
+
+def test_empty_corpus_fails_loud(spark):
+    import pytest
+
+    from reddit_big_data_spark.operators.clustering import kmeans_centers
+
+    df = spark.createDataFrame(
+        [], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="non-empty corpus"):
+        kmeans_centers(df, "vec_id", "embedding", k=2, iters=2)

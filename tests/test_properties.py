@@ -603,3 +603,17 @@ def test_khop_guards_empty_graph(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="non-empty co-purchase graph"):
         q152_khop_reachability(spark, str(tmp_path))
+
+
+def test_dsir_guards_tokenless_corpus(spark, tmp_path):
+    import pytest
+
+    from reddit_big_data_spark.queries.mixture import q140_dsir_importance
+    from reddit_big_data_spark.schemas import DOCUMENTS
+
+    # text that normalizes to nothing: zero tokens, NULL count sums
+    spark.createDataFrame(
+        [(1, "!!!", "en", "src0", 3), (2, "???", "en", "src1", 3)], DOCUMENTS
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    with pytest.raises(ValueError, match="at least one token"):
+        q140_dsir_importance(spark, str(tmp_path))
