@@ -45,6 +45,51 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Box-calibration sentinels (VERDICT r15 #4): two consecutive rounds'
+# cross-round deltas (r14 -12.6%, r15 +13%) had to be adjudicated with
+# ad-hoc interleaved A/Bs because the per-round VM's speed drifts.
+# These five queries are the standing calibration set — moderate-cost
+# (>=0.5 s, so per-run jitter is small relative to the value),
+# code-stable since r12, spanning scan/agg (q05, q21), percentile
+# shuffle (q16), exact dedup (q30), and text repetition (q37). The
+# baseline is their min-of-3 from the r14 driver bench at sf0.1
+# (BENCH_DETAIL_r14.json) — the box both the r14 and r15 verdicts
+# anchored their drift adjudication on. Every sf0.1 run now reports
+# box_factor = sentinel_total / SENTINEL_BASELINE_TOTAL and a
+# sentinel-normalized total alongside the raw one, so classifying a
+# cross-round delta as box drift vs code change is mechanical: compare
+# normalized totals, not raw ones. EDITING ANY SENTINEL QUERY'S CODE
+# INVALIDATES THE CALIBRATION — replace it here (with a fresh baseline
+# from the round before the edit) in the same commit.
+SENTINEL_BASELINE = {
+    "q05": 0.5498,
+    "q16": 2.0029,
+    "q21": 0.6315,
+    "q30": 0.5881,
+    "q37": 1.2003,
+}
+SENTINEL_BASELINE_SF = 0.1
+SENTINEL_BASELINE_TOTAL = round(sum(SENTINEL_BASELINE.values()), 4)
+
+
+def sentinel_block(short_timings: dict[str, float], sf: float) -> dict:
+    """The calibration block for a bench run: present-sentinel totals,
+    the box factor vs the r14 baseline, or factor None off-sf / when a
+    sentinel is missing (a partial sentinel set would silently skew the
+    factor, so it refuses instead)."""
+    present = {k: short_timings[k] for k in SENTINEL_BASELINE if k in short_timings}
+    block: dict = {
+        "sentinels": present,
+        "baseline": SENTINEL_BASELINE,
+        "baseline_sf": SENTINEL_BASELINE_SF,
+        "box_factor": None,
+    }
+    if sf == SENTINEL_BASELINE_SF and len(present) == len(SENTINEL_BASELINE):
+        total = sum(present.values())
+        block["box_factor"] = round(total / SENTINEL_BASELINE_TOTAL, 4)
+    return block
+
+
 def current_round(repo_root: str) -> int:
     """The round the driver is about to record = max existing
     BENCH_r*.json + 1 (the driver writes BENCH_rN.json AFTER running
@@ -142,7 +187,10 @@ def main() -> int:
         if r
     }
     repo_root = os.path.dirname(os.path.abspath(__file__))
+    short = {name.split("_", 1)[0]: t for name, t in sorted(timings.items())}
+    calib = sentinel_block(short, sf)
     detail_payload = {"sf": sf, "cpus": cpus, "reps": reps,
+                      "sentinel_calibration": calib,
                       "queries": detail}
     detail_paths = [os.path.join(repo_root, "BENCH_DETAIL.json")]
     # VERDICT r11 #3: BENCH_DETAIL.json is overwritten every run and the
@@ -181,7 +229,6 @@ def main() -> int:
     # Short qNN keys: the driver captures a bounded tail of stdout and
     # parses the JSON line out of it — round 2's full-name keys pushed the
     # line past the window and parsed=null. qNN prefixes are unique.
-    short = {name.split("_", 1)[0]: t for name, t in sorted(timings.items())}
     result = {
         "metric": "total_query_wall_sec",
         "value": total,  # total of per-query MINS across the reps passes
@@ -195,6 +242,22 @@ def main() -> int:
         # directly against r02's 157.8468s when sf == 0.1.
         "baseline_subset_total_sec": baseline_total,
         "baseline_subset_n": len(baseline_subset),
+        # Box calibration (VERDICT r15 #4): this box's speed relative to
+        # the r14 sentinel baseline. Cross-round comparisons should quote
+        # the sentinel-normalized totals — raw totals confound code
+        # changes with per-round VM drift (measured 1.1-1.5x between
+        # rounds on byte-identical code). None off-sf0.1.
+        "box_factor": calib["box_factor"],
+        "normalized_total_sec": (
+            round(total / calib["box_factor"], 4)
+            if calib["box_factor"]
+            else None
+        ),
+        "normalized_baseline_subset_sec": (
+            round(baseline_total / calib["box_factor"], 4)
+            if calib["box_factor"]
+            else None
+        ),
         # Aggregate noise indicator: sum of per-query (max-min) across the
         # interleaved passes — large values mean the box was noisy and
         # cross-round per-query deltas should not be trusted (SURVEY §6).

@@ -139,6 +139,14 @@ def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
     bands*rows) so it never fires for them; it exists for direct
     callers). A NULL signature column (e.g. from an outer join) is
     exempt: it propagates to NULL keys exactly as before.
+
+    Cost note (ADVICE r15): the check is folded into the per-band
+    aggregate INIT, so the size()+compare evaluates bands x per row —
+    acceptable because array size() is O(1) metadata and bands is 32
+    here; if a future config pushes bands into the hundreds, hoist it
+    to one per-row assert wrapping the signature reference (evaluate
+    the assert_true once outside the transform and gate the whole key
+    array on it) rather than paying bands x per row.
     """
     geometry_ok = signature.isNull() | (F.size(signature) >= F.lit(bands * rows))
     checked_init = F.coalesce(

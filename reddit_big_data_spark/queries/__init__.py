@@ -100,74 +100,74 @@ from reddit_big_data_spark.queries import (  # noqa: F401
 
 # First 50 names = the driver correctness window for THIS round.
 #
-# Round-15 window composition (verbatim `python rotation.py` output over
-# CORRECTNESS_r01..r14 and the registry; diff is empty):
-# 1. The TWO never-driver-green entries (invariant (c)): q173 (TPC-H
-#    Q20, promoted from the partsupp library per VERDICT r14 #3) and
-#    q174 (the watermark-bounded reorder-buffer profile, VERDICT r14
-#    #5's operator promoted as the tenth streaming pillar) — this
-#    round's two net-new registrations, the full <=2 budget, landing
-#    exactly on the verdict's <=174 cap.
-# 2. The FULL 22-query r11-stale cohort at the 3-round limit (invariant
-#    (a) breaks if any slips): q67/q68 (displaced from r14 by the two
-#    promotions), q70-q74, q03, q10-q20, q26, q29, q30 — core window/
-#    sort/set/text operators, all last driver-green r11.
-# 3. Oldest-stale fill to 50 from the r12-last-green cohort, cumulative
-#    greens ascending then number: q167/q168, q139-q150, q110-q121.
-#    q122/q123 are displaced by the two promotions and lead the r16
-#    window (both r12-green, so their staleness stays within the
-#    3-round bound —
+# Round-16 window composition (verbatim `python rotation.py` output over
+# CORRECTNESS_r01..r15 and the registry; diff is empty):
+# 1. The ONE never-driver-green entry (invariant (c)): q175, the
+#    multi-batch reorder-buffer drain (VERDICT r15 #2) — this round's
+#    single net-new registration (<=2 budget; registry 174 -> 175,
+#    within the <=176 cap the verdict set).
+# 2. The FULL 24-query r12-stale cohort at the 3-round limit (invariant
+#    (a) breaks if any slips): q122-q125 (KMV/BPE/novelty/label-noise),
+#    q65, q75-q77 (PII/quality/boilerplate), q31-q36 (the MinHash/
+#    SimHash/Jaccard/winnowing/cluster/simjoin dedup core), q40/q42/
+#    q44-q46/q48 (ANN + k-means + int8 + embedding dedup), q50/q51/
+#    q55/q66 — the LLM-pipeline heart of the registry, all last
+#    driver-green r12.
+# 3. Oldest-stale fill to 50 from the r13-last-green cohort, cumulative
+#    greens ascending then number: q169/q170, q151-q161, q128-q135,
+#    q22/q24, q41/q43. q59_sketch_rollup (r13-green) is displaced by
+#    q175 and leads the r17 window inside the 3-round bound —
 #    tests/test_rotation.py::test_no_query_exceeds_staleness_limit
-#    verifies the arithmetic).
+#    verifies the arithmetic.
 WINDOW_ORDER: list[str] = [
-    "q173_excess_stock",
-    "q174_streaming_reordered_profile",
-    "q67_nested_struct",
-    "q68_porter_stems",
-    "q70_pmi_bigrams",
-    "q71_salted_join",
-    "q72_snapshot_diff",
-    "q73_rollup_merge",
-    "q74_udtf_tokens",
-    "q03_regex_flags",
-    "q10_running_aggregates",
-    "q11_topk_per_group",
-    "q12_top_n_rows",
-    "q13_set_ops",
-    "q14_semi_anti_join",
-    "q15_rollup",
-    "q16_distinct_percentiles",
-    "q17_calendar_features",
-    "q18_lag_ntile",
-    "q19_wordcount_top20",
-    "q20_text_quality",
-    "q26_token_counts",
-    "q29_dedup_materialized",
-    "q30_exact_dedup",
-    "q167_boosted_trees",
-    "q168_onehot_semantics",
-    "q139_streaming_idempotent_sink",
-    "q140_dsir_importance",
-    "q141_zipf_slope",
-    "q142_triangle_count",
-    "q143_funnel",
-    "q144_cohort_retention",
-    "q145_copurchase_components",
-    "q146_streaming_outer_attribution",
-    "q147_bitmap_distinct_rollup",
-    "q148_transition_matrix",
-    "q149_psi_drift",
-    "q150_association_rules",
-    "q110_constraint_audit",
-    "q111_langid_ngram",
-    "q112_substring_dedup",
-    "q113_shard_manifest",
-    "q114_mixture_weights",
-    "q115_cdc_chunks",
-    "q116_semdedup",
-    "q117_returned_revenue",
-    "q118_large_volume_orders",
-    "q119_disjunctive_revenue",
-    "q120_supplier_diversity",
-    "q121_sole_late_supplier",
+    "q175_streaming_reordered_multibatch",
+    "q122_kmv_overlap",
+    "q123_bpe_tokenize",
+    "q124_novelty_curve",
+    "q125_label_noise",
+    "q65_grouped_ols",
+    "q75_pii_redaction",
+    "q76_quality_funnel",
+    "q77_boilerplate_shingles",
+    "q31_minhash_neardup",
+    "q32_simhash",
+    "q33_ngram_jaccard",
+    "q34_winnowing",
+    "q35_dedup_clusters",
+    "q36_prefix_simjoin",
+    "q40_cosine_topk",
+    "q42_label_centroids",
+    "q44_cosine_neardup",
+    "q45_kmeans",
+    "q46_int8_quantization",
+    "q48_embedding_dedup_clusters",
+    "q50_json_props",
+    "q51_tumbling_windows",
+    "q55_time_rollup",
+    "q66_decontamination",
+    "q169_codec_stats",
+    "q170_product_type_profit",
+    "q151_rolling_revenue",
+    "q152_khop_reachability",
+    "q153_streaming_sliding_windows",
+    "q154_benford_audit",
+    "q155_chi2_independence",
+    "q156_ks_two_sample",
+    "q157_daily_acf",
+    "q158_rfm_segmentation",
+    "q159_pareto_abc",
+    "q160_gini_revenue",
+    "q161_corpus_pipeline",
+    "q128_unigram_tokenize",
+    "q129_tokenizer_compare",
+    "q130_neardup_retention",
+    "q131_streaming_windowed_counts",
+    "q132_streaming_dedup",
+    "q133_streaming_enrich",
+    "q134_streaming_attribution",
+    "q135_streaming_sketch_rollup",
+    "q22_approx_distinct_percentiles",
+    "q24_summary_stats",
+    "q41_lsh_ann",
+    "q43_ivf_ann",
 ]

@@ -1043,3 +1043,148 @@ def q174_streaming_reordered_profile(
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q175_streaming_reordered_multibatch",
+    oracle="""
+    -- Identical truth to q174 (the reorder buffer's final state is
+    -- delivery-split-invariant — that IS the operator's contract): the
+    -- FINALIZED set after the drain is exactly the events at or below
+    -- the final watermark = ms-floored max event time minus the 1 h
+    -- lateness bound; the newer remainder is counted but not folded.
+    -- What q175 adds over q174 is the EXECUTION PATH the hash pins:
+    -- a two-file backlog drained at maxFilesPerTrigger=1, so the
+    -- watermark ADVANCES BETWEEN data batches and the operator folds
+    -- incrementally (pre-existing state, cross-batch gap arithmetic,
+    -- mid-stream timer fires) instead of all-at-once.
+    WITH b AS (
+      SELECT user_id, ts, value,
+             epoch_ms(ts) <= (SELECT epoch_ms(MAX(ts))
+                              FROM events WHERE ts IS NOT NULL) - 3600000
+               AS fin
+      FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, value, fin,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id, fin ORDER BY ts),
+                       ts) AS gap_s
+      FROM b
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN fin THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+           ROUND(SUM(CASE WHEN fin THEN value ELSE 0 END), 4) AS sum_value,
+           CAST(COALESCE(MAX(CASE WHEN fin THEN gap_s END), 0) AS BIGINT)
+             AS max_gap_s,
+           CAST(SUM(CASE WHEN fin THEN 0 ELSE 1 END) AS INTEGER) AS n_buffered
+    FROM g
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="STREAMING reorder buffer under a MULTI-batch drain (two-file "
+    "backlog, maxFilesPerTrigger=1): incremental fold-as-you-go "
+    "finalization across an advancing watermark == q174's single-batch "
+    "truth, multi-batch shape asserted",
+)
+def q175_streaming_reordered_multibatch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """q174's contract driven through the INCREMENTAL path (VERDICT r15
+    #2): the events backlog is staged as a deterministic two-file split
+    (streaming/windows.py::split_events_backlog — older half / newer
+    half by the temporal midpoint, batch order pinned by mtime) and
+    drained one file per trigger. Batch 1 buffers the older half under
+    watermark 0; batch 2 arrives with the watermark advanced to
+    max(older) - 1 h, so the operator folds the finalized prefix WITH
+    pre-existing state — cross-batch gap arithmetic via the carried
+    last_ts, mid-stream event-time timer fires for keys with no batch-2
+    rows — then the trailing no-data batch flushes to the final
+    watermark. The final state must equal q174's single-batch truth
+    (delivery-split invariance), which the shared oracle pins under the
+    driver hash.
+
+    The multi-batch shape is ASSERTED, not assumed: if the drain
+    degenerated to one data batch (e.g. maxFilesPerTrigger ignored or
+    the split collapsed), every user's sink rows would be n_events=0
+    (the buffer-everything batch) then n_events=final (the timer
+    flush) — no user would ever show an intermediate 0 < n < max row.
+    Incremental finalization produces such rows for every user whose
+    older-half prefix finalizes in batch 2, so their absence fails
+    loudly instead of letting the single-batch path impersonate this
+    query's claim.
+
+    Scale shape: identical to q174 — per-key state is the profile tuple
+    plus at most one lateness-window of buffered pairs; the two-file
+    staging is test-corpus plumbing (a production backlog is already
+    many files)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pyspark.sql import Window as _W
+
+    from reddit_big_data_spark.streaming.stateful import (
+        user_profiles_reordered,
+    )
+    from reddit_big_data_spark.streaming.windows import (
+        EVENTS_RAW_SCHEMA,
+        run_to_memory_sink,
+        split_events_backlog,
+    )
+
+    backlog = _tempfile.mkdtemp(prefix="rbds_q175_backlog_")
+    try:
+        split_events_backlog(sf_dir, backlog, lateness_ms=3_600_000)
+        raw = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(backlog)
+            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        )
+        with _stateful_drain_conf(spark):
+            run_to_memory_sink(
+                user_profiles_reordered(raw, lateness="1 hour"),
+                "q175_sink",
+                mode="update",
+            )
+    finally:
+        _shutil.rmtree(backlog, ignore_errors=True)
+    sink = spark.table("q175_sink")
+    # multi-batch proof: at least one user emitted an INTERMEDIATE state
+    # (0 < n_events < its final n_events) — impossible in a single-batch
+    # drain, guaranteed by batch-2 finalization under the midpoint split.
+    w_user = _W.partitionBy("user_id")
+    intermediates = (
+        sink.withColumn("__mx", F.max("n_events").over(w_user))
+        .filter((F.col("n_events") > 0) & (F.col("n_events") < F.col("__mx")))
+        .limit(1)
+        .count()
+    )
+    if not intermediates:
+        raise ValueError(
+            "q175 drain produced no intermediate per-user state rows: the "
+            "backlog did not drain as multiple data batches, so this run "
+            "never exercised the incremental finalization path it claims"
+        )
+    # final state per user: n_events is monotone across a user's emitted
+    # rows; within the trailing equal-n segment only ARRIVALS happen, so
+    # n_buffered is monotone there too — (n desc, buffered desc) is the
+    # latest state. (q174 orders buffered ASC: in its single-batch drain
+    # the trailing segment is one row, so the tie-break never engages;
+    # here batch 1/batch 2 rows CAN tie on n_events=0 with the buffer
+    # grown, and ascending would resurrect the batch-1 row.)
+    w = _W.partitionBy("user_id").orderBy(
+        F.desc("n_events"), F.desc("n_buffered")
+    )
+    return (
+        sink.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+            "max_gap_s",
+            "n_buffered",
+        )
+        .orderBy("user_id")
+    )

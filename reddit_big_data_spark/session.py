@@ -41,15 +41,27 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
-# SPARK_GRAFT_ANSI=1 runs the whole package under ANSI mode — the
-# Spark 4 default on real clusters, where a raw x/0 or overflowing cast
-# THROWS instead of yielding NULL. The package contract (VERDICT r14 #2)
-# is that every query and operator is ANSI-clean: divisions that can see
-# a zero denominator use try_divide / nullif guards, casts that can see
-# malformed input use try_cast. CI exercises the full oracle mirror once
-# under this flag so the crash class stays closed.
-if os.environ.get("SPARK_GRAFT_ANSI"):
-    RUNTIME_CONFS["spark.sql.ansi.enabled"] = "true"
+# ANSI mode is the DEFAULT (round 16, VERDICT r15 #3): it is the Spark 4
+# default on real clusters, where a raw x/0 or overflowing cast THROWS
+# instead of yielding NULL. The package contract (VERDICT r14 #2) is that
+# every query and operator is ANSI-clean — divisions that can see a zero
+# denominator use try_divide / nullif guards, casts that can see
+# malformed input use try_cast — proven by two full green oracle-mirror
+# runs under the flag in r15 before the flip. SPARK_GRAFT_ANSI=0 opts
+# back into legacy (NULL-yielding) mode for older-cluster parity; the
+# round's canonical suite run is ANSI-on, with one legacy mirror run
+# recorded alongside it (both modes must stay hash-green).
+def ansi_enabled(env_val: str | None = None) -> bool:
+    """ANSI-on unless explicitly opted out: unset/1/anything-truthy =>
+    ANSI (the Spark 4 cluster default); 0/false/empty => legacy mode."""
+    if env_val is None:
+        env_val = os.environ.get("SPARK_GRAFT_ANSI", "1")
+    return env_val not in ("0", "false", "")
+
+
+RUNTIME_CONFS["spark.sql.ansi.enabled"] = (
+    "true" if ansi_enabled() else "false"
+)
 
 
 def default_parallelism() -> int:

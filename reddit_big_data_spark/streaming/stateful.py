@@ -132,7 +132,17 @@ _REORDER_STATE_SCHEMA = T.StructType(
 def _fold_sorted(n, s, max_gap, last_ts, pairs):
     """Fold finalized (ts_ms, value) pairs — ALREADY sorted — into the
     sequential profile. Same arithmetic as _update_profile: gaps in
-    whole seconds (epoch-second floor)."""
+    whole seconds (epoch-second floor).
+
+    TIE SEMANTICS (ADVICE r15, deliberate): the caller sorts full
+    (ts_ms, value) tuples, so equal-timestamp events fold in VALUE
+    order — a delivery-order-INDEPENDENT tiebreak, which is exactly
+    what the operator's delivery-order-invariance contract requires
+    (a stable sort on ts alone would tie-break by arrival order and
+    silently break invariance the day an order-sensitive field, e.g.
+    a `last_value`, joins the profile). Today's fields (count / sum /
+    max-gap) are tie-commutative, so the choice is unobservable — but
+    it is the invariant-preserving one, and must stay value-ordered."""
     for ts_ms, value in pairs:
         epoch = ts_ms // 1000
         if last_ts is not None:
@@ -157,6 +167,8 @@ def _update_profile_reordered(
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 buf.append((int(ts.value) // 1_000_000, float(value)))
     wm = state.getCurrentWatermarkMs()
+    # full-tuple sort: equal-ts ties break by VALUE (delivery-order
+    # independent) — see _fold_sorted's tie-semantics note
     buf.sort()
     # the prefix at or below the watermark is FINAL: Spark has already
     # dropped (or will drop) anything later-arriving that is older

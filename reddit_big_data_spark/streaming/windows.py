@@ -145,6 +145,70 @@ def session_window_counts(
     )
 
 
+def split_events_backlog(
+    sf_dir: str, dest_dir: str, lateness_ms: int = 3_600_000
+) -> tuple[str, str]:
+    """Materialize the events table as a DETERMINISTIC two-file backlog
+    (`a.parquet` = the older half by the epoch-ms temporal midpoint,
+    `b.parquet` = the newer half) so a file-source drain with
+    maxFilesPerTrigger=1 is a real MULTI-batch stream: the watermark
+    advances between the two data batches, which is the precondition for
+    exercising a stateful operator's incremental (fold-as-you-go) path
+    rather than the everything-in-one-batch degenerate case
+    (VERDICT r15 #2).
+
+    Determinism: the cut is (min_ms + max_ms) // 2 over non-NULL event
+    times — a pure function of the corpus — and batch ORDER is pinned by
+    explicit mtimes (a.parquet stamped 100 s older; the file stream
+    source processes oldest-mtime first), not by write-time races. NULL
+    event times are dropped at write: every consumer of this backlog is
+    watermark-stateful and would drop them at the stream head anyway.
+
+    Loud preconditions instead of silent degeneration: the span must
+    exceed 2x the lateness bound (guaranteeing batch 2 finalizes a
+    non-empty prefix: max(a) - lateness > min(a) holds exactly when
+    span > 2x lateness) and both halves must be non-empty.
+
+    Local-tooling scope: the pandas round-trip is the TEST-CORPUS
+    staging step for a bounded backlog (<=100k rows at sf0.1); a
+    production backlog is already many files and needs no staging."""
+    import pandas as pd  # noqa: F401 - dtype home for the ns round-trip
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(os.path.join(sf_dir, "events.parquet")).to_pandas()
+    pdf = pdf[pdf["ts"].notna()].reset_index(drop=True)
+    # pandas preserves the file's native unit (datetime64[us] for micros
+    # files, [ns] for nanos files); normalize to ns BEFORE the int64 view
+    # or the ms arithmetic below would be off by the unit ratio
+    ts_ns = pdf["ts"].astype("datetime64[ns]").astype("int64")
+    ts_ms = ts_ns // 1_000_000
+    min_ms, max_ms = int(ts_ms.min()), int(ts_ms.max())
+    if max_ms - min_ms <= 2 * lateness_ms:
+        raise ValueError(
+            f"events span {max_ms - min_ms} ms <= 2x lateness "
+            f"{lateness_ms} ms: a midpoint split cannot guarantee the "
+            "second batch finalizes anything — shrink the lateness bound "
+            "or use a wider corpus"
+        )
+    cut_ms = (min_ms + max_ms) // 2
+    older = pdf[ts_ms <= cut_ms]
+    newer = pdf[ts_ms > cut_ms]
+    if older.empty or newer.empty:  # pragma: no cover - span guard implies
+        raise ValueError("degenerate midpoint split: one half is empty")
+    os.makedirs(dest_dir, exist_ok=True)
+    paths = []
+    for name, half in (("a.parquet", older), ("b.parquet", newer)):
+        out = half.assign(ts=ts_ns[half.index])  # raw epoch ns
+        path = os.path.join(dest_dir, name)
+        out.to_parquet(path, index=False)
+        paths.append(path)
+    # pin batch order: the file source sorts by modification time
+    now = os.stat(paths[1]).st_mtime
+    os.utime(paths[0], (now - 100, now - 100))
+    return paths[0], paths[1]
+
+
 def run_to_memory_sink(
     stream_df: DataFrame, table_name: str, mode: str = "complete"
 ) -> None:

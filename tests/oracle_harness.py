@@ -163,6 +163,16 @@ def _load_truth_fixture(query, sf_dir: str):
     return None
 
 
+# Ceiling on the rotating live audit's DuckDB re-derivation (ADVICE
+# r15): fixtures exist precisely because some oracles are slow, and a
+# quadratic oracle whose sf0.01 runtime grows past the measured ~30 s
+# would otherwise charge every suite run that picks it an unbounded
+# cost. Past the budget the audit degrades LOUDLY to the fixture path
+# (sidecar checksum still guards byte rot; the full cross-check happens
+# in the unbounded oracle_sweep run) instead of stalling the suite.
+LIVE_AUDIT_BUDGET_SECS = 120.0
+
+
 def run_and_compare(spark, duck, query, sf_dir: str) -> list[str]:
     sdf = query.fn(spark, sf_dir).toPandas()
     ddf = _load_truth_fixture(query, sf_dir)
@@ -170,15 +180,32 @@ def run_and_compare(spark, duck, query, sf_dir: str) -> list[str]:
         # this run's rotating live audit: re-derive the truth from
         # DuckDB and fail loudly if the committed fixture has drifted
         # from it — THEN compare Spark against the live truth
-        live = duck.execute(query.oracle).fetchdf()
-        rot = compare_frames(live, ddf, f"{query.name}[fixture-audit]")
-        if rot:
-            return [
-                f"{query.name}: committed truth fixture disagrees with a "
-                "live oracle re-derivation — regenerate it via "
-                "oracle_sweep.py:"
-            ] + rot
-        ddf = live
+        import duckdb as _duckdb
+
+        from oracle_sweep import _fetch_oracle
+
+        try:
+            live = _fetch_oracle(duck, query.oracle, LIVE_AUDIT_BUDGET_SECS)
+        except _duckdb.InterruptException:
+            import warnings
+
+            warnings.warn(
+                f"{query.name}: rotating live audit exceeded "
+                f"{LIVE_AUDIT_BUDGET_SECS:.0f}s — comparing against the "
+                "checksummed fixture only this run; re-derive via "
+                f"`python oracle_sweep.py {sf_dir} --only {query.name}`",
+                stacklevel=2,
+            )
+            live = None
+        if live is not None:
+            rot = compare_frames(live, ddf, f"{query.name}[fixture-audit]")
+            if rot:
+                return [
+                    f"{query.name}: committed truth fixture disagrees with "
+                    "a live oracle re-derivation — regenerate it via "
+                    "oracle_sweep.py:"
+                ] + rot
+            ddf = live
     if ddf is None:
         ddf = duck.execute(query.oracle).fetchdf()
     return compare_frames(sdf, ddf, query.name)

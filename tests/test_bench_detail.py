@@ -39,3 +39,32 @@ def test_repo_history_infers_round_consistently():
         for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
     ]
     assert bench.current_round(repo) == max(recorded) + 1
+
+
+def test_sentinel_block_computes_box_factor():
+    """VERDICT r15 #4: the calibration factor is the present-sentinel
+    total over the pinned r14 baseline — and only when the run is at
+    the baseline's sf with EVERY sentinel present (a partial set would
+    silently skew the factor)."""
+    short = {k: v * 2 for k, v in bench.SENTINEL_BASELINE.items()}
+    short["q99"] = 1.0
+    blk = bench.sentinel_block(short, 0.1)
+    assert abs(blk["box_factor"] - 2.0) < 1e-6
+    assert blk["sentinels"] == {
+        k: v * 2 for k, v in bench.SENTINEL_BASELINE.items()
+    }
+    # off-sf: no factor (the baseline is an sf0.1 measurement)
+    assert bench.sentinel_block(short, 0.01)["box_factor"] is None
+    # a missing sentinel: refuse rather than skew
+    short.pop("q16")
+    assert bench.sentinel_block(short, 0.1)["box_factor"] is None
+
+
+def test_sentinels_are_registered_queries():
+    """A retired or renamed sentinel would silently disable calibration
+    on every future run — fail here instead."""
+    from reddit_big_data_spark.registry import all_queries
+
+    prefixes = {name.split("_", 1)[0] for name in all_queries()}
+    missing = set(bench.SENTINEL_BASELINE) - prefixes
+    assert not missing, f"sentinel queries no longer registered: {missing}"

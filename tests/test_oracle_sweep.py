@@ -373,3 +373,40 @@ def test_rotating_audit_pick_is_deterministic_and_fixture_backed():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
     assert pick == names[rounds % len(names)]
+
+
+def test_rotating_audit_degrades_loudly_past_time_budget(
+    spark, duck, tmp_path, monkeypatch
+):
+    """ADVICE r15: the live re-derivation is bounded — fixtures exist
+    precisely because some oracles are slow, so a quadratic oracle
+    drifting past the budget must not charge every suite run that picks
+    it an unbounded cost. Past LIVE_AUDIT_BUDGET_SECS the audit WARNS
+    (never silent) and compares against the checksummed fixture only;
+    the full live cross-check still happens in the unbounded
+    oracle_sweep run."""
+    import duckdb
+    import pandas as pd
+    import pytest
+
+    import oracle_sweep as osw
+    from reddit_big_data_spark.registry import all_queries
+    from tests import oracle_harness as oh
+    from tests.conftest import SF_ORACLE
+
+    monkeypatch.setattr(osw, "FIXTURE_DIR", str(tmp_path))
+    q = all_queries()["q52_binary_payloads"]
+    monkeypatch.setattr(oh, "rotating_audit_pick", lambda: q.name)
+    right = duck.execute(q.oracle).fetchdf()
+    fpath = osw.fixture_path(q.name, q.oracle, osw.corpus_digest(SF_ORACLE))
+    pd.DataFrame(right).to_parquet(fpath, index=False)
+    osw.write_fixture_sidecar(fpath)
+
+    def slow_oracle(con, sql, timeout_s):
+        raise duckdb.InterruptException("simulated budget overrun")
+
+    monkeypatch.setattr(osw, "_fetch_oracle", slow_oracle)
+    with pytest.warns(UserWarning, match="rotating live audit exceeded"):
+        errors = oh.run_and_compare(spark, duck, q, SF_ORACLE)
+    # the fixture path still carried the compare — green, not skipped
+    assert errors == []

@@ -22,11 +22,11 @@ from reddit_big_data_spark.registry import all_queries
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The round whose window is committed: the r15 window was computed from
-# CORRECTNESS_r01..r14. Bump alongside WINDOW_ORDER each round; later
+# The round whose window is committed: the r16 window was computed from
+# CORRECTNESS_r01..r15. Bump alongside WINDOW_ORDER each round; later
 # CORRECTNESS files, once the driver writes them, feed the NEXT
 # rotation, not this pin.
-WINDOW_ROUND = 15
+WINDOW_ROUND = 16
 
 
 def _history_through(last_round: int) -> dict[str, list[int]]:

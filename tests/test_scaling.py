@@ -2,7 +2,17 @@
 stages must grow sub-quadratically across real scale factors, measured
 on the production code paths via scaling.py — the same functions that
 write SCALING.json. Distinct input sizes in the driver testdata:
-documents 500 (sf0.001) -> 5000 (sf0.1), embeddings 500 -> 2000."""
+documents 500 (sf0.001) -> 5000 (sf0.1), embeddings 500 -> 2000.
+
+Round 16 (VERDICT r15 #5): every measurement routes through
+scaling.cached_measure — a committed fixture cache keyed by (package
+code digest, corpus digest / planted size, partition conf, Spark
+build), so an unchanged tree re-asserts the pins against the stored
+counts in milliseconds instead of re-deriving ~2 min of candidate
+counts per suite run. ANY source edit invalidates the whole cache
+(conservative lineage, same discipline as the oracle truth fixtures),
+and test_scaling_cache_rotating_audit re-derives one cached entry live
+per run so a nondeterministic measure can't hide behind its cache."""
 
 from __future__ import annotations
 
@@ -15,7 +25,7 @@ SF_BIG = "/root/testdata/sf0.1"
 def _exponent(spark, measure):
     pts = []
     for sf_dir in (SF_SMOKE, SF_BIG):
-        rec = measure(spark, sf_dir)
+        rec = scaling.cached_measure(spark, measure, sf_dir)
         pts.append((rec["n_input"], rec["candidates"]))
         spark.catalog.clearCache()
     exp = scaling.fit_exponent(pts)
@@ -72,7 +82,7 @@ def test_triangle_wedge_fanout_within_orientation_bound(spark):
     graph gets sparser as the corpus grows), so the pin is the
     per-scale bound — the claim the orientation actually makes."""
     for sf_dir in (SF_SMOKE, SF_BIG):
-        rec = scaling.measure_q142(spark, sf_dir)
+        rec = scaling.cached_measure(spark, scaling.measure_q142, sf_dir)
         m, wedges = rec["n_input"], rec["candidates"]
         bound = (2**0.5) * m**1.5
         assert wedges <= bound, (
@@ -90,7 +100,7 @@ def test_bfs_frontier_fanout_linear_in_edges(spark):
     from reddit_big_data_spark.plans.cache import release_local_checkpoints
 
     for sf_dir in (SF_SMOKE, SF_BIG):
-        rec = scaling.measure_q152(spark, sf_dir)
+        rec = scaling.cached_measure(spark, scaling.measure_q152, sf_dir)
         m2, fanout = rec["n_input"], rec["candidates"]
         assert fanout <= 3 * m2, (
             f"{sf_dir}: frontier fan-out {fanout} > 3 * {m2}"
@@ -109,7 +119,7 @@ def test_global_rank_partitions_stay_balanced(spark):
     share on q160's production input at both SFs (a single-partition
     collapse would read ~P = parallelism times the ideal)."""
     for sf_dir in (SF_SMOKE, SF_BIG):
-        rec = scaling.measure_q160(spark, sf_dir)
+        rec = scaling.cached_measure(spark, scaling.measure_q160, sf_dir)
         assert rec["candidates"] < rec["n_input"], rec
         assert rec["balance"] < 2.0, f"{sf_dir}: skewed ranking {rec}"
         spark.catalog.clearCache()
@@ -122,7 +132,7 @@ def test_exact_simjoin_prunes_allpairs(spark):
     prefix/positional/length filters keep candidates a small fraction
     of the all-pairs join at every measured scale."""
     for sf_dir, cap in ((SF_SMOKE, 0.01), (SF_BIG, 0.01)):
-        rec = scaling.measure_q36(spark, sf_dir)
+        rec = scaling.cached_measure(spark, scaling.measure_q36, sf_dir)
         n = rec["n_input"]
         frac = rec["candidates"] / (n * (n - 1) / 2)
         assert frac < cap, f"{sf_dir}: candidates are {frac:.2%} of all-pairs"
@@ -149,7 +159,7 @@ def test_simhash_adaptive_width_subquadratic(spark):
     constant-factor claim per scale."""
     pts = []
     for sf_dir, cap in ((SF_SMOKE, 0.03), (SF_BIG, 0.01)):
-        rec = scaling.measure_q98(spark, sf_dir)
+        rec = scaling.cached_measure(spark, scaling.measure_q98, sf_dir)
         n = rec["n_input"]
         frac = rec["candidates"] / (n * (n - 1) / 2)
         assert frac < cap, f"{sf_dir}: candidates are {frac:.2%} of all-pairs"
@@ -270,7 +280,7 @@ def _synthetic_exponent(spark, measure, sizes=(1000, 8000)):
     pts = []
     recs = []
     for n in sizes:
-        rec = measure(spark, n)
+        rec = scaling.cached_measure(spark, measure, n)
         recs.append(rec)
         pts.append((rec["n_input"], rec["candidates"]))
         spark.catalog.clearCache()
@@ -318,3 +328,39 @@ def test_synthetic_kcore_work_linear_at_fixed_density(spark):
         # ADVICE r11: a row produced by the 64-round cap instead of the
         # degree fixpoint must self-identify — and never happen here
         assert rec["converged"] is True, rec
+
+
+def test_scaling_cache_rotating_audit(spark):
+    """One cached measurement per suite run is re-derived LIVE and must
+    equal its committed record byte-for-byte — the same rotating-audit
+    discipline the oracle truth fixtures carry (oracle_harness.py). The
+    code digest already forces a full re-measure on any source edit;
+    what this bounds is the remaining hazard class, a measure that is
+    NOT the deterministic function of (code, corpus, conf) the cache
+    assumes — such a measure diverges here within one rotation cycle.
+    On a cold cache (first run after an edit) every entry was just
+    measured live, so the audit is vacuously satisfied."""
+    import glob
+    import os
+
+    from reddit_big_data_spark.plans.cache import release_local_checkpoints
+
+    cache = scaling.load_measure_cache()
+    entries = sorted(cache.get("entries", {}))
+    if not entries:
+        return  # cold cache: this run measured everything live already
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = len(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    key = entries[rounds % len(entries)]
+    entry = cache["entries"][key]
+    measure = getattr(scaling, entry["measure"])
+    live = measure(spark, entry["arg"])
+    spark.catalog.clearCache()
+    release_local_checkpoints(spark)
+    assert live == entry["rec"], (
+        f"cached scaling measurement diverged from a live re-derivation "
+        f"({key}): cached={entry['rec']} live={live} — either the "
+        f"measure is nondeterministic (a bug in its claim) or the cache "
+        f"is stale in a way the lineage digest missed; delete "
+        f"{scaling.SCALING_CACHE_PATH} and re-run"
+    )

@@ -998,3 +998,64 @@ def test_reorder_buffer_finalizes_event_exactly_at_watermark(spark, tmp_path):
     ) == (1, 7.0, 0)
     # user 2: inside the final lateness window — correctly still buffered
     assert (final[2]["n_events"], final[2]["n_buffered"]) == (0, 1)
+
+
+def test_split_events_backlog_is_deterministic_and_ordered(tmp_path):
+    """q175's staging contract: the two-file split is a pure function of
+    the corpus (byte-identical across calls), covers every non-NULL-ts
+    event exactly once, splits at the ms temporal midpoint, and pins
+    batch order by mtime (a.parquet strictly older)."""
+    import os
+
+    import pandas as pd
+
+    from reddit_big_data_spark.streaming.windows import split_events_backlog
+
+    d1, d2 = tmp_path / "s1", tmp_path / "s2"
+    a1, b1 = split_events_backlog(SF_SMOKE, str(d1))
+    a2, b2 = split_events_backlog(SF_SMOKE, str(d2))
+    for p, q in ((a1, a2), (b1, b2)):
+        with open(p, "rb") as f1, open(q, "rb") as f2:
+            assert f1.read() == f2.read()
+    pa_, pb = pd.read_parquet(a1), pd.read_parquet(b1)
+    src = pd.read_parquet(os.path.join(SF_SMOKE, "events.parquet"))
+    assert len(pa_) + len(pb) == src["ts"].notna().sum()
+    assert len(pa_) > 0 and len(pb) > 0
+    assert set(pa_["event_id"]).isdisjoint(set(pb["event_id"]))
+    # ts written as raw epoch ns; the midpoint cut separates the halves
+    ms = src["ts"].astype("datetime64[ns]").astype("int64") // 1_000_000
+    cut = (int(ms.min()) + int(ms.max())) // 2
+    assert (pa_["ts"] // 1_000_000).max() <= cut < (pb["ts"] // 1_000_000).min()
+    assert os.stat(a1).st_mtime < os.stat(b1).st_mtime
+
+
+def test_split_events_backlog_rejects_narrow_span(tmp_path):
+    """The span <= 2x-lateness guard must raise a NAMED error instead of
+    silently producing a split whose second batch finalizes nothing
+    (the degenerate case q175's multi-batch claim would not survive)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    corpus = tmp_path / "narrow"
+    corpus.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:30"]
+            ),
+            "user_id": [1, 2],
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+            "props": ["{}", "{}"],
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(corpus / "events.parquet"))
+    with pytest.raises(ValueError, match="2x lateness"):
+        split_events_backlog_ = __import__(
+            "reddit_big_data_spark.streaming.windows",
+            fromlist=["split_events_backlog"],
+        ).split_events_backlog
+        split_events_backlog_(str(corpus), str(tmp_path / "out"))
