@@ -865,8 +865,6 @@ def test_reorder_buffer_is_delivery_order_invariant(spark, tmp_path):
     """Any delivery order of the same events within the watermark bound
     must yield byte-identical final profiles — the reorder buffer's
     whole contract. Two shuffled multi-batch feeds, one truth."""
-    import time as _t
-
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -908,7 +906,18 @@ def test_reorder_buffer_is_delivery_order_invariant(spark, tmp_path):
                 }
             )
             pq.write_table(pa.Table.from_pandas(pdf), str(d / f"b{bi}.parquet"))
-            _t.sleep(1.1)
+        # batch order pinned by EXPLICIT mtimes, not sleeps (round 16 —
+        # same mechanism split_events_backlog uses in production): the
+        # file source processes oldest-modification-time first, so a
+        # 100 s stagger is deterministic and saves ~9 s of wall sleep
+        import os as _os
+
+        now = _os.stat(str(d / "b3.parquet")).st_mtime
+        for bi in range(len(batches)):
+            age = (len(batches) - 1 - bi) * 100
+            _os.utime(
+                str(d / f"b{bi}.parquet"), (now - age, now - age)
+            )
         raw = (
             spark.readStream.schema(EVENTS_RAW_SCHEMA)
             .option("maxFilesPerTrigger", 1)
