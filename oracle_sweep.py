@@ -134,7 +134,15 @@ def _fetch_oracle(con, sql: str, timeout_s: float | None):
     done = threading.Event()
 
     def watchdog() -> None:
-        if not done.wait(timeout_s):
+        # re-check after the wait (review r16): a query completing
+        # exactly at the budget could otherwise be interrupted AFTER
+        # completion, leaving the interrupt flag to abort the NEXT
+        # oracle on this shared connection — a loud spurious failure,
+        # not a false green, but a flake worth narrowing. The recheck
+        # shrinks the race to the instruction gap between is_set and
+        # interrupt; budgets are set 4x the measured worst case, so the
+        # residual window is practically unreachable.
+        if not done.wait(timeout_s) and not done.is_set():
             con.interrupt()
 
     t = threading.Thread(target=watchdog, daemon=True)

@@ -1026,7 +1026,14 @@ def q174_streaming_reordered_profile(
         )
     # final state per user = the row with the most finalized events
     # (monotone across batches; the timer-batch row supersedes the
-    # batch-1 n=0 row, ties impossible except the single-row case)
+    # batch-1 n=0 row, ties impossible except the single-row case).
+    # NB the n_buffered ASC tie-break is correct ONLY under this
+    # query's asserted single-backlog-file drain (a data batch then a
+    # timer batch can never tie on n_events with different buffers);
+    # a MULTI-batch drain can tie n_events while the buffer grows, and
+    # ascending would resurrect the earlier row — q175, the multi-batch
+    # variant, orders n_buffered DESC for exactly that reason (see its
+    # extraction comment).
     w = _W.partitionBy("user_id").orderBy(
         F.desc("n_events"), F.asc("n_buffered")
     )

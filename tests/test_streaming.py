@@ -17,6 +17,20 @@ from reddit_big_data_spark.streaming.windows import (
 from tests.conftest import SF_SMOKE
 
 
+def _stagger_mtimes(*paths) -> None:
+    """Pin file-source batch order by EXPLICIT modification times (the
+    mechanism split_events_backlog uses in production): paths are aged
+    oldest-first, 100 s apart. Replaces the old 1.1 s wall sleeps
+    between writes — deterministic on any filesystem mtime granularity
+    and ~1 s faster per ordered file (round 16)."""
+    import os
+
+    now = os.stat(paths[-1]).st_mtime
+    for i, p in enumerate(paths):
+        age = (len(paths) - 1 - i) * 100
+        os.utime(p, (now - age, now - age))
+
+
 def test_stream_equals_batch(spark):
     stream = stream_events(spark, SF_SMOKE)
     assert stream.isStreaming
@@ -151,8 +165,6 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     """Late-data semantics: a row arriving in a later micro-batch whose
     window is already behind the watermark must be DROPPED, and a window
     the watermark never passes must never emit in append mode."""
-    import time as _t
-
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -176,7 +188,6 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         }
     )
     pq.write_table(pa.Table.from_pandas(f1), d + "/f1.parquet")
-    _t.sleep(1.1)  # distinct mtimes => file order => one batch per file
     # watermark updates take effect one batch late: f2 is a buffer batch
     # during which the 19:00 watermark becomes effective and the
     # [10:00, 11:00) window is finalized + emitted
@@ -191,7 +202,6 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         }
     )
     pq.write_table(pa.Table.from_pandas(f2), d + "/f2.parquet")
-    _t.sleep(1.1)
     f3 = pd.DataFrame(
         {
             "event_id": [5],
@@ -203,6 +213,9 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         }
     )
     pq.write_table(pa.Table.from_pandas(f3), d + "/f3.parquet")
+    _stagger_mtimes(
+        d + "/f1.parquet", d + "/f2.parquet", d + "/f3.parquet"
+    )
 
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
@@ -226,8 +239,6 @@ def test_watermark_drops_late_rows(spark, tmp_path):
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """dropDuplicatesWithinWatermark: duplicates inside the watermark
     horizon are suppressed across micro-batches; state stays bounded."""
-    import time as _t
-
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -252,7 +263,6 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         }
     )
     pq.write_table(pa.Table.from_pandas(f1), d + "/f1.parquet")
-    _t.sleep(1.1)
     f2 = pd.DataFrame(
         {
             "event_id": [2, 3],  # cross-batch duplicate of id 2 + a new id
@@ -264,6 +274,7 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         }
     )
     pq.write_table(pa.Table.from_pandas(f2), d + "/f2.parquet")
+    _stagger_mtimes(d + "/f1.parquet", d + "/f2.parquet")
 
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
@@ -315,8 +326,6 @@ def test_stream_stream_interval_join(spark, tmp_path):
     """Stream-stream interval join (click attribution shape): clicks
     within 30 minutes after a view, per user. Drained result must equal
     the batch twin of the SAME operator on the same rows."""
-    import time as _t
-
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -360,7 +369,6 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ),
         cd + "/c1.parquet",
     )
-    _t.sleep(1.1)
     pq.write_table(
         pa.Table.from_pandas(mk([(3, ns(12, 0), 1, "view")])), vd + "/v2.parquet"
     )
@@ -370,6 +378,8 @@ def test_stream_stream_interval_join(spark, tmp_path):
         ),
         cd + "/c2.parquet",
     )
+    _stagger_mtimes(vd + "/v1.parquet", vd + "/v2.parquet")
+    _stagger_mtimes(cd + "/c1.parquet", cd + "/c2.parquet")
 
     def to_stream(path):
         raw = (
@@ -788,8 +798,6 @@ def test_reorder_buffer_matches_in_order_result(spark, tmp_path):
     plain sequential operator under-counts the straddled gap. Also pins
     that the buffer drains via event-time timers (the flush heartbeat is
     another user entirely; user 1 gets no new rows after its disorder)."""
-    import time as _t
-
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -815,7 +823,6 @@ def test_reorder_buffer_matches_in_order_result(spark, tmp_path):
             }
         )
         pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / fname))
-        _t.sleep(1.1)  # distinct mtimes => file order => one batch per file
 
     # user 1 in-order truth: 10:00, 10:10, 10:40 -> gaps 600 s and 1800 s.
     # Delivery: 10:00 and 10:40 first, then 10:10 LATE-but-within-bound in
@@ -827,6 +834,11 @@ def test_reorder_buffer_matches_in_order_result(spark, tmp_path):
     # flush heartbeat on ANOTHER user: advances the global watermark past
     # 10:40 + 1 h so user 1's buffered tail finalizes purely via its timer
     write("f3.parquet", [(ns(13, 0), 99, 0.0)])
+    _stagger_mtimes(
+        str(tmp_path / "f1.parquet"),
+        str(tmp_path / "f2.parquet"),
+        str(tmp_path / "f3.parquet"),
+    )
 
     def drain(op, sink):
         raw = (
