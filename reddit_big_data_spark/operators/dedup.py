@@ -495,42 +495,52 @@ def winnowing_fingerprints(
     window's minimum — guaranteeing any match of length >= k+window-1
     shares a fingerprint, with ~2/(window+1) selection density.
 
-    Fully native: posexplode grams -> md5-derived int hash -> sliding-min
-    window PARTITIONED BY doc (parallel across docs) -> distinct minima.
+    Fully native AND fully in-row (r16, guide §2.4): the gram hashes and
+    the sliding minima are computed per document with higher-order
+    functions, so the operator runs as ONE WholeStageCodegen scan stage —
+    no per-char posexplode (a ~|text|x row blowup: 1.39M rows / 15.5 MB
+    shuffled at sf0.1), no per-doc sort-window exchange, no distinct
+    exchange. The previous shape (posexplode -> window min over
+    PARTITION BY doc -> distinct) paid three exchanges and two sorts for
+    work that is embarrassingly row-local. Per-doc distinct minima ==
+    global distinct because `id_col` is unique per input row (every
+    caller feeds a primary-keyed table).
+
+    The hash-array projection is bound through a one-element-array
+    transform lambda: referenced as a plain column, CollapseProject would
+    inline the whole md5 map into the per-window lambda and re-hash every
+    gram once PER WINDOW (O(n*w) md5s instead of O(n)); a lambda variable
+    is not a collapsible alias, so the hashes evaluate exactly once.
+
     Returns (id, fingerprint) pairs, one row per distinct fingerprint.
     """
-    from pyspark.sql import Window as W
-
     from reddit_big_data_spark.sources.io import spread
 
     n = F.length(F.col(text_col))
-    grams = F.transform(
+    # Docs need at least one FULL window of grams to emit anything:
+    # n_grams = n - k + 1 >= window  <=>  n >= k + window - 1 (shorter
+    # docs emitted zero rows under the old tail-truncation filter too).
+    hashes = F.transform(
         F.sequence(F.lit(1), n - (k - 1)),
-        lambda i: F.col(text_col).substr(i, F.lit(k)),
+        lambda i: F.conv(
+            F.md5(F.col(text_col).substr(i, F.lit(k))).substr(1, 7), 16, 10
+        ).cast("long"),
     )
-    # Per-char gram explosion multiplies rows ~|text|x — spread the scan
-    # first so that work isn't pinned to the input's file count.
-    df = spread(df)
-    exploded = df.filter(n >= k).select(
-        F.col(id_col).alias("__id"), F.posexplode(grams).alias("pos", "gram")
-    )
-    hashed = exploded.withColumn(
-        "h", F.conv(F.substring(F.md5("gram"), 1, 7), 16, 10).cast("long")
-    )
-    w = (
-        W.partitionBy("__id")
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
-    )
-    # distinct minima per doc = the fingerprint set; tail positions whose
-    # forward window is truncated are dropped so every kept minimum comes
-    # from a FULL window.
+    fps = F.transform(
+        F.array(hashes),  # lambda-bind: hashes evaluate ONCE (see doc)
+        lambda hs: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs) - (window - 1)),
+                lambda i: F.array_min(F.slice(hs, i, window)),
+            )
+        ),
+    )[0]
+    # The per-row work is ~|text| md5s — spread the scan so it isn't
+    # pinned to the input's file count.
     return (
-        hashed.withColumn("fp", F.min("h").over(w))
-        .withColumn("__max_pos", F.max("pos").over(W.partitionBy("__id")))
-        .filter(F.col("pos") <= F.col("__max_pos") - (window - 1))
-        .select(F.col("__id").alias(id_col), "fp")
-        .distinct()
+        spread(df)
+        .filter(n >= k + window - 1)
+        .select(F.col(id_col).alias(id_col), F.explode(fps).alias("fp"))
     )
 
 
