@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from reddit_big_data_spark.sources.io import local_df
+
 
 def _assign(
     df: DataFrame,
@@ -38,7 +40,8 @@ def _assign(
     from reddit_big_data_spark.operators.attach import attach_constant_row
 
     spark = df.sparkSession
-    cframe = spark.createDataFrame(
+    cframe = local_df(
+        spark,
         [(0, [[float(x) for x in c] for c in centers], [int(c) for c in cids])],
         "__ck: int, __cents: array<array<double>>, __cids: array<int>",
     )

@@ -53,6 +53,8 @@ from pyspark.sql import functions as F
 from reddit_big_data_spark.operators.attach import attach_constant_row
 from reddit_big_data_spark.operators.similarity import exact_rerank, norm
 
+from reddit_big_data_spark.sources.io import local_df
+
 
 def _normalized(
     df: DataFrame, id_col: str, emb_col: str, normalize: bool = True
@@ -168,8 +170,8 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     spark = df.sparkSession
-    cframe = spark.createDataFrame(
-        [(0, codebooks)], "__ck: int, __cb: array<array<array<double>>>"
+    cframe = local_df(
+        spark, [(0, codebooks)], "__ck: int, __cb: array<array<array<double>>>"
     )
     nv = _normalized(df, id_col, emb_col, normalize)
     codes = F.transform(
@@ -214,8 +216,8 @@ def pq_topk(
     )
     codes = pq_encode(nx, cb, id_col, "__vec", normalize=False)
     spark = corpus.sparkSession
-    cframe = spark.createDataFrame(
-        [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
+    cframe = local_df(
+        spark, [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
     )
     # probe-side ADC tables: tab[j][c] = <q_subvec_j, cb[j][c]>
     qn = _normalized(queries, id_col, emb_col)
@@ -335,8 +337,8 @@ def ivfpq_topk(
     # probe routing + per-(probe, cell) exact centroid term
     qn = _normalized(queries, id_col, emb_col)
     spark = corpus.sparkSession
-    cbframe = spark.createDataFrame(
-        [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
+    cbframe = local_df(
+        spark, [(0, cb)], "__ck: int, __cb: array<array<array<double>>>"
     )
     dsub = dims // m
     tab = F.transform(

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from reddit_big_data_spark.sources.io import local_df
+
 _PID = "__rank_pid"
 _LOCAL_RN = "__rank_local_rn"
 
@@ -107,8 +109,8 @@ def _global_rank_with_total(
     # Many partitions: a when-chain this deep is a Catalyst
     # expression-tree hazard (deep recursion in every transform pass);
     # a 1-row-per-partition broadcast hash join is flat (VERDICT r2).
-    offset_df = df.sparkSession.createDataFrame(
-        offsets, f"{_PID} int, __rank_offset long"
+    offset_df = local_df(
+        df.sparkSession, offsets, f"{_PID} int, __rank_offset long"
     )
     out = (
         local.join(F.broadcast(offset_df), _PID)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from reddit_big_data_spark.sources.io import local_df
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold double dot product of two float arrays."""
@@ -238,8 +240,8 @@ def _planes_frame(
     flat = [
         _hyperplane(t, j, dims) for t in range(n_tables) for j in range(n_planes)
     ]
-    return spark.createDataFrame(
-        [(0, flat)], "__pk: int, __planes: array<array<double>>"
+    return local_df(
+        spark, [(0, flat)], "__pk: int, __planes: array<array<double>>"
     )
 
 
@@ -465,7 +467,7 @@ def _broadcast_candidate_pairs(
         # np.stack over zero arrays raises ValueError; an empty corpus
         # has no pairs — return the same empty frame the blocked path
         # yields instead of a driver crash (review r14)
-        return spark.createDataFrame([], "id_a long, id_b long")
+        return local_df(spark, [], "id_a long, id_b long")
     b_ids = side[id_col].to_numpy()
     b_mat = np.stack(side[emb_col].to_numpy()).astype(np.float64)
     b_mat /= np.linalg.norm(b_mat, axis=1, keepdims=True)
@@ -510,7 +512,7 @@ def _blocked_candidate_pairs(
     pair_rows = [
         (i, j) for i in range(n_blocks) for j in range(i, n_blocks)
     ]
-    pairs_df = spark.createDataFrame(pair_rows, "bi int, bj int")
+    pairs_df = local_df(spark, pair_rows, "bi int, bj int")
     blocked = corpus.select(
         F.col(id_col).alias("__id"),
         F.col(emb_col).alias("__emb"),
@@ -685,7 +687,8 @@ def make_centroids(
         x = sample_train_matrix(corpus, id_col, emb_col)
         cents = lloyd_rounds(x, x[: min(k, len(x))], train_iters)
         spark = corpus.sparkSession
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(i + 1, [float(v) for v in c]) for i, c in enumerate(cents)],
             f"cell int, {emb_col} array<double>",
         )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table
+from reddit_big_data_spark.sources.io import local_df, read_table
 
 _D = 0.85  # damping
 _ITERS = 3
@@ -589,7 +589,7 @@ def q152_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         # subscripting the absent row would raise an opaque TypeError;
         # a hub seed of an empty graph is genuinely undefined
         raise ValueError("k-hop BFS needs a non-empty co-purchase graph")
-    seed = spark.createDataFrame([(hub["u"], 0)], "node long, hop int")
+    seed = local_df(spark, [(hub["u"], 0)], "node long, hop int")
     visited, frontier = seed, seed
     for h in (1, 2, 3):
         new = (

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table
+from reddit_big_data_spark.sources.io import local_df, read_table
 
 
 # --------------------------------------------------------------------------
@@ -605,9 +605,7 @@ def q166_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for pm, m in zip(grid, cv_model.avgMetrics)
     ]
-    out = spark.createDataFrame(
-        rows, "num_trees int, max_depth int, avg_f1 double"
-    )
+    out = local_df(spark, rows, "num_trees int, max_depth int, avg_f1 double")
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("avg_f1"), "num_trees", "max_depth")

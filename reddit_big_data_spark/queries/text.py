@@ -28,7 +28,7 @@ from reddit_big_data_spark.operators.text import (
     top_k_terms,
 )
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table, spread
+from reddit_big_data_spark.sources.io import local_df, read_table, spread
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -417,8 +417,8 @@ _SAMPLE_RATES = {"de": 25, "en": 100, "es": 50, "fr": 75, "zh": 10}  # pct
 )
 def q47_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
-        sorted(_SAMPLE_RATES.items()), "lang: string, rate: int"
+    rates = local_df(
+        spark, sorted(_SAMPLE_RATES.items()), "lang: string, rate: int"
     )
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
