@@ -108,6 +108,13 @@ def q22_approx_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
             F.element_at("__apx", 1).between(p(1), p(3)).alias("median_in_band"),
             F.element_at("__apx", 2).between(p(4), p(6)).alias("p90_in_band"),
         )
+        # repartition(1) before the sort (r16, guide §2.4): a global sort
+        # range-samples its CHILD RDD in a separate job, re-executing
+        # everything above the last exchange — here the 3-task exact-
+        # percentile merge (measured 1.4 s duplicated at sf0.1). A
+        # single-partition exchange of the 3 report rows satisfies the
+        # sort's distribution outright: no sampling, no re-execution.
+        .repartition(1)
         .orderBy("l_returnflag")
     )
 

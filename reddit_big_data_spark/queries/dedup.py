@@ -40,7 +40,7 @@ from reddit_big_data_spark.operators.dedup import (
 )
 from reddit_big_data_spark.operators.text import normalize
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table, spread
+from reddit_big_data_spark.sources.io import read_table, sorted_report, spread
 
 # Shared DuckDB CTE: normalized token arrays (twin of normalize+split).
 _ORACLE_NORM = """
@@ -131,12 +131,16 @@ def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens(spark, sf_dir)
     sh = toks.select("doc_id", word_shingles(F.col("toks"), 2).alias("shingles"))
     return (
-        near_duplicates(
-            sh, "doc_id", "shingles",
-            threshold=0.6, bands=32, rows=4, est_cut=0.4,
+        sorted_report(
+            near_duplicates(
+                sh, "doc_id", "shingles",
+                threshold=0.6, bands=32, rows=4, est_cut=0.4,
+            ).select(
+                "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+            ),
+            "id_a",
+            "id_b",
         )
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -337,10 +341,12 @@ def q36_prefix_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _tokens(spark, sf_dir)
     sh = toks.select("doc_id", word_shingles(F.col("toks"), 2).alias("shingles"))
-    return (
-        similarity_join(sh, "doc_id", "shingles", threshold=0.6)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("id_a", "id_b")
+    return sorted_report(
+        similarity_join(sh, "doc_id", "shingles", threshold=0.6).select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ),
+        "id_a",
+        "id_b",
     )
 
 
@@ -624,9 +630,11 @@ def q98_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = _tokens(spark, sf_dir)
     sig = simhash_wide(toks, "doc_id", "toks", bits=64)
-    return simhash_hamming_pairs(
-        sig, "doc_id", bits=64, bands=4, max_hamming=3
-    ).orderBy("id_a", "id_b")
+    return sorted_report(
+        simhash_hamming_pairs(sig, "doc_id", bits=64, bands=4, max_hamming=3),
+        "id_a",
+        "id_b",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -699,6 +707,7 @@ def q105_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__j", jaccard(F.col("__sh_n"), F.col("__sh_i")))
         .filter(F.col("__j") >= 0.6)
         .select("new_id", "index_id", F.round("__j", 6).alias("jaccard"))
+        .repartition(1)  # sorted_report inline (see sources/io.py)
         .orderBy("new_id", "index_id")
     )
 

@@ -217,6 +217,23 @@ def rename_with_suffix(df: DataFrame, suffix: str, keep: Iterable[str] = ()) -> 
     )
 
 
+def sorted_report(df: DataFrame, *cols) -> DataFrame:
+    """Totally order a SMALL report frame: single-partition exchange +
+    local sort, instead of a bare ``.orderBy(...)``.
+
+    A global sort plans a range exchange whose partitioner SAMPLES the
+    child RDD in a separate job before the real pass — re-executing
+    everything above the child's last exchange. For reports whose final
+    segment is expensive (a 3-fat-row exact-percentile merge: 1.9 s at
+    sf0.1 in q16/q22; the simjoin verify joins: 1.6 s in q36) that work
+    runs TWICE per action. A single-partition exchange of the report
+    rows satisfies the sort's required distribution outright, so the
+    sort runs locally with no sampling job and no re-execution. Only
+    for report-sized outputs (the exchange serializes one partition);
+    large sorted outputs should keep the parallel range sort."""
+    return df.repartition(1).orderBy(*cols)
+
+
 def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a narrow scan UP to the session's parallelism before
     row-expanding work (explode / per-char transform chains).
