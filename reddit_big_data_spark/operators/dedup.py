@@ -480,6 +480,16 @@ def simhash_bits(df: DataFrame, id_col: str, token_col: str, bits: int = 32) -> 
     the SAME constant vote for every token and every doc (a silently
     degenerate signature that halves effective width and inflates false
     matches — review r14). Use simhash_wide for wider signatures.
+
+    Computed IN-ROW (r16, guide §2.4): the vote fold runs per document
+    with higher-order functions — no token explode, no shuffle, no
+    `bits`-buffer aggregate (measured 0.82 s -> 0.21 s on the sf0.1
+    corpus, signatures bit-identical). Each token's md5 is bound once
+    through a one-element-array lambda. Per-row == per-doc because every
+    caller feeds a primary-keyed frame; a caller with duplicate ids
+    would previously have merged their votes (the old groupBy) — pre-
+    aggregate tokens per id first if that input shape ever appears.
+    Empty/NULL token arrays vanish, same as the old explode.
     """
     if not 1 <= bits <= 32:
         raise ValueError(
@@ -487,27 +497,35 @@ def simhash_bits(df: DataFrame, id_col: str, token_col: str, bits: int = 32) -> 
             f"votes per bit; got {bits}) — use simhash_wide for wider "
             f"signatures"
         )
-    tok = df.select(F.col(id_col).alias("__id"), F.explode(token_col).alias("__t"))
-    tok = tok.withColumn("__h", F.md5(F.col("__t")))
-    # One SUM aggregate per bit over the token rows (map-side partial agg),
-    # rather than exploding a 1..bits sequence — that multiplies the token
-    # stream `bits`-fold before the shuffle (measured 4x slower at sf0.1).
-    votes = tok.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.instr(F.lit("89abcdef"), F.substring(F.col("__h"), j, 1)) > 0, 1
-                ).otherwise(-1)
-            ).alias(f"__v{j}")
-            for j in range(1, bits + 1)
-        ]
+
+    def token_votes(t):
+        return F.get(
+            F.transform(
+                F.array(F.md5(t)),  # lambda-bind: one md5 per token
+                lambda h: F.transform(
+                    F.sequence(F.lit(1), F.lit(bits)),
+                    lambda j: F.when(
+                        F.instr(F.lit("89abcdef"), h.substr(j, F.lit(1))) > 0,
+                        F.lit(1),
+                    ).otherwise(F.lit(-1)),
+                ),
+            ),
+            F.lit(0),
+        )
+
+    votes = F.aggregate(
+        F.col(token_col),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
     )
-    bit_exprs = [
-        F.when(F.col(f"__v{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(1, bits + 1)
-    ]
-    return votes.select(
-        F.col("__id").alias(id_col), F.concat(*bit_exprs).alias("simhash")
+    sim = F.array_join(
+        F.transform(
+            votes, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+    return df.filter(F.size(F.col(token_col)) > 0).select(
+        F.col(id_col), sim.alias("simhash")
     )
 
 
@@ -583,9 +601,18 @@ def simhash_wide(
     hamming 3 of each other (measured: 51% of all sf0.1 pairs), while 64
     bits keeps the distance distribution spread.
 
-    Fully native: the hex digits are conv'd to ints once per token, the
-    64 votes are SUM aggregates with map-side partial aggregation, and
-    the signature assembles as a bit-string column.
+    Fully native and IN-ROW (r16, guide §2.4): the vote fold runs per
+    document with higher-order functions — no token explode, no shuffle,
+    no `bits`-buffer aggregate (measured 1.37 s -> 0.43 s at 64 bits on
+    the sf0.1 corpus, signatures bit-identical incl. the multi-block
+    160-bit case). Per token, the salted md5 blocks and the hex digits
+    are each bound once through one-element-array lambdas, and the 4
+    bits of every digit unroll MSB-first — the exact j-ordering of the
+    old per-bit SUM aggregates. Per-row == per-doc because every caller
+    feeds a primary-keyed frame (duplicate ids would previously have
+    merged votes via the groupBy — pre-aggregate first if that shape
+    ever appears); empty/NULL token arrays vanish, same as the old
+    explode.
 
     Signatures wider than one md5 (128 bits / 32 hex digits) draw their
     extra digits from SALTED digests md5(token || '#blockIdx') — block 0
@@ -594,44 +621,74 @@ def simhash_wide(
     scale path (adaptive_band_width) needs this headroom: 4 bands only
     reach the 128-bit ceiling at w=32, i.e. ~33M docs from the 500-doc
     base."""
-    tok = df.select(F.col(id_col).alias("__id"), F.explode(token_col).alias("__t"))
     ndig = (bits + 3) // 4
     nblocks = (ndig + 31) // 32
-    for b in range(nblocks):
-        tok = tok.withColumn(
-            f"__h{b}",
-            F.md5(F.col("__t") if b == 0 else F.concat("__t", F.lit(f"#{b}"))),
+
+    def hs_of(t):
+        return F.array(
+            *[
+                F.md5(t) if b == 0 else F.md5(F.concat(t, F.lit(f"#{b}")))
+                for b in range(nblocks)
+            ]
         )
-    tok = tok.select(
-        "__id",
-        *[
-            F.conv(
-                F.substring(f"__h{(d - 1) // 32}", (d - 1) % 32 + 1, 1), 16, 10
-            )
-            .cast("int")
-            .alias(f"__d{d}")
-            for d in range(1, ndig + 1)
-        ],
-    )
-    votes = tok.groupBy("__id").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.shiftright(F.col(f"__d{j // 4 + 1}"), 3 - (j % 4))
-                    .bitwiseAND(F.lit(1))
-                    == 1,
+
+    def digits_of(t):
+        return F.get(
+            F.transform(
+                F.array(hs_of(t)),  # lambda-bind: md5 blocks once per token
+                lambda hsb: F.transform(
+                    F.sequence(F.lit(1), F.lit(ndig)),
+                    lambda d: F.conv(
+                        F.element_at(
+                            hsb, (F.floor((d - 1) / 32) + 1).cast("int")
+                        ).substr(((d - 1) % 32 + 1).cast("int"), F.lit(1)),
+                        16,
+                        10,
+                    ).cast("int"),
+                ),
+            ),
+            F.lit(0),
+        )
+
+    def token_votes(t):
+        return F.get(
+            F.transform(
+                F.array(digits_of(t)),  # lambda-bind: digits once per token
+                lambda ds: F.slice(
+                    F.flatten(
+                        F.transform(
+                            ds,
+                            lambda dgt: F.array(
+                                *[
+                                    F.when(
+                                        dgt.bitwiseAND(F.lit(m)) != 0,
+                                        F.lit(1),
+                                    ).otherwise(F.lit(-1))
+                                    for m in (8, 4, 2, 1)
+                                ]
+                            ),
+                        )
+                    ),
                     1,
-                ).otherwise(-1)
-            ).alias(f"__v{j}")
-            for j in range(bits)
-        ]
+                    bits,
+                ),
+            ),
+            F.lit(0),
+        )
+
+    votes = F.aggregate(
+        F.col(token_col),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(acc, token_votes(t), lambda a, v: a + v),
     )
-    bit_exprs = [
-        F.when(F.col(f"__v{j}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for j in range(bits)
-    ]
-    return votes.select(
-        F.col("__id").alias(id_col), F.concat(*bit_exprs).alias("simhash")
+    sim = F.array_join(
+        F.transform(
+            votes, lambda v: F.when(v >= 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
+    return df.filter(F.size(F.col(token_col)) > 0).select(
+        F.col(id_col), sim.alias("simhash")
     )
 
 
