@@ -34,15 +34,38 @@ TESTDATA_TABLES = (
 )
 
 
+# Footer-schema cache for read_table (r16, guide §6/§1): a bare
+# spark.read.parquet() infers the schema from the footer on EVERY call —
+# measured 86-130 ms of driver latency per call at any scale factor,
+# paid 1-3x per query per bench pass (tens of seconds across the sweep),
+# and at 100 TB a footer-inference over a million-file table is a
+# driver stall. The schema of a given (sf_dir, table) is immutable for
+# the life of the process, so the first call infers and later calls
+# replay it through spark.read.schema(...) — 16 ms. This is METADATA
+# caching only (the module docstring has always said "no schema
+# inference in prod paths"); every row still computes from parquet on
+# every action. Keyed per (sf_dir, name); a corpus regenerated mid-
+# process with a DIFFERENT schema is not a supported scenario.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1/S2: parquet scan. Schema comes from the footer; filters and
-    column pruning push down (verify with .explain: PushedFilters/ReadSchema).
+    """S1/S2: parquet scan. Schema comes from the footer ONCE per
+    (sf_dir, table) per process (see _SCHEMA_CACHE); filters and column
+    pruning push down (verify with .explain: PushedFilters/ReadSchema).
 
     TIMESTAMP(NANOS) columns (events.ts in the testdata) arrive as long
     nanos under ``spark.sql.legacy.parquet.nanosAsLong`` and are converted
     here by truncating to micros — bit-identical to DuckDB's parquet reader.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     expected = TESTDATA_SCHEMAS.get(name)
     if expected is not None:
         actual = {f.name: f.dataType for f in df.schema.fields}
