@@ -65,9 +65,17 @@ def q88_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("*").alias("exact_nd"),
-            F.expr("percentile(value, 0.5)").alias("__p50"),
-            F.expr("percentile(value, 0.35)").alias("__p35"),
-            F.expr("percentile(value, 0.65)").alias("__p65"),
+            # one shared array-percentile buffer for the three quantiles
+            # (r16, the q22 shape) — identical doubles, a third the
+            # buffer fill and sort work in the narrow merge stage
+            F.expr("percentile(value, array(0.5, 0.35, 0.65))").alias("__ps"),
+        )
+        .select(
+            "event_type",
+            "exact_nd",
+            F.element_at("__ps", 1).alias("__p50"),
+            F.element_at("__ps", 2).alias("__p35"),
+            F.element_at("__ps", 3).alias("__p65"),
         )
     )
     return (
@@ -167,13 +175,23 @@ def q97_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = tdigest_quantiles(
         ev, "event_type", "__day", "value", quantiles=[0.5, 0.9], delta=100
     )
+    # ONE array-percentile buffer for all six quantiles (r16, the q22
+    # shape): six separate percentile() aggs each collect the full value
+    # multiset into their own buffer and sort it six times in the
+    # (few-task, group-count-bound) merge stage. Same sorted data, same
+    # per-percentage interpolation — identical doubles.
     exact = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("__p50"),
-        F.expr("percentile(value, 0.9)").alias("__p90"),
-        F.expr("percentile(value, 0.45)").alias("__p45"),
-        F.expr("percentile(value, 0.55)").alias("__p55"),
-        F.expr("percentile(value, 0.85)").alias("__p85"),
-        F.expr("percentile(value, 0.95)").alias("__p95"),
+        F.expr(
+            "percentile(value, array(0.5, 0.9, 0.45, 0.55, 0.85, 0.95))"
+        ).alias("__ps")
+    ).select(
+        "event_type",
+        F.element_at("__ps", 1).alias("__p50"),
+        F.element_at("__ps", 2).alias("__p90"),
+        F.element_at("__ps", 3).alias("__p45"),
+        F.element_at("__ps", 4).alias("__p55"),
+        F.element_at("__ps", 5).alias("__p85"),
+        F.element_at("__ps", 6).alias("__p95"),
     )
     return (
         est.join(exact, "event_type")
