@@ -110,20 +110,24 @@ def kmeans_centers(
     # you would not cache a corpus for a single final pass anyway.
     df = df.persist()
     try:
-        dim_row = df.select(F.size(vec_col).alias("d")).first()
-        if dim_row is None or dim_row["d"] is None:
-            # empty corpus / NULL first vector: int(None) below would be
-            # an opaque TypeError instead of naming the broken contract
-            raise ValueError(
-                "k-means needs a non-empty corpus with non-NULL vectors"
-            )
-        dim = int(dim_row["d"])
         init = (
             df.orderBy(id_col)
             .limit(k)
             .select(F.col(vec_col).cast("array<double>").alias("e"))
             .collect()
         )
+        # dim comes from the seed rows themselves (r16): the old separate
+        # `select(size(vec)).first()` probe cost one extra job per
+        # k-means build — one of 3-4 sequential driver barriers that
+        # dominated the clustering queries' construction wall. Same
+        # loud contract: empty corpus / NULL seed vectors raise a named
+        # error instead of an opaque TypeError downstream.
+        dims = [len(r["e"]) for r in init if r["e"] is not None]
+        if not dims:
+            raise ValueError(
+                "k-means needs a non-empty corpus with non-NULL vectors"
+            )
+        dim = dims[0]
         centers = [list(r["e"]) for r in init]
         cids = list(range(len(centers)))  # < k rows: every point its own centroid
         for _ in range(iters - 1):

@@ -219,10 +219,13 @@ def q33_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # The filtered block is one scan task; spread the pairwise-jaccard work
     # across the cluster before the join (the block is small, the compare
-    # work is quadratic in it).
+    # work is quadratic in it). Partition count = the session's
+    # parallelism, not a constant (r16): the driver re-benches at lower
+    # core counts, and a hard-coded 32 is exactly the local-mode-tuned
+    # constant the scale contract forbids.
     a = sh.select(
         F.col("source"), F.col("doc_id").alias("id_a"), F.col("grams").alias("g_a")
-    ).repartition(32, "id_a")
+    ).repartition(spark.sparkContext.defaultParallelism, "id_a")
     b = sh.select(
         F.col("source"), F.col("doc_id").alias("id_b"), F.col("grams").alias("g_b")
     )
