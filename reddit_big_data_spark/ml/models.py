@@ -48,7 +48,7 @@ def ovr_linear_svc(
     features_col: str = "features",
     weight_col: str | None = "weight",
     max_iter: int = 20,
-    parallelism: int = 4,
+    parallelism: int = 8,
 ) -> OneVsRest:
     """M8: LinearSVC one-vs-rest (ML_Sentiment.py:385).
 
@@ -57,7 +57,12 @@ def ovr_linear_svc(
     OWLQN passes are unchanged — same data, same partitioning, same
     aggregation tree — so the fitted models (and q165's pinned VALUES
     snapshot) are byte-identical, only the wall-clock drops (measured
-    ~10.5s -> see bench detail at sf0.1 for q165)."""
+    ~10.5s -> see bench detail at sf0.1 for q165). Default raised 4 -> 8
+    in r16 so the 5-class fit runs as ONE wave instead of 4+1
+    (interleaved A/B at sf0.1: q165 6.16 -> 5.15 s; oracle snapshot
+    re-verified identical). cross_validate keeps parallelism=4 — the
+    same A/B showed no q166 movement (its fits are cheap enough that
+    the driver, not the wave count, is the bound)."""
     svc = LinearSVC(labelCol=label_col, featuresCol=features_col, maxIter=max_iter)
     if weight_col:
         svc = svc.setWeightCol(weight_col)
