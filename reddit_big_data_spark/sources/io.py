@@ -59,11 +59,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     here by truncating to micros — bit-identical to DuckDB's parquet reader.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (sf_dir, name)
-    cached = _SCHEMA_CACHE.get(key)
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
     if cached is None:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
     else:
         df = spark.read.schema(cached).parquet(path)
     expected = TESTDATA_SCHEMAS.get(name)
@@ -79,6 +78,21 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def read_tables(spark: SparkSession, sf_dir: str, names: Iterable[str] = TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+def table_schema(spark: SparkSession, sf_dir: str, name: str) -> T.StructType:
+    """The RAW footer schema of a testdata table (no ts conversion),
+    through the same per-process cache read_table fills — a streaming
+    source that needs an explicit schema should not pay a fresh footer
+    inference per query construction."""
+    key = (sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is None:
+        cached = spark.read.parquet(
+            os.path.join(sf_dir, f"{name}.parquet")
+        ).schema
+        _SCHEMA_CACHE[key] = cached
+    return cached
 
 
 def read_csv(

@@ -40,8 +40,12 @@ def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
     footer so the stream tracks the testdata's physical ts encoding.
     TIMESTAMP(NANOS) files arrive as long under
     spark.sql.legacy.parquet.nanosAsLong (session.py); TIMESTAMP(MICROS)
-    files arrive as TIMESTAMP_NTZ. Footer-only read — no data scan."""
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    files arrive as TIMESTAMP_NTZ. Footer-only read — no data scan,
+    and cached per process (sources/io.table_schema, r16: the fresh
+    inference cost ~90 ms per streaming query construction)."""
+    from reddit_big_data_spark.sources.io import table_schema
+
+    return table_schema(spark, sf_dir, "events")
 
 
 def normalize_event_ts(raw: DataFrame, schema: T.StructType) -> DataFrame:
