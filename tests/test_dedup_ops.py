@@ -906,3 +906,103 @@ def test_connected_components_null_edges_agree_across_strategies(spark):
             for r in connected_components(edges, "id_a", "id_b", **kwargs).collect()
         }
         assert got == expect, (kwargs, got)
+
+
+def _py_base_hash(s: str) -> int:
+    """The engine-independent reference for the MinHash base hash:
+    first 7 hex digits of md5, as an integer."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:7], 16)
+
+
+def test_minhash_signatures_match_pure_python_reference(spark):
+    """r16: minhash_signatures was rewritten from explode + per-
+    permutation MIN aggregates to one in-row higher-order-function pass
+    (with the lambda-bound base hashes). This pins the output against a
+    PURE-PYTHON replay of the documented definition — md5-derived base
+    hash, (a_i*h + b_i) mod 2^31-1 permutations, min per permutation —
+    so a future binding or coefficient regression in the HOF form fails
+    here, independent of any Spark evaluation path."""
+    from reddit_big_data_spark.operators.dedup import (
+        _MERSENNE31,
+        _perm_coeffs,
+        minhash_signatures,
+    )
+
+    docs = {
+        0: ["a b", "b c", "c d"],
+        1: ["x y"],
+        2: [],  # empty shingle set: must vanish
+    }
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, shingles array<string>"
+    )
+    got = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(df, "doc_id", "shingles", 16).collect()
+    }
+    want = {}
+    for doc_id, shingles in docs.items():
+        if not shingles:
+            continue
+        base = [_py_base_hash(s) for s in shingles]
+        sig = []
+        for i in range(16):
+            a, b = _perm_coeffs(i)
+            sig.append(min((a * h + b) % _MERSENNE31 for h in base))
+        want[doc_id] = sig
+    assert got == want
+
+
+def test_simhash_match_pure_python_reference(spark):
+    """r16: simhash_bits/simhash_wide were rewritten from explode +
+    per-bit SUM aggregates to one in-row vote fold. Pinned against a
+    pure-python replay of both documented definitions (hex-digit votes
+    for bits; salted-block bit votes for wide, including a multi-block
+    width), token MULTIPLICITY included."""
+    import hashlib
+
+    from reddit_big_data_spark.operators.dedup import simhash_bits, simhash_wide
+
+    docs = {0: ["the", "cat", "the"], 1: ["dog"]}
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, toks array<string>"
+    )
+
+    def py_bits(tokens, bits):
+        votes = [0] * bits
+        for t in tokens:
+            h = hashlib.md5(t.encode()).hexdigest()
+            for j in range(bits):
+                votes[j] += 1 if h[j] in "89abcdef" else -1
+        return "".join("1" if v >= 0 else "0" for v in votes)
+
+    def py_wide(tokens, bits):
+        ndig = (bits + 3) // 4
+        nblocks = (ndig + 31) // 32
+        votes = [0] * bits
+        for t in tokens:
+            hs = [
+                hashlib.md5(
+                    (t if b == 0 else f"{t}#{b}").encode()
+                ).hexdigest()
+                for b in range(nblocks)
+            ]
+            for j in range(bits):
+                d = int(hs[(j // 4) // 32][(j // 4) % 32], 16)
+                bit = (d >> (3 - j % 4)) & 1
+                votes[j] += 1 if bit else -1
+        return "".join("1" if v >= 0 else "0" for v in votes)
+
+    got_bits = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_bits(df, "doc_id", "toks", 32).collect()
+    }
+    assert got_bits == {k: py_bits(v, 32) for k, v in docs.items()}
+    for width in (64, 160):  # one md5 block / multi-block salted
+        got_wide = {
+            r["doc_id"]: r["simhash"]
+            for r in simhash_wide(df, "doc_id", "toks", width).collect()
+        }
+        assert got_wide == {k: py_wide(v, width) for k, v in docs.items()}
