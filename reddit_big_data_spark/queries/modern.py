@@ -92,6 +92,11 @@ def q88_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .between(F.col("__p35"), F.col("__p65"))
             .alias("p50_within_bound"),
         )
+        # single-partition sort (r16, the q22/q31 pattern): a bare
+        # orderBy's range sampler re-executes the segment above the last
+        # exchange - here the join + exact-percentile merge - once per
+        # action; 5 report rows need no parallel sort
+        .repartition(1)
         .orderBy("event_type")
     )
 
@@ -202,6 +207,8 @@ def q97_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_q50").between(F.col("__p45"), F.col("__p55")).alias("p50_in_band"),
             F.col("est_q90").between(F.col("__p85"), F.col("__p95")).alias("p90_in_band"),
         )
+        # single-partition sort (r16): see q88's tail note above
+        .repartition(1)
         .orderBy("event_type")
     )
 
