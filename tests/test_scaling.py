@@ -118,8 +118,16 @@ def test_global_rank_partitions_stay_balanced(spark):
     orderBy window. Pin: the largest partition holds < 2x the ideal
     share on q160's production input at both SFs (a single-partition
     collapse would read ~P = parallelism times the ideal)."""
+    # Measured LIVE, never cached (r16): Spark's RangePartitioner samples
+    # with a seed derived from the RDD id, so the max-partition size is a
+    # function of SESSION HISTORY, not of (code, corpus, conf) — the
+    # cache's determinism claim does not hold for this measure (observed
+    # 505 vs 508 across sessions), and a cached entry would eventually
+    # flake the byte-exact rotating audit. The assertions here are
+    # tolerance-based, which is the sound contract for a sampled
+    # partitioner.
     for sf_dir in (SF_SMOKE, SF_BIG):
-        rec = scaling.cached_measure(spark, scaling.measure_q160, sf_dir)
+        rec = scaling.measure_q160(spark, sf_dir)
         assert rec["candidates"] < rec["n_input"], rec
         assert rec["balance"] < 2.0, f"{sf_dir}: skewed ranking {rec}"
         spark.catalog.clearCache()
@@ -346,7 +354,15 @@ def test_scaling_cache_rotating_audit(spark):
     from reddit_big_data_spark.plans.cache import release_local_checkpoints
 
     cache = scaling.load_measure_cache()
-    entries = sorted(cache.get("entries", {}))
+    # Audit only entries recorded under THIS session's partition conf
+    # (r16): the live re-derivation below runs in the suite's session,
+    # and an entry measured under a different spark.sql.shuffle.partitions
+    # is a different cache key on purpose — comparing across confs would
+    # be auditing the conf, not the measure's determinism.
+    part = spark.conf.get("spark.sql.shuffle.partitions")
+    entries = sorted(
+        k for k in cache.get("entries", {}) if k.endswith(f"|p{part}")
+    )
     if not entries:
         return  # cold cache: this run measured everything live already
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
