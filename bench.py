@@ -30,6 +30,9 @@ BENCH_DETAIL_r{N}.json (the same payload persisted per round, N = max
 existing BENCH_r*.json + 1 — i.e. the round the driver is about to
 record; the driver's own sweep is the round's last run and therefore
 the copy that survives). Both carry every query's {min, runs, spread}.
+Runs at a non-default core count (the driver's scaling sweep) write
+BENCH_DETAIL_r{N}_c{cpus}.json instead, so they cannot shadow the
+canonical full-core record (VERDICT r16 #4).
 """
 
 from __future__ import annotations
@@ -103,6 +106,21 @@ def current_round(repo_root: str) -> int:
         if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     return max(recorded, default=0) + 1
+
+
+def per_round_detail_path(repo_root: str, cpus: int) -> str:
+    """Path for the per-round detail copy. VERDICT r16 #4 (naming wart):
+    the driver's post-record scaling sweep runs this script at a
+    NON-default core count, and an unsuffixed per-round copy from that
+    sweep would shadow the canonical record for the next round.
+    Off-default-cpu runs therefore carry a _c{cpus} suffix; only runs at
+    the box's full core count write the plain BENCH_DETAIL_r{N}.json the
+    cross-round tooling reads."""
+    cpu_suffix = "" if cpus == (os.cpu_count() or cpus) else f"_c{cpus}"
+    return os.path.join(
+        repo_root,
+        f"BENCH_DETAIL_r{current_round(repo_root):02d}{cpu_suffix}.json",
+    )
 
 
 def main() -> int:
@@ -201,11 +219,7 @@ def main() -> int:
     # full {min, runs, spread} table survives; repeated runs within a
     # round overwrite the same file, so the driver's own sweep — the last
     # run of the round — is what persists.
-    detail_paths.append(
-        os.path.join(
-            repo_root, f"BENCH_DETAIL_r{current_round(repo_root):02d}.json"
-        )
-    )
+    detail_paths.append(per_round_detail_path(repo_root, cpus))
     for detail_path in detail_paths:
         try:
             with open(detail_path, "w") as f:

@@ -35,10 +35,29 @@ def test_repo_history_infers_round_consistently():
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recorded = [
-        int(re.search(r"BENCH_r(\d+)\.json$", p).group(1))
+        int(m.group(1))
         for p in glob.glob(os.path.join(repo, "BENCH_r*.json"))
+        # Same guard as bench.current_round: the driver also records
+        # off-default-cpu sweeps as BENCH_rNN_c{cpus}.json, which must not
+        # count as (or crash) the round inference.
+        if (m := re.search(r"BENCH_r(\d+)\.json$", p))
     ]
     assert bench.current_round(repo) == max(recorded) + 1
+
+
+def test_per_round_detail_path_suffixes_off_default_cpus(tmp_path):
+    """VERDICT r16 #4: an off-default-cpu sweep (the driver's scaling
+    run) must not shadow the canonical full-core per-round record."""
+    import os
+
+    (tmp_path / "BENCH_r16.json").write_text("{}")
+    full = os.cpu_count() or 8
+    assert bench.per_round_detail_path(str(tmp_path), full).endswith(
+        "BENCH_DETAIL_r17.json"
+    )
+    assert bench.per_round_detail_path(str(tmp_path), 8 if full != 8 else 4).endswith(
+        f"BENCH_DETAIL_r17_c{8 if full != 8 else 4}.json"
+    )
 
 
 def test_sentinel_block_computes_box_factor():
