@@ -513,9 +513,11 @@ def corpus_pipeline(
         .cast("long")
         % _N_SHARDS
     )
-    m_shards = s5.select(shard.alias("sh")).agg(
-        F.count_distinct("sh").alias("nsh")
-    )
+    # nsh and nbins share ONE aggregate over s5 (r17, guide §2.4): the
+    # separate m_shards/m_bins subtrees each cost a scan + exchange +
+    # broadcast-attach of their own. The two count-distincts expand the
+    # (already mixture-budget-bounded) s5 rows 2x inside one stage —
+    # far cheaper than a second subtree at any scale.
     enc = bpe_encode(
         s1_txt.join(s5.select("doc_id"), "doc_id"),
         "doc_id",
@@ -531,9 +533,10 @@ def corpus_pipeline(
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    m_bins = (
+    m_layout = (
         s5.select(
             "source",
+            shard.alias("sh"),
             F.floor(
                 (F.sum("ws_tok").over(w_pack) - F.col("ws_tok")).cast(
                     "double"
@@ -541,35 +544,63 @@ def corpus_pipeline(
                 / _PACK_BUDGET
             ).alias("bin"),
         )
-        .select("source", "bin")
-        .distinct()
-        .agg(F.count("*").alias("nbins"))
+        .agg(
+            F.count_distinct("sh").alias("nsh"),
+            # struct-wrapped so NULL fields still count as a distinct
+            # combination, exactly like the old .distinct().count()
+            F.count_distinct(F.struct("source", "bin")).alias("nbins"),
+        )
     )
 
-    # -- per-stage report: single-row aggregates attached by constant-key
-    #    broadcast-hash joins, stacked into stage rows.
-    def m(df_: DataFrame, i: int) -> DataFrame:
-        return df_.agg(
-            F.count("*").alias(f"c{i}"),
-            F.coalesce(F.sum("ws_tok"), F.lit(0)).cast("long").alias(f"t{i}"),
+    # -- per-stage report (r17, guide §2.4/§2.6): ONE union-tagged
+    #    aggregate replaces the six separate count/sum subtrees (each was
+    #    its own scan + partial/final agg exchange + broadcast attach —
+    #    ~2/3 of the query's job count was this report assembly, pure
+    #    AQE-stage scheduling on persisted inputs). Every source frame is
+    #    persisted, so the union scans cost what the six scans cost; the
+    #    s0/s1 rows ride ONE per_doc scan via the in1 flag. A global
+    #    (group-less) aggregate always yields exactly one row, so empty
+    #    stages still report zeros — same contract as the old per-frame
+    #    aggs.
+    tagged = None
+    for tag, frame in (
+        ("p", per_doc.select(F.lit("p").alias("__src"), "in1", "ws_tok")),
+        ("2", s2.select(F.lit("2").alias("__src"), F.lit(True).alias("in1"), "ws_tok")),
+        ("3", s3.select(F.lit("3").alias("__src"), F.lit(True).alias("in1"), "ws_tok")),
+        ("4", s4.select(F.lit("4").alias("__src"), F.lit(True).alias("in1"), "ws_tok")),
+        ("5", s5.select(F.lit("5").alias("__src"), F.lit(True).alias("in1"), "ws_tok")),
+    ):
+        tagged = frame if tagged is None else tagged.unionByName(frame)
+
+    def c_of(cond) -> object:
+        return F.count(F.when(cond, F.lit(1)))
+
+    def t_of(cond) -> object:
+        return (
+            F.coalesce(F.sum(F.when(cond, F.col("ws_tok"))), F.lit(0))
+            .cast("long")
         )
+
+    is_p = F.col("__src") == "p"
+    conds = [
+        is_p,
+        is_p & F.col("in1"),
+        F.col("__src") == "2",
+        F.col("__src") == "3",
+        F.col("__src") == "4",
+        F.col("__src") == "5",
+    ]
+    wide = tagged.agg(
+        *[c_of(cond).alias(f"c{i}") for i, cond in enumerate(conds)],
+        *[t_of(cond).alias(f"t{i}") for i, cond in enumerate(conds)],
+    )
 
     # key derives non-foldably from the aggregate (always 0): a plain
     # lit(0) constant-folds and degrades every attach to a BNLJ
     # (operators/attach.with_constant_key holds the rule).
     from reddit_big_data_spark.operators.attach import with_constant_key as keyed
 
-    wide = m(per_doc, 0)
-    for frame in (
-        m(per_doc.filter("in1"), 1),
-        m(s2, 2),
-        m(s3, 3),
-        m(s4, 4),
-        m(s5, 5),
-        m_shards,
-        m_bpe,
-        m_bins,
-    ):
+    for frame in (m_layout, m_bpe):
         wide = attach_constant_row(wide, keyed(frame), "c0").drop("__k")
 
     stage_rows = ", ".join(
