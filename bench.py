@@ -53,11 +53,15 @@ def _force(df) -> None:
 # ad-hoc interleaved A/Bs because the per-round VM's speed drifts.
 # These five queries are the standing calibration set — moderate-cost
 # (>=0.5 s, so per-run jitter is small relative to the value),
-# code-stable since r12, spanning scan/agg (q05, q21), percentile
-# shuffle (q16), exact dedup (q30), and text repetition (q37). The
-# baseline is their min-of-3 from the r14 driver bench at sf0.1
+# code-stable, spanning scan/agg (q05, q21), corpus n-gram aggregation
+# (q70), exact dedup (q30), and text repetition (q37). The baseline is
+# their min-of-3 from the r14 driver bench at sf0.1
 # (BENCH_DETAIL_r14.json) — the box both the r14 and r15 verdicts
-# anchored their drift adjudication on. Every sf0.1 run now reports
+# anchored their drift adjudication on. r17: q16 was swapped out for
+# q70 (r14 min 1.6096 from the same BENCH_DETAIL_r14.json run; q70's
+# only change since r14 is a collect-time None guard with zero per-row
+# cost) so the q16 percentile rewrite the r16 verdict queued could land
+# without invalidating the calibration. Every sf0.1 run now reports
 # box_factor = sentinel_total / SENTINEL_BASELINE_TOTAL and a
 # sentinel-normalized total alongside the raw one, so classifying a
 # cross-round delta as box drift vs code change is mechanical: compare
@@ -66,10 +70,10 @@ def _force(df) -> None:
 # from the round before the edit) in the same commit.
 SENTINEL_BASELINE = {
     "q05": 0.5498,
-    "q16": 2.0029,
     "q21": 0.6315,
     "q30": 0.5881,
     "q37": 1.2003,
+    "q70": 1.6096,
 }
 SENTINEL_BASELINE_SF = 0.1
 SENTINEL_BASELINE_TOTAL = round(sum(SENTINEL_BASELINE.values()), 4)

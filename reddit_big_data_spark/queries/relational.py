@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table
+from reddit_big_data_spark.sources.io import read_table, sorted_report
 
 
 # --------------------------------------------------------------------------
@@ -360,9 +360,19 @@ def q16_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst Expand every input row (n+1)x through the percentile
     # buffers; splitting into pre-distinct aggs + a percentile agg joined
     # on the (tiny) group key measured 4x faster at sf0.1 (9.1s -> 2.3s).
-    pctl = li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    # r17 (guide §2.3/§5, the q22/q97/q88 shape): both quantiles share ONE
+    # percentile buffer via the array form — the value multiset is
+    # collected and sorted once instead of per quantile.
+    pctl = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.5, 0.9))").alias("__p")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__p", 1), 4).alias("median_price"),
+            F.round(F.element_at("__p", 2), 4).alias("p90_price"),
+        )
     )
     nd_parts = (
         li.select("l_returnflag", "l_partkey")
@@ -376,13 +386,13 @@ def q16_distinct_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.count("*").alias("nd_supps"))
     )
-    return (
+    return sorted_report(
         pctl.join(nd_parts, "l_returnflag")
         .join(nd_supps, "l_returnflag")
         .select(
             "l_returnflag", "nd_parts", "nd_supps", "median_price", "p90_price"
-        )
-        .orderBy("l_returnflag")
+        ),
+        "l_returnflag",
     )
 
 

@@ -75,7 +75,7 @@ def test_sentinel_block_computes_box_factor():
     # off-sf: no factor (the baseline is an sf0.1 measurement)
     assert bench.sentinel_block(short, 0.01)["box_factor"] is None
     # a missing sentinel: refuse rather than skew
-    short.pop("q16")
+    short.pop("q70")
     assert bench.sentinel_block(short, 0.1)["box_factor"] is None
 
 
