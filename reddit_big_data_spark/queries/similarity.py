@@ -21,7 +21,7 @@ from reddit_big_data_spark.operators.similarity import (
     lsh_topk,
 )
 from reddit_big_data_spark.registry import register
-from reddit_big_data_spark.sources.io import read_table
+from reddit_big_data_spark.sources.io import read_table, spread
 
 
 # --------------------------------------------------------------------------
@@ -56,7 +56,11 @@ from reddit_big_data_spark.sources.io import read_table
     doc="brute-force cosine top-k, broadcast probe batch (ANN exact baseline)",
 )
 def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread (r17, guide §2.5/§6): the embeddings table is ONE parquet
+    # file, so the scan — and every per-row scoring/signature/assignment
+    # pass above it — otherwise runs single-task. All value-producing
+    # folds here are row-local, so partitioning cannot move results.
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rn")
 
@@ -155,7 +159,11 @@ def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: int) -> DataFrame
     doc="random-hyperplane LSH ANN with per-probe recall-vs-exact oracle",
 )
 def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread (r17, guide §2.5/§6): the embeddings table is ONE parquet
+    # file, so the scan — and every per-row scoring/signature/assignment
+    # pass above it — otherwise runs single-task. All value-producing
+    # folds here are row-local, so partitioning cannot move results.
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
     ann = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=12)
@@ -227,7 +235,11 @@ def q42_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.similarity import ivf_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread (r17, guide §2.5/§6): the embeddings table is ONE parquet
+    # file, so the scan — and every per-row scoring/signature/assignment
+    # pass above it — otherwise runs single-task. All value-producing
+    # folds here are row-local, so partitioning cannot move results.
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
     ann = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, train_iters=2)
@@ -529,7 +541,11 @@ def q48_embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q102_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.pq import pq_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread (r17, guide §2.5/§6): the embeddings table is ONE parquet
+    # file, so the scan — and every per-row scoring/signature/assignment
+    # pass above it — otherwise runs single-task. All value-producing
+    # folds here are row-local, so partitioning cannot move results.
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
     ann = pq_topk(emb, queries, k=5, m=16, rerank=100)
@@ -554,7 +570,11 @@ def q102_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q104_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.pq import ivfpq_topk
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread (r17, guide §2.5/§6): the embeddings table is ONE parquet
+    # file, so the scan — and every per-row scoring/signature/assignment
+    # pass above it — otherwise runs single-task. All value-producing
+    # folds here are row-local, so partitioning cannot move results.
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
     ann = ivfpq_topk(emb, queries, k=5, m=16, rerank=100)
@@ -649,7 +669,11 @@ _SEMDEDUP_K_SQL = (
 def q116_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.clustering import kmeans_assign
 
-    emb = read_table(spark, sf_dir, "embeddings")
+    # spread (r17, guide §2.5/§6): the embeddings table is ONE parquet
+    # file, so the scan — and every per-row scoring/signature/assignment
+    # pass above it — otherwise runs single-task. All value-producing
+    # folds here are row-local, so partitioning cannot move results.
+    emb = spread(read_table(spark, sf_dir, "embeddings"))
     # One count() scalar sizes k (the oracle derives the same k from a
     # COUNT(*) subquery) — a cheap metadata-adjacent scan, and the price
     # of keeping expected cluster size constant as the corpus grows.
