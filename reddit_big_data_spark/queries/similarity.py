@@ -104,15 +104,34 @@ _RECALL_ORACLE = (
 )
 
 
-def _ann_recall_frame(ann: DataFrame, exact: DataFrame, floor: int) -> DataFrame:
+def _ann_recall_frame(ann, exact: DataFrame, floor: int) -> DataFrame:
     """(query_id, exact_top1_id, exact_top1_sim, recall_ok): join the ANN
     result against the exact top-k computed in the SAME query; recall_ok
     asserts >= `floor` of the exact top-k were found. The q31 pattern:
-    the driver row then checks ANN RECALL, not just arithmetic."""
+    the driver row then checks ANN RECALL, not just arithmetic.
+
+    `ann` may be the ANN DataFrame or a zero-arg BUILDER returning it
+    (r17, guide §2.6 — overlap independent driver work): the exact top-k
+    materialization below is a full scoring job, and the ANN index
+    builds are sequences of driver-blocking training collects; passed as
+    a builder, the exact job runs on a driver thread WHILE the index
+    trains, instead of as one more serial barrier afterwards."""
     # Materialize the exact top-k once (k x probes rows): it feeds BOTH
     # the hit semi-join and the top-1 projection, and each would
     # otherwise re-run the corpus-scan scoring pass.
-    exact = exact.localCheckpoint()
+    if callable(ann):
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.util import inheritable_thread_target
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fut = pool.submit(
+                inheritable_thread_target(exact.localCheckpoint)
+            )
+            ann = ann()
+            exact = fut.result()
+    else:
+        exact = exact.localCheckpoint()
     hits = (
         ann.select("query_id", "neighbor_id")
         .join(
@@ -166,8 +185,11 @@ def q41_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
-    ann = lsh_topk(emb, queries, k=5, n_planes=4, n_tables=12)
-    return _ann_recall_frame(ann, exact, floor=2)
+    return _ann_recall_frame(
+        lambda: lsh_topk(emb, queries, k=5, n_planes=4, n_tables=12),
+        exact,
+        floor=2,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -242,8 +264,11 @@ def q43_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
-    ann = ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, train_iters=2)
-    return _ann_recall_frame(ann, exact, floor=3)
+    return _ann_recall_frame(
+        lambda: ivf_topk(emb, queries, k=5, n_cells=16, nprobe=6, train_iters=2),
+        exact,
+        floor=3,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -548,8 +573,11 @@ def q102_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
-    ann = pq_topk(emb, queries, k=5, m=16, rerank=100)
-    return _ann_recall_frame(ann, exact, floor=3)
+    return _ann_recall_frame(
+        lambda: pq_topk(emb, queries, k=5, m=16, rerank=100),
+        exact,
+        floor=3,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -577,8 +605,11 @@ def q104_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 10)
     exact = brute_force_topk(emb, queries, k=5)
-    ann = ivfpq_topk(emb, queries, k=5, m=16, rerank=100)
-    return _ann_recall_frame(ann, exact, floor=3)
+    return _ann_recall_frame(
+        lambda: ivfpq_topk(emb, queries, k=5, m=16, rerank=100),
+        exact,
+        floor=3,
+    )
 
 
 # --------------------------------------------------------------------------
