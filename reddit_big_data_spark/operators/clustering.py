@@ -123,6 +123,15 @@ def kmeans_centers(
         # loud contract: empty corpus / NULL seed vectors raise a named
         # error instead of an opaque TypeError downstream.
         dims = [len(r["e"]) for r in init if r["e"] is not None]
+        if len(dims) != len(init):
+            # ADVICE r16: a PARTIALLY-NULL seed set used to slip past the
+            # all-NULL check and die one line later with an opaque
+            # TypeError at list(r["e"]).
+            raise ValueError(
+                "k-means needs a non-empty corpus with non-NULL vectors "
+                f"({len(init) - len(dims)} of {len(init)} seed vectors "
+                "are NULL)"
+            )
         if not dims:
             raise ValueError(
                 "k-means needs a non-empty corpus with non-NULL vectors"

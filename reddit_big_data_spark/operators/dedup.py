@@ -238,6 +238,13 @@ def minhash_signatures(
     Docs with empty (or NULL) shingle sets vanish — same as the old
     explode, which emitted no rows for them; they can't be
     near-duplicates of anything.
+
+    Duplicate-id caveat (ADVICE r16, same contract as simhash_bits/
+    simhash_wide): the in-row form emits one signature row PER INPUT ROW.
+    The pre-r16 explode+groupBy(id) shape merged rows sharing an id into
+    one signature over the union of their shingles — callers must feed a
+    primary-keyed frame, or pre-aggregate shingles per id first. Every
+    in-package caller feeds primary-keyed documents.
     """
     a_arr = F.array(*[F.lit(_perm_coeffs(i)[0]) for i in range(num_hashes)])
     b_arr = F.array(*[F.lit(_perm_coeffs(i)[1]) for i in range(num_hashes)])

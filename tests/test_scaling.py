@@ -338,6 +338,32 @@ def test_synthetic_kcore_work_linear_at_fixed_density(spark):
         assert rec["converged"] is True, rec
 
 
+def test_scaling_cache_has_no_unauditable_conf_entries():
+    """ADVICE r16: the rotating audit only exercises entries recorded
+    under the running session's spark.sql.shuffle.partitions, so a cache
+    entry keyed under a conf NO standing context runs with would be
+    permanently unaudited dead weight. The two standing contexts are the
+    test suite (conftest: SPARK_GRAFT_CPUS default 8 -> p8, or the box's
+    core count when overridden) and the scaling harness (session default
+    parallelism). Anything else — say a p4 entry from a one-off manual
+    run — is flagged here so it gets pruned instead of rotting."""
+    import os
+
+    cache = scaling.load_measure_cache()
+    suffixes = {k.rsplit("|", 1)[1] for k in cache.get("entries", {})}
+    exercised = {
+        "p8",  # suite default (conftest SPARK_GRAFT_CPUS=8)
+        f"p{max(int(os.environ.get('SPARK_GRAFT_CPUS', 8)), 8)}",
+        f"p{max(os.cpu_count() or 8, 8)}",  # harness default parallelism
+    }
+    dead = suffixes - exercised
+    assert not dead, (
+        f"scaling cache holds entries under partition conf(s) {sorted(dead)} "
+        f"that neither the suite nor the harness runs with — prune them "
+        f"from {scaling.SCALING_CACHE_PATH} (they would never be audited)"
+    )
+
+
 def test_scaling_cache_rotating_audit(spark):
     """One cached measurement per suite run is re-derived LIVE and must
     equal its committed record byte-for-byte — the same rotating-audit
