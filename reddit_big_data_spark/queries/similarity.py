@@ -700,15 +700,16 @@ _SEMDEDUP_K_SQL = (
 def q116_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reddit_big_data_spark.operators.clustering import kmeans_assign
 
+    raw = read_table(spark, sf_dir, "embeddings")
+    # One count() scalar sizes k (the oracle derives the same k from a
+    # COUNT(*) subquery). Counted on the RAW scan (r17): a count above
+    # the spread exchange would pay the repartition shuffle for nothing.
+    k = semdedup_k(raw.count())
     # spread (r17, guide §2.5/§6): the embeddings table is ONE parquet
     # file, so the scan — and every per-row scoring/signature/assignment
     # pass above it — otherwise runs single-task. All value-producing
     # folds here are row-local, so partitioning cannot move results.
-    emb = spread(read_table(spark, sf_dir, "embeddings"))
-    # One count() scalar sizes k (the oracle derives the same k from a
-    # COUNT(*) subquery) — a cheap metadata-adjacent scan, and the price
-    # of keeping expected cluster size constant as the corpus grows.
-    k = semdedup_k(emb.count())
+    emb = spread(raw)
     assigned = kmeans_assign(emb, "vec_id", "embedding", k=k, iters=2)
     # Materialize the assignment ONCE: both pair-join branches and the
     # sizes aggregate read it, and each would otherwise re-execute the

@@ -40,6 +40,12 @@ RUNTIME_CONFS: dict[str, str] = {
     # (truncating to micros, matching DuckDB's nanos->micros behavior).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
+# Probed and declined (r17): spark.sql.parquet.aggregatePushdown would
+# turn the corpus-sizing count() scalars into footer reads, but it only
+# applies on the DSv2 parquet path — parquet sits in the default
+# spark.sql.sources.useV1SourceList, and flipping the whole package to
+# DSv2 to save ~0.3 s of count() is a plan-shape change far outside this
+# round's risk budget.
 
 # ANSI mode is the DEFAULT (round 16, VERDICT r15 #3): it is the Spark 4
 # default on real clusters, where a raw x/0 or overflowing cast THROWS
