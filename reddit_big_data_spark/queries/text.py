@@ -88,9 +88,12 @@ def q09_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs over the DISTINCT vocabulary, not every occurrence — identical
     # output, ~|corpus|/|vocab| less regex work (and this oracle is what
     # proves the equivalence).
-    docs = spread(read_table(spark, sf_dir, "documents"))
+    raw = read_table(spark, sf_dir, "documents")
+    docs = spread(raw)
     tf = dictionary_stemmed_tf(docs, "doc_id", "text")
-    n_docs = docs.count()
+    # count the RAW scan (r17): counting above the spread exchange pays
+    # the repartition shuffle for a scalar
+    n_docs = raw.count()
     scored = tf_idf_from_tf(tf, "doc_id", n_docs).withColumn(
         "tfidf", F.round(F.col("tf_idf"), 6)
     )
