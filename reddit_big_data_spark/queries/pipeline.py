@@ -432,6 +432,24 @@ def corpus_pipeline(
         .persist()  # consumers: shingle build, s3, the m2 report row
     )
 
+    # -- artifact 3 (DEFINED here, consumed in s4): full-corpus winnowing
+    #    fingerprints — the probe must hash ALL of src0, filtered or not;
+    #    two consumers (probe set + contamination join), q66's persist
+    #    rule. Forced on a DRIVER THREAD while the s3 near-dup engine
+    #    below runs its construction jobs (r17, guide §2.6): the
+    #    similarity join + component collect are sequences of driver
+    #    barriers with idle executors, and the winnowing pass is
+    #    independent of them — overlapped, construction pays
+    #    max(simjoin, winnowing) instead of their sum. The count() only
+    #    fills the persist; content is a pure function of the corpus.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+
+    fps = winnowing_fingerprints(docs, "doc_id", "text", k=_K, window=_W).persist()
+    _fps_pool = ThreadPoolExecutor(max_workers=1)
+    _fps_fut = _fps_pool.submit(inheritable_thread_target(fps.count))
+
     # -- s3: near-dup cluster canonicals + singletons.
     shingles = s1_txt.join(s2.select("doc_id"), "doc_id").select(
         "doc_id", word_shingles(F.split("t", " "), 2).alias("shingles")
@@ -469,10 +487,10 @@ def corpus_pipeline(
     #   would re-run the simjoin verify joins and the component
     #   propagation above.
 
-    # -- artifact 3: full-corpus winnowing fingerprints (probe hashes ALL
-    #    of src0, so this pass cannot run on survivors only); two
-    #    consumers (probe set + contamination join), q66's persist rule.
-    fps = winnowing_fingerprints(docs, "doc_id", "text", k=_K, window=_W).persist()
+    # -- s4: join the overlapped winnowing artifact (forced above); the
+    #    thread must finish before the returned plan can consume fps.
+    _fps_fut.result()
+    _fps_pool.shutdown()
     probe_fps = (
         fps.join(
             per_doc.filter(F.col("source") == "src0").select("doc_id"),
